@@ -1,0 +1,135 @@
+"""Checkpoint / lineage / resume plumbing (north_rule requirement).
+
+The reference's in-memory URL-keyed TTL cache (reference:
+src/PlaywrightEngine.ts:249-260, 484-492) becomes, at batch scale, a
+checkpoint ledger table: work is split into deterministic doc_id-hash
+buckets; each completed bucket appends a ledger row with row-count/byte
+metrics; resume anti-joins the input against completed buckets so failed
+runs never recompute finished work.
+
+Layout under ``<root>/``:
+- ``outputs/``           extracted spans, parquet, partitioned by bucket
+- ``partition_ledger/``  one row per completed (run_id, bucket)
+- ``metrics/``           per-Spark-partition lineage rows per wave
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .extract import extract_spans
+
+LEDGER_SCHEMA = StructType(
+    [
+        StructField("run_id", StringType()),
+        StructField("bucket", IntegerType()),
+        StructField("doc_count", LongType()),
+        StructField("byte_count", LongType()),
+        StructField("wall_ms", LongType()),
+        StructField("status", StringType()),
+        StructField("updated_at", LongType()),  # epoch millis
+    ]
+)
+
+METRICS_SCHEMA = StructType(
+    [
+        StructField("run_id", StringType()),
+        StructField("bucket", IntegerType()),
+        StructField("partition_id", IntegerType()),
+        StructField("doc_count", LongType()),
+        StructField("byte_count", LongType()),
+        StructField("error_count", LongType()),
+        StructField("wall_us_sum", LongType()),
+    ]
+)
+
+
+def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
+    return df.withColumn("bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int"))
+
+
+def completed_buckets(spark: SparkSession, root: str, run_id: str) -> DataFrame:
+    """Buckets already marked done for this run (empty df if no ledger yet)."""
+    try:
+        ledger = spark.read.parquet(f"{root}/partition_ledger")
+    except Exception:
+        return spark.createDataFrame([], "bucket int")
+    return (
+        ledger.filter((F.col("run_id") == run_id) & (F.col("status") == "done"))
+        .select("bucket")
+        .distinct()
+    )
+
+
+def run_extraction_job(
+    spark: SparkSession,
+    documents: DataFrame,
+    root: str,
+    run_id: str,
+    n_buckets: int = 8,
+    num_partitions: int | None = None,
+    keep_markdown: bool = False,
+) -> dict:
+    """Resumable extraction: bucket the corpus, anti-join completed buckets,
+    process remaining buckets in waves, append outputs + ledger + metrics.
+
+    Returns summary dict {processed_buckets, skipped_buckets, doc_count}.
+    """
+    docs = with_bucket(documents, n_buckets)
+    done = completed_buckets(spark, root, run_id)
+    done_set = {r.bucket for r in done.collect()}  # tiny: one int per bucket
+    todo = sorted(set(range(n_buckets)) - done_set)
+
+    processed = 0
+    total_docs = 0
+    for bucket in todo:
+        t0 = time.time()
+        chunk = docs.filter(F.col("bucket") == bucket).drop("bucket")
+        out = extract_spans(chunk, num_partitions=num_partitions, keep_markdown=keep_markdown)
+        out = out.withColumn("bucket", F.lit(bucket)).withColumn(
+            "partition_id", F.spark_partition_id()
+        )
+        out.write.mode("append").partitionBy("bucket").parquet(f"{root}/outputs")
+
+        written = spark.read.parquet(f"{root}/outputs").filter(F.col("bucket") == bucket)
+        metrics = (
+            written.groupBy("partition_id")
+            .agg(
+                F.count("*").alias("doc_count"),
+                F.sum("out_bytes").alias("byte_count"),
+                F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("error_count"),
+                F.sum("wall_us").alias("wall_us_sum"),
+            )
+            .withColumn("run_id", F.lit(run_id))
+            .withColumn("bucket", F.lit(bucket))
+            .select([f.name for f in METRICS_SCHEMA.fields])
+        )
+        metrics.write.mode("append").parquet(f"{root}/metrics")
+
+        stats = written.agg(
+            F.count("*").alias("n"), F.coalesce(F.sum("out_bytes"), F.lit(0)).alias("b")
+        ).collect()[0]
+        wall_ms = int((time.time() - t0) * 1000)
+        ledger_row = spark.createDataFrame(
+            [(run_id, bucket, stats.n, stats.b, wall_ms, "done", int(time.time() * 1000))],
+            LEDGER_SCHEMA,
+        )
+        ledger_row.write.mode("append").parquet(f"{root}/partition_ledger")
+        processed += 1
+        total_docs += stats.n
+
+    return {
+        "processed_buckets": processed,
+        "skipped_buckets": len(done_set),
+        "doc_count": total_docs,
+    }

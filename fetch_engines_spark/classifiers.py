@@ -1,0 +1,181 @@
+"""Native-column classifiers (no UDF): the reference's X-family.
+
+Every function here returns a pyspark ``Column`` built from
+``regexp_replace`` / ``rlike`` / ``length`` / ``least`` / ``floor`` so the
+whole family stays inside whole-stage codegen (SURVEY.md §2.5 — these are
+"fully native, no UDF needed").
+
+Parity sources (reference files):
+- title regex:            src/utils/render-detection.ts:24
+- visible-text stripper:  src/utils/render-detection.ts:51-63 (X2)
+- quality score:          src/utils/render-detection.ts:77-84 (X4)
+- shell/render-need:      src/utils/render-detection.ts:86-128 (X5)
+- soft-block detection:   src/utils/render-detection.ts:31-35,135-145 (X6)
+- challenge keywords:     src/constants.ts:30-31 (X9)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Java-regex ports of the reference's JS regexes.
+TITLE_RX = r"(?i)<title[^>]*>([\s\S]*?)</title>"
+HEADING_RX = r"(?i)<h[1-3][^>]*>"
+MAIN_LIKE_RX = r"(?i)<(?:main|article)[^>]*>"
+SCRIPT_TAG_RX = r"(?i)<script\b"
+ROOT_CONTAINER_RX = r"""(?i)<div[^>]+id=["']?(?:root|app)\b["']?[^>]*>\s*(?:<!--[\s\S]*?-->\s*)*</div>"""
+HAS_ROOT_CONTAINER_RX = r"""(?i)<(?:div|main|section)[^>]+id=["']?(?:root|app)\b["']?[^>]*>"""
+NOSCRIPT_ENABLE_JS_RX = r"(?i)<noscript[\s\S]*?(enable javascript|requires javascript|javascript to run)"
+
+SOFT_BLOCK_TITLE_RX = (
+    r"(?i)just a moment|attention required|access denied|please wait|one more step"
+    r"|checking your browser|security check|you have been blocked|blocked by|are you a robot"
+)
+SOFT_BLOCK_BODY_RX = (
+    r"(?i)checking your browser|verify you.{0,10}(?:are |'re )?(?:not a )?(?:ro)?bot"
+    r"|verify you.{0,10}human|please complete the security check|cf-challenge"
+    r"|captcha-container|hcaptcha|recaptcha|cf-turnstile"
+    r"|enable (?:javascript|cookies) to (?:continue|access|view)"
+    r"|automated (?:access|request)|bot detect|suspicious activity|unusual traffic"
+    r"|too many requests|rate limit exceeded|we need to verify"
+)
+CHALLENGE_KEYWORDS_RX = (
+    r"(?i)cloudflare|checking your browser|please wait|verification|captcha|attention required"
+)
+
+
+def _collapse_ws(col: Column) -> Column:
+    return F.trim(F.regexp_replace(col, r"\s+", " "))
+
+
+def _entity_decode(col: Column) -> Column:
+    """Parity: htmlEntityDecode (render-detection.ts:41-49)."""
+    for pat, rep in (
+        (r"(?i)&nbsp;", " "),
+        (r"(?i)&amp;", "&"),
+        (r"(?i)&lt;", "<"),
+        (r"(?i)&gt;", ">"),
+        (r"(?i)&quot;", "\""),
+        (r"(?i)&#39;", "'"),
+    ):
+        col = F.regexp_replace(col, pat, rep)
+    return col
+
+
+def visible_text(html: Column) -> Column:
+    """X2: strip HTML to visible text (render-detection.ts:51-63)."""
+    c = html
+    for pat in (
+        r"<!--[\s\S]*?-->",
+        r"(?i)<script[\s\S]*?</script>",
+        r"(?i)<style[\s\S]*?</style>",
+        r"(?i)<svg[\s\S]*?</svg>",
+        r"(?i)<noscript[\s\S]*?</noscript>",
+        r"<[^>]+>",
+    ):
+        c = F.regexp_replace(c, pat, " ")
+    return _collapse_ws(_entity_decode(c))
+
+
+def markdown_visible_text(md: Column) -> Column:
+    """X3: strip Markdown to visible text (render-detection.ts:65-75)."""
+    c = md
+    for pat, rep in (
+        (r"```[\s\S]*?```", " "),
+        (r"`[^`]*`", " "),
+        (r"!\[[^\]]*]\([^)]*\)", " "),
+        (r"\[([^\]]*)\]\([^)]*\)", "$1"),
+        (r"(?m)^#{1,6}\s+", ""),
+        (r"[*_~>-]", " "),
+    ):
+        c = F.regexp_replace(c, pat, rep)
+    return _collapse_ws(c)
+
+
+def extracted_title(html: Column) -> Column:
+    """X1: title extraction (FetchEngine.ts:126-127; constants.ts:27)."""
+    return F.trim(F.regexp_extract(html, TITLE_RX, 1))
+
+
+def title_length(html: Column) -> Column:
+    return F.length(_collapse_ws(_entity_decode(F.regexp_extract(html, TITLE_RX, 1))))
+
+
+def script_count(html: Column) -> Column:
+    return F.regexp_count(html, F.lit(SCRIPT_TAG_RX))
+
+
+def heading_count(html: Column) -> Column:
+    return F.regexp_count(html, F.lit(HEADING_RX))
+
+
+def quality_score_expr(
+    text_len: Column, title_len: Column, has_main_like: Column, headings: Column
+) -> Column:
+    """X4: scoreTextSignals (render-detection.ts:77-84)."""
+    return (
+        F.least(F.lit(6), F.floor(text_len / 120))
+        + F.least(F.lit(2), F.floor(title_len / 12))
+        + F.when(has_main_like, 2).otherwise(0)
+        + F.when(headings > 0, 1).otherwise(0)
+    )
+
+
+def assess_html_render_need(html: Column) -> dict[str, Column]:
+    """X5: assessHtmlRenderNeed (render-detection.ts:86-128) as a dict of
+    named Columns; attach with ``df.withColumns(assess_html_render_need(...))``."""
+    html_length = F.length(html)
+    vis_len = F.length(visible_text(html))
+    t_len = title_length(html)
+    s_count = script_count(html)
+    h_count = heading_count(html)
+    has_main = html.rlike(MAIN_LIKE_RX)
+    has_root = html.rlike(HAS_ROOT_CONTAINER_RX)
+    has_empty_root = html.rlike(ROOT_CONTAINER_RX)
+    has_noscript_js = html.rlike(NOSCRIPT_ENABLE_JS_RX)
+
+    score = (
+        F.when(t_len == 0, 3).otherwise(0)
+        + F.when(vis_len < 80, 3).otherwise(0)
+        + F.when(has_empty_root, 3).otherwise(0)
+        + F.when(has_noscript_js, 2).otherwise(0)
+        + F.when(html_length < 2000, 1).otherwise(0)
+        + F.when((s_count >= 3) & (vis_len < 200), 1).otherwise(0)
+        + F.when(has_root & (vis_len < 160), 1).otherwise(0)
+        + F.when((~has_main) & (h_count == 0) & (vis_len < 120), 1).otherwise(0)
+    )
+    quality = (
+        quality_score_expr(vis_len, t_len, has_main, h_count)
+        - F.when(has_empty_root, 3).otherwise(0)
+        - F.when(t_len == 0, 2).otherwise(0)
+        - F.when(vis_len < 80, 2).otherwise(0)
+    )
+    return {
+        "html_length": html_length,
+        "visible_text_length": vis_len,
+        "title_length": t_len,
+        "script_count": s_count,
+        "heading_count": h_count,
+        "has_main_like": has_main,
+        "has_root_container": has_root,
+        "has_empty_root_container": has_empty_root,
+        "has_noscript_enable_js": has_noscript_js,
+        "render_likely_needed_score": score,
+        "render_likely_needed": score >= 4,
+        "quality_score": quality,
+    }
+
+
+def is_soft_block(html: Column) -> Column:
+    """X6: isSoftBlockPage (render-detection.ts:135-145)."""
+    vis_len = F.length(visible_text(html))
+    title = F.regexp_extract(html, TITLE_RX, 1)
+    return F.when(vis_len > 1500, F.lit(False)).otherwise(
+        title.rlike(SOFT_BLOCK_TITLE_RX) | html.rlike(SOFT_BLOCK_BODY_RX)
+    )
+
+
+def is_challenge_page(html: Column) -> Column:
+    """X9: challenge keyword gate (constants.ts:30-31)."""
+    return html.rlike(CHALLENGE_KEYWORDS_RX)

@@ -1,0 +1,343 @@
+"""Minimal HTML DOM + CSS-subset selector engine (stdlib only).
+
+The reference extraction engine parses HTML with ``node-html-parser``
+(reference: src/utils/markdown-converter.ts:166-181) and uses only simple
+compound selectors — tag, ``.class``, ``#id``, ``[attr]``, ``[attr='v']``,
+``[attr*='v']``, ``[attr^='v']`` and ``iframe:not([title])`` — never
+descendant combinators.  This module provides exactly that surface on top of
+``html.parser.HTMLParser`` so the whole DOM pipeline can run inside an
+Arrow-batched pandas UDF with no native dependencies.
+
+Design notes for parity with node-html-parser:
+- ``text_content`` preserves source whitespace verbatim (the reference's
+  link-density math measures raw ``textContent.length``,
+  markdown-converter.ts:568-587).
+- Entities are decoded into text nodes at parse time.
+- Comments are dropped (reference parses with ``{comment: false}``).
+"""
+
+from __future__ import annotations
+
+import re
+from html import escape
+from html.parser import HTMLParser
+
+VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+# Minimal implicit-close rules (HTML5 subset sufficient for web pages).
+_IMPLICIT_CLOSERS = {
+    "p": {"p"},
+    "li": {"li"},
+    "tr": {"tr", "td", "th"},
+    "td": {"td", "th"},
+    "th": {"td", "th"},
+    "option": {"option"},
+    "dt": {"dt", "dd"},
+    "dd": {"dt", "dd"},
+    "thead": {"tr", "td", "th"},
+    "tbody": {"tr", "td", "th", "thead"},
+    "tfoot": {"tr", "td", "th", "tbody"},
+}
+
+
+class TextNode:
+    __slots__ = ("text", "parent")
+
+    def __init__(self, text: str, parent: "Element | None" = None):
+        self.text = text
+        self.parent = parent
+
+    @property
+    def is_element(self) -> bool:
+        return False
+
+    @property
+    def text_content(self) -> str:
+        return self.text
+
+    def clone(self) -> "TextNode":
+        return TextNode(self.text)
+
+    def to_html(self) -> str:
+        return escape(self.text, quote=False)
+
+
+class Element:
+    __slots__ = ("tag", "attrs", "children", "parent")
+
+    def __init__(self, tag: str, attrs: dict[str, str] | None = None):
+        self.tag = tag
+        self.attrs = attrs or {}
+        self.children: list[Element | TextNode] = []
+        self.parent: Element | None = None
+
+    # --- basic tree ops -------------------------------------------------
+    @property
+    def is_element(self) -> bool:
+        return True
+
+    def append_child(self, node: "Element | TextNode") -> None:
+        node.parent = self
+        self.children.append(node)
+
+    def prepend(self, node: "Element | TextNode") -> None:
+        node.parent = self
+        self.children.insert(0, node)
+
+    def remove(self) -> None:
+        """Detach this node from its parent (no-op if already detached)."""
+        p = self.parent
+        if p is not None:
+            try:
+                p.children.remove(self)
+            except ValueError:
+                pass
+            self.parent = None
+
+    def clone(self) -> "Element":
+        el = Element(self.tag, dict(self.attrs))
+        for ch in self.children:
+            el.append_child(ch.clone())
+        return el
+
+    def set_text(self, text: str) -> None:
+        """Replace all children with one text node (≈ set_content)."""
+        self.children = []
+        self.append_child(TextNode(text))
+
+    # --- attribute access -----------------------------------------------
+    def get_attribute(self, name: str) -> str | None:
+        return self.attrs.get(name.lower())
+
+    def set_attribute(self, name: str, value: str) -> None:
+        self.attrs[name.lower()] = value
+
+    @property
+    def class_tokens(self) -> list[str]:
+        return (self.attrs.get("class") or "").split()
+
+    # --- text -------------------------------------------------------------
+    @property
+    def text_content(self) -> str:
+        out: list[str] = []
+        stack: list[Element | TextNode] = list(reversed(self.children))
+        while stack:
+            n = stack.pop()
+            if isinstance(n, TextNode):
+                out.append(n.text)
+            else:
+                stack.extend(reversed(n.children))
+        return "".join(out)
+
+    # --- traversal ---------------------------------------------------------
+    def iter_elements(self):
+        """Yield descendant elements in document (pre-)order, excluding self."""
+        stack: list[Element | TextNode] = list(reversed(self.children))
+        while stack:
+            n = stack.pop()
+            if isinstance(n, Element):
+                yield n
+                stack.extend(reversed(n.children))
+
+    def query_selector_all(self, selector: str) -> list["Element"]:
+        sels = parse_selector_list(selector)
+        return [el for el in self.iter_elements() if _matches_any(el, sels)]
+
+    def query_selector(self, selector: str) -> "Element | None":
+        sels = parse_selector_list(selector)
+        for el in self.iter_elements():
+            if _matches_any(el, sels):
+                return el
+        return None
+
+    def matches(self, selector: str) -> bool:
+        return _matches_any(self, parse_selector_list(selector))
+
+    def closest(self, selector: str) -> "Element | None":
+        sels = parse_selector_list(selector)
+        node: Element | None = self
+        while node is not None:
+            if node.tag and _matches_any(node, sels):
+                return node
+            node = node.parent
+        return None
+
+    # --- serialization ------------------------------------------------------
+    def to_html(self) -> str:
+        parts: list[str] = []
+        self._serialize(parts)
+        return "".join(parts)
+
+    def _serialize(self, parts: list[str]) -> None:
+        if self.tag:  # synthetic root has tag ""
+            attrs = "".join(
+                f' {k}="{escape(v, quote=True)}"' for k, v in self.attrs.items()
+            )
+            parts.append(f"<{self.tag}{attrs}>")
+        for ch in self.children:
+            if isinstance(ch, TextNode):
+                parts.append(escape(ch.text, quote=False))
+            else:
+                ch._serialize(parts)
+        if self.tag and self.tag not in VOID_ELEMENTS:
+            parts.append(f"</{self.tag}>")
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"<Element {self.tag} attrs={self.attrs}>"
+
+
+# --------------------------------------------------------------------------
+# Selector engine: compound selectors only (tag, .class, #id, [attr ops],
+# :not(simple)); selector lists split on commas.
+# --------------------------------------------------------------------------
+
+_SEL_TOKEN = re.compile(
+    r"""
+    (?P<tag>^[a-zA-Z][\w-]*)
+  | \.(?P<cls>[\w-]+)
+  | \#(?P<id>[\w-]+)
+  | \[(?P<attr>[\w-]+)\s*(?:(?P<op>[*^$]?=)\s*(?P<q>['"]?)(?P<val>[^\]'"]*)(?P=q)\s*)?\]
+  | :not\(\s*(?P<not>[^)]+)\s*\)
+    """,
+    re.VERBOSE,
+)
+
+_selector_cache: dict[str, list] = {}
+
+
+def parse_selector_list(selector: str) -> list:
+    cached = _selector_cache.get(selector)
+    if cached is not None:
+        return cached
+    compounds = []
+    for part in selector.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        compounds.append(_parse_compound(part))
+    _selector_cache[selector] = compounds
+    return compounds
+
+
+def _parse_compound(part: str):
+    """Returns (tag|None, [predicates])."""
+    tag = None
+    preds: list = []
+    pos = 0
+    while pos < len(part):
+        m = _SEL_TOKEN.match(part, pos)
+        if not m:
+            raise ValueError(f"unsupported selector: {part!r}")
+        if m.lastgroup == "tag" or (m.group("tag") and pos == 0):
+            tag = m.group("tag").lower()
+        elif m.group("cls"):
+            preds.append(("class", m.group("cls")))
+        elif m.group("id"):
+            preds.append(("id", m.group("id")))
+        elif m.group("attr"):
+            preds.append(
+                ("attr", m.group("attr").lower(), m.group("op"), m.group("val"))
+            )
+        elif m.group("not"):
+            preds.append(("not", _parse_compound(m.group("not").strip())))
+        pos = m.end()
+    return (tag, preds)
+
+
+def _matches_compound(el: Element, compound) -> bool:
+    tag, preds = compound
+    if tag is not None and el.tag != tag:
+        return False
+    for p in preds:
+        kind = p[0]
+        if kind == "class":
+            if p[1] not in el.class_tokens:
+                return False
+        elif kind == "id":
+            if el.attrs.get("id") != p[1]:
+                return False
+        elif kind == "attr":
+            _, name, op, val = p
+            actual = el.attrs.get(name)
+            if actual is None:
+                return False
+            if op is None:
+                continue
+            if op == "=" and actual != val:
+                return False
+            if op == "*=" and val not in actual:
+                return False
+            if op == "^=" and not actual.startswith(val):
+                return False
+            if op == "$=" and not actual.endswith(val):
+                return False
+        elif kind == "not":
+            if _matches_compound(el, p[1]):
+                return False
+    return True
+
+
+def _matches_any(el: Element, compounds: list) -> bool:
+    return any(_matches_compound(el, c) for c in compounds)
+
+
+# --------------------------------------------------------------------------
+# Parser
+# --------------------------------------------------------------------------
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = Element("")  # synthetic document root
+        self.stack: list[Element] = [self.root]
+
+    # helpers ---------------------------------------------------------------
+    def _open(self, tag: str, attrs):
+        tag = tag.lower()
+        closers = _IMPLICIT_CLOSERS.get(tag)
+        if closers:
+            while len(self.stack) > 1 and self.stack[-1].tag in closers:
+                self.stack.pop()
+        el = Element(tag, {k.lower(): (v if v is not None else "") for k, v in attrs})
+        self.stack[-1].append_child(el)
+        return el
+
+    # HTMLParser hooks --------------------------------------------------------
+    def handle_starttag(self, tag, attrs):
+        el = self._open(tag, attrs)
+        if tag.lower() not in VOID_ELEMENTS:
+            self.stack.append(el)
+
+    def handle_startendtag(self, tag, attrs):
+        self._open(tag, attrs)
+
+    def handle_endtag(self, tag):
+        tag = tag.lower()
+        if tag in VOID_ELEMENTS:
+            return
+        # pop to nearest matching open tag; ignore stray end tags
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+
+    def handle_data(self, data):
+        if data:
+            self.stack[-1].append_child(TextNode(data))
+
+    def handle_comment(self, data):  # comments dropped (parity: comment:false)
+        pass
+
+    def handle_decl(self, decl):
+        pass
+
+
+def parse_html(html: str) -> Element:
+    """Parse HTML into a tree rooted at a synthetic ``Element('')``."""
+    builder = _TreeBuilder()
+    builder.feed(html)
+    builder.close()
+    return builder.root

@@ -1,0 +1,247 @@
+"""The vectorized extraction stage: documents → ordered Markdown span arrays.
+
+One Arrow-batched ``mapInPandas`` stage carries the whole per-document chain
+(P1…C-H from the converter, M1 serialization, M2–M14 postprocess) —
+exactly one Python/JVM round-trip per the north_rule's "vectorized
+pandas/Arrow UDFs only" constraint.  Never throws: per-document failures land
+in the ``error`` column (mirrors the reference's error taxonomy,
+reference: src/errors.ts:1-31, and the converter's fallback-to-cleaned-HTML,
+markdown-converter.ts:249-253).
+
+Skew handling (north_rule): callers salt-repartition on ``doc_id`` before
+this stage via :func:`salted_repartition`; Arrow batch size is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` (session.py).
+"""
+
+from __future__ import annotations
+
+import re
+import time
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+SPAN_TYPE = StructType(
+    [
+        StructField("kind", StringType()),
+        StructField("text", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("offset", IntegerType()),
+    ]
+)
+
+INPUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("base_url", StringType()),
+        StructField("canonical_url", StringType()),
+        StructField("spans", ArrayType(SPAN_TYPE)),
+    ]
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("title", StringType()),
+        StructField("spans", ArrayType(SPAN_TYPE)),
+        StructField("markdown", StringType()),
+        StructField("error", StringType()),
+        StructField("in_bytes", LongType()),
+        StructField("out_bytes", LongType()),
+        StructField("wall_us", LongType()),
+    ]
+)
+
+# --- span segmentation of the final Markdown --------------------------------
+
+_IMAGE_BLOCK = re.compile(r"^!\[[^\]]*\]\(([^)]+)\)$")
+_HEADING_BLOCK = re.compile(r"^#{1,6}\s")
+_LIST_BLOCK = re.compile(r"^([*\-+]|\d+\.|>)\s")
+
+
+def classify_block(block: str) -> tuple[str, str | None]:
+    """Return (kind, media_ref) for one markdown block."""
+    if _HEADING_BLOCK.match(block):
+        return "heading", None
+    if block.startswith("```"):
+        return "code", None
+    if block.startswith("|"):
+        return "table", None
+    m = _IMAGE_BLOCK.match(block)
+    if m:
+        return "image", m.group(1)
+    if _LIST_BLOCK.match(block):
+        return "list", None
+    if block.startswith("Source: "):
+        return "source", None
+    if block == "---":
+        return "rule", None
+    return "text", None
+
+
+def markdown_to_spans(markdown: str) -> list[dict]:
+    """Segment postprocessed Markdown into ordered output spans.
+
+    Invariant: ``"\\n\\n".join(s["text"] for s in spans) == markdown``
+    (postprocess guarantees max 2 consecutive newlines, so blocks are
+    exactly the ``\\n\\n``-separated units — except fenced code blocks,
+    which may contain blank lines and are kept whole).
+    """
+    spans: list[dict] = []
+    blocks: list[str] = []
+    in_code = False
+    current: list[str] = []
+    for chunk in markdown.split("\n\n"):
+        if in_code:
+            current.append(chunk)
+            if chunk.rstrip().endswith("```"):
+                blocks.append("\n\n".join(current))
+                current, in_code = [], False
+            continue
+        if chunk.startswith("```") and not chunk.rstrip().endswith("```") or (
+            chunk.startswith("```") and chunk.rstrip() == "```"
+        ):
+            current = [chunk]
+            in_code = True
+            continue
+        blocks.append(chunk)
+    if current:
+        blocks.append("\n\n".join(current))
+
+    for i, block in enumerate(blocks):
+        kind, media_ref = classify_block(block)
+        spans.append({"kind": kind, "text": block, "media_ref": media_ref, "offset": i})
+    return spans
+
+
+def spans_to_markdown(spans: list[dict]) -> str:
+    return "\n\n".join(s["text"] for s in sorted(spans, key=lambda s: s["offset"]))
+
+
+# --- the UDF ----------------------------------------------------------------
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # Import inside the worker so the zipped --py-files package resolves.
+    from .convert.converter import MarkdownConverter, inject_source_url
+    from .fixtures import assemble_html
+
+    converter = MarkdownConverter()
+
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in OUTPUT_SCHEMA.names}
+        has_base = "base_url" in pdf.columns
+        has_source = "source_url" in pdf.columns
+        for row in pdf.itertuples(index=False):
+            t0 = time.perf_counter()
+            doc_id = row.doc_id
+            spans_in = row.spans if row.spans is not None else []
+            base_url = getattr(row, "base_url", None) if has_base else None
+            source_url = getattr(row, "source_url", None) if has_source else None
+            error = None
+            title = ""
+            markdown = ""
+            in_bytes = 0
+            try:
+                spans_list = [dict(s) for s in spans_in]
+                html = assemble_html(spans_list)
+                in_bytes = len(html.encode("utf-8", "ignore"))
+                content, title = converter.preprocess(html, base_url)
+                if isinstance(content, str):
+                    markdown = content
+                    error = "ERR_PREPROCESS_FALLBACK"
+                else:
+                    from .convert.serialize import to_markdown
+                    from .convert.converter import postprocess_markdown
+
+                    markdown = postprocess_markdown(to_markdown(content))
+                if source_url:
+                    markdown = inject_source_url(markdown, source_url)
+                out_spans = markdown_to_spans(markdown) if markdown else []
+            except Exception as exc:  # never fail the stage on one bad doc
+                error = f"ERR_EXTRACTION: {type(exc).__name__}: {exc}"[:500]
+                out_spans = []
+                markdown = ""
+            wall_us = int((time.perf_counter() - t0) * 1_000_000)
+            out["doc_id"].append(doc_id)
+            out["title"].append(title)
+            out["spans"].append(out_spans)
+            out["markdown"].append(markdown)
+            out["error"].append(error)
+            out["in_bytes"].append(in_bytes)
+            out["out_bytes"].append(len(markdown.encode("utf-8", "ignore")))
+            out["wall_us"].append(wall_us)
+        yield pd.DataFrame(out)
+
+
+def salted_repartition(df: DataFrame, num_partitions: int, salt_buckets: int = 16) -> DataFrame:
+    """Salted repartition on doc_id (north_rule skew handling): giant
+    documents hash to distinct (doc_id, salt) cells so a hot doc_id cannot
+    pin a whole partition."""
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt_buckets)))
+    return salted.repartition(num_partitions, "doc_id", "_salt").drop("_salt")
+
+
+def extract_spans(
+    documents: DataFrame,
+    num_partitions: int | None = None,
+    keep_markdown: bool = True,
+) -> DataFrame:
+    """documents(doc_id, spans[, base_url, canonical_url, source_url]) →
+    outputs(doc_id, title, spans, markdown, error, metrics cols)."""
+    df = documents
+    if num_partitions:
+        df = salted_repartition(df, num_partitions)
+    cols = [c for c in ("doc_id", "base_url", "canonical_url", "source_url", "spans") if c in df.columns]
+    out = df.select(*cols).mapInPandas(_extract_batches, schema=OUTPUT_SCHEMA)
+    if not keep_markdown:
+        out = out.drop("markdown")
+    return out
+
+
+# --- span-sequence equality verification (SURVEY.md Phase 4) ----------------
+
+
+def span_equality_report(produced: DataFrame, expected: DataFrame) -> DataFrame:
+    """Per-doc span-sequence equality on (kind, text, media_ref, order).
+
+    posexplode both sides, full-outer join on (doc_id, offset), any
+    mismatch on (kind, text, media_ref) fails the doc.  Returns
+    ``(doc_id, n_mismatched, equal)``.
+    """
+
+    def explode(df: DataFrame, prefix: str) -> DataFrame:
+        return df.select(
+            "doc_id", F.posexplode_outer("spans").alias("pos", "span")
+        ).select(
+            "doc_id",
+            F.col("span.offset").alias("offset"),
+            F.col("span.kind").alias(f"{prefix}_kind"),
+            F.col("span.text").alias(f"{prefix}_text"),
+            F.col("span.media_ref").alias(f"{prefix}_media_ref"),
+        )
+
+    p = explode(produced, "p")
+    e = explode(expected, "e")
+    joined = p.join(e, ["doc_id", "offset"], "full_outer")
+    mismatch = (
+        (~F.col("p_kind").eqNullSafe(F.col("e_kind")))
+        | (~F.col("p_text").eqNullSafe(F.col("e_text")))
+        | (~F.col("p_media_ref").eqNullSafe(F.col("e_media_ref")))
+    )
+    return (
+        joined.withColumn("is_mismatch", mismatch.cast("int"))
+        .groupBy("doc_id")
+        .agg(F.sum("is_mismatch").alias("n_mismatched"))
+        .withColumn("equal", F.col("n_mismatched") == 0)
+    )

@@ -1,0 +1,137 @@
+"""End-to-end Spark tests: documents(spans) → extraction UDF → span arrays.
+
+This is the span-sequence-equality layer (BASELINE.json invariant:
+(kind, text, media_ref, order) per document vs the reference fixtures).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fetch_engines_spark.convert import MarkdownConverter
+from fetch_engines_spark.extract import (
+    INPUT_SCHEMA,
+    extract_spans,
+    markdown_to_spans,
+    span_equality_report,
+    spans_to_markdown,
+)
+from fetch_engines_spark.fixtures import (
+    EXTRACTION_FIXTURE_IDS,
+    FIXTURES_BY_ID,
+    assemble_html,
+    fixture_document_rows,
+)
+
+
+@pytest.fixture(scope="module")
+def documents_df(spark):
+    return spark.createDataFrame(fixture_document_rows(), INPUT_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def extracted(spark, documents_df):
+    df = extract_spans(documents_df, num_partitions=4).cache()
+    df.count()
+    return df
+
+
+def test_input_synthesis_roundtrip():
+    for fid in EXTRACTION_FIXTURE_IDS:
+        f = FIXTURES_BY_ID[fid]
+        rows = [r for r in fixture_document_rows() if r["doc_id"] == fid]
+        assert len(rows) == 1
+        assert assemble_html(rows[0]["spans"]) == f.html
+
+
+def test_all_docs_extracted_no_errors(extracted):
+    rows = extracted.collect()
+    assert len(rows) == 20  # F01..F20
+    errs = [r for r in rows if r.error is not None]
+    assert errs == [], errs
+
+
+def test_span_markdown_roundtrip(extracted):
+    for r in extracted.collect():
+        spans = [s.asDict() for s in r.spans]
+        assert spans_to_markdown(spans) == r.markdown
+        # offsets are dense and ordered
+        assert [s["offset"] for s in spans] == list(range(len(spans)))
+
+
+def test_spark_output_matches_local_converter(extracted):
+    """The distributed result must equal the single-threaded reference-parity
+    converter run per document (the engine's own oracle)."""
+    conv = MarkdownConverter()
+    by_id = {r.doc_id: r for r in extracted.collect()}
+    for fid in EXTRACTION_FIXTURE_IDS:
+        f = FIXTURES_BY_ID[fid]
+        expected_md = conv.convert(f.html, base_url=f.base_url)
+        assert by_id[fid].markdown == expected_md, fid
+
+
+def test_fixture_containment_through_spark(extracted):
+    by_id = {r.doc_id: r.markdown for r in extracted.collect()}
+    for fid in EXTRACTION_FIXTURE_IDS:
+        f = FIXTURES_BY_ID[fid]
+        md = by_id[fid]
+        for expected in f.must_contain:
+            assert expected in md, (fid, expected)
+        for banned in f.must_not_contain:
+            assert banned not in md, (fid, banned)
+
+
+def test_span_equality_report_all_equal(spark, extracted):
+    produced = extracted.select("doc_id", "spans")
+    report = span_equality_report(produced, produced)
+    assert report.filter(~F.col("equal")).count() == 0
+    assert report.count() == extracted.count()
+
+
+def test_span_equality_report_detects_mismatch(spark, extracted):
+    produced = extracted.select("doc_id", "spans")
+    # perturb one doc: drop its last span
+    tampered = produced.withColumn(
+        "spans",
+        F.when(
+            F.col("doc_id") == "F01", F.slice("spans", 1, F.greatest(F.size("spans") - 1, F.lit(0)))
+        ).otherwise(F.col("spans")),
+    )
+    report = span_equality_report(tampered, produced)
+    bad = {r.doc_id for r in report.filter(~F.col("equal")).collect()}
+    assert bad == {"F01"}
+
+
+def test_media_refs_carried_through(extracted):
+    """north_rule: media spans carried through by media_ref."""
+    f04 = extracted.filter(F.col("doc_id") == "F04").collect()[0]
+    images = [s for s in f04.spans if s.kind == "image"]
+    assert any(s.media_ref == "https://rebuilt.eco/images/product.png" for s in images)
+
+
+def test_markdown_to_spans_block_kinds():
+    md = (
+        "# Title\n\nSource: https://x.example/\n\nA paragraph.\n\n- item one\n- item two\n\n"
+        "| a | b |\n| --- | --- |\n| 1 | 2 |\n\n```\ncode here\n```\n\n![alt](http://img/x.png)"
+    )
+    spans = markdown_to_spans(md)
+    kinds = [s["kind"] for s in spans]
+    assert kinds == ["heading", "source", "text", "list", "table", "code", "image"]
+    assert spans[-1]["media_ref"] == "http://img/x.png"
+    assert spans_to_markdown(spans) == md
+
+
+def test_giant_document_skew_row(spark):
+    """A multi-MB doc (body×200) must still extract without error."""
+    rows = [
+        r
+        for r in fixture_document_rows(replicas=1, skew_ids={"F08": 200})
+        if r["doc_id"] == "F08"
+    ]
+    df = spark.createDataFrame(rows, INPUT_SCHEMA)
+    out = extract_spans(df, num_partitions=2).collect()
+    assert len(out) == 1
+    assert out[0].error is None
+    assert out[0].in_bytes > 200_000  # the giant input really went through
+    # content selection picks the single best-scoring subtree, so the
+    # output stays compact even when the input is replicated 200×
+    assert len(out[0].spans) > 0
