@@ -93,9 +93,12 @@ def markdown_visible_text(md: Column) -> Column:
     return _collapse_ws(c)
 
 
+TITLE_X1_RX = r"<title[^>]*>([^<]+)</title>"
+
+
 def extracted_title(html: Column) -> Column:
     """X1: title extraction (FetchEngine.ts:126-127; constants.ts:27)."""
-    return F.trim(F.regexp_extract(html, TITLE_RX, 1))
+    return F.trim(F.regexp_extract(html, TITLE_X1_RX, 1))
 
 
 def title_length(html: Column) -> Column:

@@ -97,6 +97,8 @@ def markdown_to_spans(markdown: str) -> list[dict]:
     exactly the ``\\n\\n``-separated units — except fenced code blocks,
     which may contain blank lines and are kept whole).
     """
+    if not markdown:
+        return []
     spans: list[dict] = []
     blocks: list[str] = []
     in_code = False

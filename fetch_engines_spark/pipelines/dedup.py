@@ -1,0 +1,178 @@
+"""Deduplication operators: exact, normalized, MinHash-LSH, SimHash,
+n-gram Jaccard.
+
+Scale notes (100 TB design):
+- exact/normalized dedup is one hash-groupBy — map-side partial agg, one
+  shuffle on the 16-byte digest, no skew (hashes are uniform).
+- MinHash-LSH shuffles on (band_id, band_hash) bucket keys instead of
+  all-pairs — candidate pairs only form inside buckets, which is the only
+  way n² dedup survives at 10^12 documents.
+- SimHash is a single pass (explode tokens → bit-majority agg) and joins
+  on the 16-bit prefix for candidate generation.
+
+MinHash here is md5-based (portable to the DuckDB oracle, stable across
+engines and versions) rather than Spark's hash() (engine-specific).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def shingles(text_col, n: int = 3):
+    """Word n-gram shingles as an array column (consecutive n-word windows)."""
+    w = F.split(text_col, " ")
+    # index i in 0..size-n → concat_ws(' ', slice(w, i+1, n))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)))
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup via hash-groupBy: groups with >1 doc are duplicates."""
+    return (
+        df.select(F.col("doc_id"), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("group_size"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", num_hashes: int = 4) -> DataFrame:
+    """MinHash per document: k permutations simulated by salting the md5
+    (min over md5(salt || shingle)); one row per (doc_id, hash_idx)."""
+    sh = shingles(F.col(text_col)).alias("shingles")
+    base = df.select("doc_id", sh)
+    exploded = base.select("doc_id", F.explode("shingles").alias("shingle"))
+    sigs = []
+    for k in range(num_hashes):
+        sigs.append(
+            exploded.groupBy("doc_id").agg(
+                F.min(F.md5(F.concat(F.lit(f"s{k}|"), F.col("shingle")))).alias("minhash")
+            ).withColumn("hash_idx", F.lit(k))
+        )
+    out = sigs[0]
+    for s in sigs[1:]:
+        out = out.unionByName(s)
+    return out.select("doc_id", "hash_idx", "minhash")
+
+
+def minhash_lsh_buckets(
+    df: DataFrame, text_col: str = "text", num_hashes: int = 4, band_size: int = 2
+) -> DataFrame:
+    """LSH banding: concat band_size minhashes into a band key; docs sharing
+    a (band_id, band_key) are near-duplicate candidates."""
+    sigs = minhash_signatures(df, text_col, num_hashes)
+    banded = sigs.withColumn("band_id", F.floor(F.col("hash_idx") / band_size))
+    return (
+        banded.groupBy("doc_id", "band_id")
+        .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list("minhash")))).alias("band_key"))
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame, text_col: str = "text", num_hashes: int = 4, band_size: int = 2
+) -> DataFrame:
+    """Near-duplicate candidate pairs: self-join inside LSH buckets only."""
+    b = minhash_lsh_buckets(df, text_col, num_hashes, band_size)
+    left = b.alias("l")
+    right = b.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs (verification
+    stage after LSH): |A∩B| / |A∪B| over 3-word shingle sets, in basis
+    points (integer, oracle-stable)."""
+    docs = df.select(
+        F.col("doc_id"), F.array_distinct(shingles(F.col(text_col))).alias("sh")
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    return (
+        pairs.join(a, pairs.doc_a == F.col("a.doc_id"))
+        .join(b, pairs.doc_b == F.col("b.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(
+                F.size(F.array_intersect("a.sh", "b.sh"))
+                * 10000
+                / F.greatest(F.size(F.array_union("a.sh", "b.sh")), F.lit(1))
+            ).alias("jaccard_bp"),
+        )
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
+    """SimHash document fingerprint (bit-majority over token hashes).
+
+    Tokens are hashed with xxhash64; for each of ``bits`` bit positions the
+    signed majority vote sets the output bit.  One explode + one groupBy
+    (map-side combinable).  Engine-specific hash → rows-only correctness
+    check (no SQL oracle).
+    """
+    toks = df.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    sig = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(0)
+        sig = bit if sig is None else sig + bit
+    return agg.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+# --- DuckDB oracle twins -----------------------------------------------------
+
+EXACT_DUP_SQL = """
+SELECT md5(text) AS content_hash, count(*) AS group_size, min(doc_id) AS keeper_doc_id
+FROM documents
+GROUP BY md5(text)
+HAVING count(*) > 1
+"""
+
+# Shingle construction twin: words[i+1 .. i+3] (1-based list slicing in
+# DuckDB; list_transform over range 0..len-3).
+MINHASH_SQL_TEMPLATE = """
+WITH sh AS (
+  SELECT doc_id,
+    unnest(list_transform(
+      range(0, greatest(len(string_split(text,' ')) - 3, 0) + 1),
+      i -> array_to_string(list_slice(string_split(text,' '), i + 1, i + 3), ' ')
+    )) AS shingle
+  FROM documents
+)
+SELECT doc_id, hash_idx, minhash FROM (
+  {unions}
+)
+"""
+
+
+def minhash_oracle_sql(num_hashes: int = 4) -> str:
+    unions = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {k} AS hash_idx, min(md5('s{k}|' || shingle)) AS minhash FROM sh GROUP BY doc_id"
+        for k in range(num_hashes)
+    )
+    return MINHASH_SQL_TEMPLATE.format(unions=unions)

@@ -1,0 +1,149 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All operators are pure native-Column expressions (JVM-side, whole-stage
+codegen) over a ``documents(doc_id, text, ...)`` table: language-ID
+(stopword n-gram heuristic), quality scoring, token counting, and document
+fingerprinting.  Every operator has an exact ANSI-SQL twin used by the
+DuckDB oracle (``__spark_entry__.oracle_sql``), so arithmetic is kept
+integer/deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Stopword marker sets per language (tiny, deterministic; the point is the
+# Spark shape of the operator — explode-free, set-membership over a split).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is"),
+    "de": ("der", "die", "und", "das", "ist", "nicht"),
+    "es": ("el", "la", "los", "que", "de", "es"),
+    "fr": ("le", "les", "et", "est", "une", "dans"),
+}
+
+_PUNCT_RX = r"[^\w\s]"
+_TOKEN_RX = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def words(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def marker_hits(text: Column, markers: tuple[str, ...]) -> Column:
+    w = words(text)
+    return F.size(F.filter(w, lambda x: x.isin(*markers)))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID via stopword-hit argmax with deterministic tiebreak
+    (first language in en>de>es>fr order wins ties)."""
+    t = F.col(text_col)
+    hit_cols = {f"hits_{lang}": marker_hits(t, m) for lang, m in LANG_MARKERS.items()}
+    out = df.withColumns(hit_cols)
+    best = F.greatest(*[F.col(c) for c in hit_cols])
+    guess = (
+        F.when(best == 0, F.lit("unknown"))
+        .when(F.col("hits_en") == best, "en")
+        .when(F.col("hits_de") == best, "de")
+        .when(F.col("hits_es") == best, "es")
+        .otherwise("fr")
+    )
+    return out.withColumn("lang_guess", guess)
+
+
+def token_count_whitespace(text: Column) -> Column:
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def token_count_bpe_ish(text: Column) -> Column:
+    """BPE-ish tokenization proxy: alnum runs + individual punctuation."""
+    return F.regexp_count(text, F.lit(_TOKEN_RX))
+
+
+def punct_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(_PUNCT_RX))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: length, token counts, punct/stopword ratios
+    (integer-scaled ×10000 so the DuckDB oracle matches bit-for-bit),
+    plus a composite quality_score.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count_whitespace(t)
+    n_punct = punct_count(t)
+    n_stop = marker_hits(t, LANG_MARKERS["en"])
+    punct_ratio_bp = F.floor(n_punct * 10000 / F.greatest(n_chars, F.lit(1)))
+    stop_ratio_bp = F.floor(n_stop * 10000 / F.greatest(n_tokens, F.lit(1)))
+    mean_token_len_cp = F.floor(n_chars * 100 / F.greatest(n_tokens, F.lit(1)))
+    score = (
+        F.least(F.lit(5), F.floor(n_tokens / 100))
+        + F.when((stop_ratio_bp >= 100) & (stop_ratio_bp <= 6000), 2).otherwise(0)
+        + F.when(punct_ratio_bp <= 2000, 1).otherwise(0)
+        + F.when((mean_token_len_cp >= 300) & (mean_token_len_cp <= 1200), 2).otherwise(0)
+    )
+    return df.select(
+        F.col("doc_id"),
+        n_chars.alias("n_chars_computed"),
+        n_tokens.alias("n_tokens"),
+        token_count_bpe_ish(t).alias("n_tokens_bpe"),
+        n_punct.alias("n_punct"),
+        punct_ratio_bp.alias("punct_ratio_bp"),
+        stop_ratio_bp.alias("stop_ratio_bp"),
+        mean_token_len_cp.alias("mean_token_len_cp"),
+        score.alias("quality_score"),
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Normalization fingerprint: md5 of the lowercased text with all
+    non-alphanumerics removed — a cheap canonical-form document hash for
+    exact-after-normalization dedup."""
+    return F.md5(F.lower(F.regexp_replace(text, r"[^A-Za-z0-9]", "")))
+
+
+# --- matching DuckDB SQL fragments (oracle twins) ---------------------------
+
+LANG_ID_SQL = """
+WITH hits AS (
+  SELECT doc_id, lang, text,
+    len(list_filter(string_split(text, ' '), w -> w IN ('the','and','of','to','in','is'))) AS hits_en,
+    len(list_filter(string_split(text, ' '), w -> w IN ('der','die','und','das','ist','nicht'))) AS hits_de,
+    len(list_filter(string_split(text, ' '), w -> w IN ('el','la','los','que','de','es'))) AS hits_es,
+    len(list_filter(string_split(text, ' '), w -> w IN ('le','les','et','est','une','dans'))) AS hits_fr
+  FROM documents
+)
+SELECT doc_id, hits_en, hits_de, hits_es, hits_fr,
+  CASE
+    WHEN greatest(hits_en, hits_de, hits_es, hits_fr) = 0 THEN 'unknown'
+    WHEN hits_en = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'en'
+    WHEN hits_de = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'de'
+    WHEN hits_es = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'es'
+    ELSE 'fr'
+  END AS lang_guess
+FROM hits
+"""
+
+QUALITY_SQL = """
+WITH f AS (
+  SELECT doc_id,
+    length(text) AS n_chars_computed,
+    len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+    len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens_bpe,
+    len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+    len(list_filter(string_split(text, ' '), w -> w IN ('the','and','of','to','in','is'))) AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_chars_computed, n_tokens, n_tokens_bpe, n_punct,
+  CAST(floor(n_punct * 10000 / greatest(n_chars_computed, 1)) AS BIGINT) AS punct_ratio_bp,
+  CAST(floor(n_stop * 10000 / greatest(n_tokens, 1)) AS BIGINT) AS stop_ratio_bp,
+  CAST(floor(n_chars_computed * 100 / greatest(n_tokens, 1)) AS BIGINT) AS mean_token_len_cp,
+  least(5, CAST(floor(n_tokens / 100) AS BIGINT))
+    + CASE WHEN CAST(floor(n_stop * 10000 / greatest(n_tokens, 1)) AS BIGINT) BETWEEN 100 AND 6000 THEN 2 ELSE 0 END
+    + CASE WHEN CAST(floor(n_punct * 10000 / greatest(n_chars_computed, 1)) AS BIGINT) <= 2000 THEN 1 ELSE 0 END
+    + CASE WHEN CAST(floor(n_chars_computed * 100 / greatest(n_tokens, 1)) AS BIGINT) BETWEEN 300 AND 1200 THEN 2 ELSE 0 END
+    AS quality_score
+FROM f
+"""

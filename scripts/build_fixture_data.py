@@ -1,0 +1,132 @@
+"""Build the committed fixture parquet under data/fixtures/.
+
+Deterministic (no RNG, no wall clock).  The expected_spans/expected_markdown
+files are the golden oracle the driver's DuckDB side reads for the
+extraction queries: they are produced by the pure-Python converter (the same
+code the Spark UDF runs), validated against the reference's own containment
+assertions by tests/test_converter_fixtures.py before being trusted here.
+
+Run: python scripts/build_fixture_data.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from fetch_engines_spark.convert.converter import MarkdownConverter, postprocess_markdown
+from fetch_engines_spark.convert.serialize import to_markdown
+from fetch_engines_spark.extract import markdown_to_spans
+from fetch_engines_spark.fixtures import FIXTURES, fixture_document_rows
+from fetch_engines_spark.pipelines.multimodal import encode_payload
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "data", "fixtures")
+
+
+def build_pages() -> None:
+    tbl = pa.table(
+        {
+            "doc_id": [f.id for f in FIXTURES],
+            "html": [f.html for f in FIXTURES],
+            "base_url": [f.base_url for f in FIXTURES],
+        }
+    )
+    pq.write_table(tbl, os.path.join(OUT, "pages.parquet"))
+
+
+def build_documents_spans() -> None:
+    rows = fixture_document_rows()
+    span_type = pa.struct(
+        [("kind", pa.string()), ("text", pa.string()), ("media_ref", pa.string()), ("offset", pa.int32())]
+    )
+    tbl = pa.table(
+        {
+            "doc_id": [r["doc_id"] for r in rows],
+            "base_url": [r["base_url"] for r in rows],
+            "canonical_url": [r["canonical_url"] for r in rows],
+            "spans": pa.array(
+                [
+                    [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+                    for r in rows
+                ],
+                type=pa.list_(span_type),
+            ),
+        }
+    )
+    pq.write_table(tbl, os.path.join(OUT, "documents_spans.parquet"))
+
+
+def build_expected() -> None:
+    conv = MarkdownConverter()
+    md_rows = []
+    span_rows = []
+    for f in FIXTURES:
+        content, title = conv.preprocess(f.html, f.base_url)
+        markdown = content if isinstance(content, str) else postprocess_markdown(to_markdown(content))
+        md_rows.append((f.id, title, markdown))
+        for s in markdown_to_spans(markdown):
+            span_rows.append((f.id, s["offset"], s["kind"], s["text"], s["media_ref"]))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [r[0] for r in md_rows],
+                "title": [r[1] for r in md_rows],
+                "markdown": [r[2] for r in md_rows],
+            }
+        ),
+        os.path.join(OUT, "expected_markdown.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [r[0] for r in span_rows],
+                "offset": pa.array([r[1] for r in span_rows], pa.int32()),
+                "kind": [r[2] for r in span_rows],
+                "text": [r[3] for r in span_rows],
+                "media_ref": [r[4] for r in span_rows],
+            }
+        ),
+        os.path.join(OUT, "expected_spans.parquet"),
+    )
+
+
+def build_media() -> None:
+    rows = []
+    for i in range(24):
+        kind = (i % 3) + 1  # 1=image 2=audio 3=video
+        width = 0 if kind == 2 else 160 + 16 * i
+        height = 0 if kind == 2 else 90 + 9 * i
+        n_frames = 1 if kind == 1 else 100 + i
+        body = bytes((j * 7 + i) % 256 for j in range(64 + i))
+        payload = encode_payload(kind, width, height, n_frames, body)
+        rows.append((f"m{i:03d}", payload, {1: "image", 2: "audio", 3: "video"}[kind], width, height, n_frames, len(payload)))
+    # one malformed payload to exercise the error path
+    rows.append(("m_bad", b"NOPE" + bytes(20), None, None, None, None, None))
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": [r[0] for r in rows],
+                "payload": pa.array([r[1] for r in rows], pa.binary()),
+                "exp_kind": [r[2] for r in rows],
+                "exp_width": pa.array([r[3] for r in rows], pa.int32()),
+                "exp_height": pa.array([r[4] for r in rows], pa.int32()),
+                "exp_n_frames": pa.array([r[5] for r in rows], pa.int32()),
+                "exp_payload_bytes": pa.array([r[6] for r in rows], pa.int64()),
+            }
+        ),
+        os.path.join(OUT, "media.parquet"),
+    )
+
+
+if __name__ == "__main__":
+    os.makedirs(OUT, exist_ok=True)
+    build_pages()
+    build_documents_spans()
+    build_expected()
+    build_media()
+    print(f"wrote fixture data to {OUT}")

@@ -1,0 +1,77 @@
+"""Native-column classifier tests (X-family), mirroring the reference's
+RenderDetection suite (reference: test/RenderDetection.test.ts:10-161)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fetch_engines_spark import classifiers as X
+from fetch_engines_spark.fixtures import FIXTURES
+
+
+@pytest.fixture(scope="module")
+def classified(spark):
+    rows = [
+        (f.id, f.html, f.expect_render_needed, f.expect_soft_block, f.expect_title)
+        for f in FIXTURES
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, html string, exp_render boolean, exp_soft boolean, exp_title string"
+    )
+    out = (
+        df.withColumns(X.assess_html_render_need(F.col("html")))
+        .withColumn("soft_block", X.is_soft_block(F.col("html")))
+        .withColumn("title", X.extracted_title(F.col("html")))
+        .withColumn("challenge", X.is_challenge_page(F.col("html")))
+    )
+    return {r.doc_id: r for r in out.collect()}
+
+
+def test_app_shell_needs_render(classified):
+    r = classified["F10"]
+    assert r.render_likely_needed is True
+    assert r.render_likely_needed_score >= 4
+
+
+def test_content_rich_page_no_render(classified):
+    r = classified["F11"]
+    assert r.render_likely_needed is False
+    assert r.quality_score > 0
+
+
+@pytest.mark.parametrize("fid", ["F12", "F13", "F14", "F15"])
+def test_soft_block_positive(classified, fid):
+    assert classified[fid].soft_block is True, fid
+
+
+@pytest.mark.parametrize("fid", ["F16", "F17", "F18"])
+def test_soft_block_negative(classified, fid):
+    assert classified[fid].soft_block is False, fid
+
+
+def test_title_extraction(classified):
+    assert classified["F19"].title == "Hello"
+
+
+def test_expectations_hold_for_all_fixtures(classified):
+    for fid, r in classified.items():
+        if r.exp_render is not None:
+            assert r.render_likely_needed == r.exp_render, fid
+        if r.exp_soft is not None:
+            assert r.soft_block == r.exp_soft, fid
+        if r.exp_title is not None:
+            assert r.title == r.exp_title, fid
+
+
+def test_challenge_keyword_gate(classified):
+    assert classified["F12"].challenge is True  # "checking your browser"
+    assert classified["F15"].challenge is True  # "please wait"
+
+
+def test_classifiers_are_whole_stage_codegen(spark):
+    """The X-family must stay JVM-side: no Python eval nodes in the plan."""
+    df = spark.createDataFrame([("<html></html>",)], "html string")
+    out = df.withColumns(X.assess_html_render_need(F.col("html"))).withColumn(
+        "soft_block", X.is_soft_block(F.col("html"))
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
