@@ -1,0 +1,149 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The extraction benchmark replicates the reference fixture pages to a
+deterministic corpus (with a skew tail) and runs the full span-extraction
+UDF; the relational/pipeline queries run on the sf tables via the driver
+contract.  ``--scaling`` additionally reruns extraction at local[8] vs
+local[32] in fresh JVMs and reports scaling efficiency (north_rule
+evidence; see scripts/scaling_bench.py for the BENCH/BASELINE.md writer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_EXTRACT_DOCS", "12000"))
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_orders_per_customer",
+    "events_daily",
+    "events_user_sessions",
+    "lang_id",
+    "text_quality",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "embedding_topk",
+    "embedding_topk_lsh",
+]
+
+
+def extraction_corpus(spark, n_docs: int):
+    """Deterministic replicated fixture corpus with a skew tail."""
+    from pyspark.sql import functions as F
+
+    from fetch_engines_spark.extract import INPUT_SCHEMA
+    from fetch_engines_spark.fixtures import FIXTURES, fixture_document_rows
+
+    extraction = [f for f in FIXTURES if f.must_contain or f.must_not_contain]
+    replicas = max(1, n_docs // len(extraction))
+    base_rows = fixture_document_rows(replicas=1)
+    base = spark.createDataFrame(
+        [r for r in base_rows if r["doc_id"].split("#")[0] in {f.id for f in extraction}],
+        INPUT_SCHEMA,
+    )
+    # cross join with a replica index → n_docs rows, same page content
+    idx = spark.range(replicas).select(F.col("id").alias("replica"))
+    return (
+        base.crossJoin(idx)
+        .select(
+            F.concat_ws("#", "doc_id", "replica").alias("doc_id"),
+            "base_url",
+            "canonical_url",
+            "spans",
+        )
+    )
+
+
+def run_extraction_bench(spark, n_docs: int, warmup: bool = True) -> dict:
+    from pyspark.sql import functions as F
+
+    from fetch_engines_spark.extract import extract_spans
+
+    docs = extraction_corpus(spark, n_docs)
+    docs = docs.persist()
+    n = docs.count()  # materialize input before timing
+    if warmup:
+        # Spin up the Python workers / Arrow machinery on every core before
+        # timing (one-time JVM+fork costs would otherwise swamp the
+        # steady-state throughput the north-star metric is about).
+        extract_spans(docs, num_partitions=CPUS, keep_markdown=False).agg(
+            F.count("*")
+        ).collect()
+    t0 = time.time()
+    out = extract_spans(docs, num_partitions=CPUS * 2, keep_markdown=False)
+    stats = out.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errs"),
+        F.sum("out_bytes").alias("bytes"),
+        F.sum("wall_us").alias("udf_us"),
+    ).collect()[0]
+    wall = time.time() - t0
+    docs.unpersist()
+    assert stats.n == n, (stats.n, n)
+    return {
+        "sec": round(wall, 3),
+        "docs": n,
+        "docs_per_sec": round(n / wall, 1),
+        "errors": int(stats.errs),
+        "out_mb": round((stats.bytes or 0) / 1e6, 1),
+        # total in-UDF convert time: separates Python compute from
+        # Spark/Arrow/shuffle overhead when tuning parallelism
+        "udf_core_sec": round((stats.udf_us or 0) / 1e6, 1),
+    }
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from fetch_engines_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="fes-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+
+    ext = run_extraction_bench(spark, EXTRACT_DOCS)
+    timings["extract_spans"] = ext["sec"]
+
+    for name in BENCH_QUERIES:
+        fn = queries[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    result = {
+        "metric": "total_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "extract_docs_per_sec": ext["docs_per_sec"],
+        "extract_docs": ext["docs"],
+        "extract_errors": ext["errors"],
+        "cpus": CPUS,
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -20,7 +20,7 @@ from __future__ import annotations
 import re
 from urllib.parse import urljoin, urlparse
 
-from ..dom import Element, parse_html
+from ..dom import Element, collect_matches, parse_html, subtree_stats
 from .serialize import to_markdown
 
 # --- constants (parity: markdown-converter.ts:27-113) -----------------------
@@ -215,21 +215,26 @@ def _link_text_length(el: Element) -> int:
     return total
 
 
-def _has_high_link_density(el: Element, threshold: float) -> bool:
+def _has_high_link_density_stats(st, threshold: float) -> bool:
     """Parity: hasHighLinkDensity (markdown-converter.ts:877-897)."""
-    text = el.text_content
-    if len(text) < MIN_LINK_DENSITY_TEXT_LENGTH:
+    if st.raw_text_len < MIN_LINK_DENSITY_TEXT_LENGTH:
         return False
-    links = el.query_selector_all("a")
-    if len(links) < 3:
+    if st.n_links < 3:
         return False
-    if len(text) == 0:
+    if st.raw_text_len == 0:
         return False
-    return _link_text_length(el) / len(text) > threshold
+    return st.outer_link_text_len / st.raw_text_len > threshold
+
+
+def _has_high_link_density(el: Element, threshold: float) -> bool:
+    return _has_high_link_density_stats(subtree_stats(el), threshold)
 
 
 def remove_high_link_density_elements(element: Element, threshold: float) -> None:
-    """P7 global link-density prune (parity: markdown-converter.ts:554-605)."""
+    """P7 global link-density prune (parity: markdown-converter.ts:554-605).
+
+    Single stats walk per candidate (raw textContent lengths, non-nested
+    link text) instead of repeated selector passes."""
     candidates = element.query_selector_all(
         "div, nav, ul, aside, section, .sidebar, .widget, .menu, [role='navigation'], [role='menubar']"
     )
@@ -239,26 +244,23 @@ def remove_high_link_density_elements(element: Element, threshold: float) -> Non
         if _is_likely_consent_or_interstitial(el):
             el.remove()
             continue
-        text = el.text_content
-        if len(text) < MIN_LINK_DENSITY_TEXT_LENGTH:
+        st = subtree_stats(el)
+        text_len = st.raw_text_len
+        if text_len < MIN_LINK_DENSITY_TEXT_LENGTH:
             continue
-        links = el.query_selector_all("a")
-        if len(links) < 3:
+        if st.n_links < 3:
             continue
-        text_len = len(text)
-        link_text_len = _link_text_length(el)
+        link_text_len = st.outer_link_text_len
         if text_len == 0:
             continue
         density = link_text_len / text_len
         if density > threshold:
-            if el.query_selector("main, article, [role='main'], [role='article']") is not None:
+            if st.n_main_like > 0:
                 continue
             if _element_matches_main_content(el):
                 continue
             non_link = max(0, text_len - link_text_len)
-            has_headings = bool(el.query_selector("h1, h2, h3, h4, h5, h6"))
-            has_paragraphs = bool(el.query_selector("p"))
-            if non_link > 200 and (has_headings or has_paragraphs):
+            if non_link > 200 and (st.n_h16 > 0 or st.n_p > 0):
                 continue
             el.remove()
 
@@ -268,20 +270,17 @@ def remove_high_link_density_in_selected_content(content: Element) -> None:
     for candidate in content.query_selector_all("div, section, nav, ul, ol, aside"):
         if candidate is content:
             continue
-        text = _norm(candidate.text_content)
+        st = subtree_stats(candidate)
+        text = _norm(st.text)
         if len(text) < MIN_LINK_DENSITY_TEXT_LENGTH:
             continue
-        links = candidate.query_selector_all("a")
-        if len(links) < 2:
+        if st.n_links < 2:
             continue
-        heading_count = len(candidate.query_selector_all("h1, h2, h3, h4, h5, h6"))
-        paragraphs = candidate.query_selector_all("p")
-        has_paragraph = len(paragraphs) > 0
-        has_long_paragraph = any(len(_norm(p.text_content)) >= 140 for p in paragraphs)
-        link_text_len = 0
-        for link in links:
-            if link.closest("a") is link:
-                link_text_len += len(_norm(link.text_content))
+        links = [None] * st.n_links  # count only; texts come from the walk
+        heading_count = st.n_h16
+        has_paragraph = st.n_p > 0
+        has_long_paragraph = any(len(_norm(t)) >= 140 for t in st.p_texts)
+        link_text_len = sum(len(_norm(t)) for t in st.outer_link_texts)
         density = link_text_len / max(1, len(text))
         non_link = max(0, len(text) - link_text_len)
         likely_utility = (
@@ -314,17 +313,15 @@ def remove_svg_image_refs(root: Element) -> None:
 
 def remove_breadcrumbs(root: Element) -> None:
     """P6 (parity: markdown-converter.ts:264-292)."""
-    for sel in _BREADCRUMB_SELECTORS:
-        for el in root.query_selector_all(sel):
-            nav = el.closest("nav")
-            (nav or el).remove()
+    for el in root.query_selector_all(",".join(_BREADCRUMB_SELECTORS)):
+        nav = el.closest("nav")
+        (nav or el).remove()
 
 
 def remove_content_subtree_boilerplate(content: Element) -> None:
     """C-F (parity: markdown-converter.ts:294-304)."""
-    for sel in CONTENT_SUBTREE_REMOVE_SELECTORS:
-        for el in content.query_selector_all(sel):
-            el.remove()
+    for el in content.query_selector_all(",".join(CONTENT_SUBTREE_REMOVE_SELECTORS)):
+        el.remove()
 
 
 def absolutize_relative_urls(root: Element, base_url: str | None) -> None:
@@ -366,10 +363,11 @@ def find_semantic_main_content(root: Element) -> Element | None:
     """C-B (parity: findSemanticMainContent, markdown-converter.ts:607-635)."""
     best, best_score = None, -1.0
     for el in root.query_selector_all("main, article, [role='main'], [role='article']"):
-        text_len = len(el.text_content.strip())
-        heading_count = len(el.query_selector_all("h1, h2, h3"))
-        image_count = len(el.query_selector_all("img, figure, video"))
-        paragraph_count = len(el.query_selector_all("p"))
+        st = subtree_stats(el)
+        text_len = len(st.text.strip())
+        heading_count = st.n_h13
+        image_count = st.n_img + st.n_figure + st.n_video
+        paragraph_count = st.n_p
         if text_len < 120 and heading_count == 0 and image_count == 0:
             continue
         score = float(text_len)
@@ -387,12 +385,12 @@ def find_semantic_main_content(root: Element) -> Element | None:
 def detect_forum_page(root: Element) -> bool:
     """C-A (parity: detectForumPage, markdown-converter.ts:637-692)."""
 
-    def count(selectors: list[str]) -> int:
-        return sum(len(root.query_selector_all(s)) for s in selectors)
-
-    comment_count = count(FORUM_COMMENT_SELECTORS)
-    thread_count = count(FORUM_THREAD_SELECTORS)
-    vote_count = count(FORUM_VOTE_SELECTORS)
+    all_sels = list(FORUM_COMMENT_SELECTORS) + list(FORUM_THREAD_SELECTORS) + list(FORUM_VOTE_SELECTORS)
+    matches = collect_matches(root, all_sels)
+    nc, nt = len(FORUM_COMMENT_SELECTORS), len(FORUM_THREAD_SELECTORS)
+    comment_count = sum(len(m) for m in matches[:nc])
+    thread_count = sum(len(m) for m in matches[nc : nc + nt])
+    vote_count = sum(len(m) for m in matches[nc + nt :])
 
     is_known_forum_host = False
     canonical = None
@@ -423,8 +421,10 @@ def detect_forum_page(root: Element) -> bool:
 
 def _calculate_element_score(el: Element, current_max: float) -> float:
     """Parity: _calculateElementScore (markdown-converter.ts:703-743)."""
-    text_len = len(el.text_content.strip())
-    if text_len < 100 and el.query_selector("img, video, iframe, figure") is None:
+    st = subtree_stats(el)
+    text_len = len(st.text.strip())
+    has_media = (st.n_img + st.n_video + st.n_iframe + st.n_figure) > 0
+    if text_len < 100 and not has_media:
         return -1.0
     score = float(text_len)
     if el.tag in ("article", "main"):
@@ -435,9 +435,9 @@ def _calculate_element_score(el: Element, current_max: float) -> float:
         score *= 0.3
     if _element_matches_boilerplate(el):
         score *= 0.2
-    if _has_high_link_density(el, 0.6):
+    if _has_high_link_density_stats(st, 0.6):
         score *= 0.5
-    if len(el.query_selector_all("p")) > 2:
+    if st.n_p > 2:
         score *= 1.2
     if el.tag == "body" and current_max > 200:
         return -1.0
@@ -450,8 +450,8 @@ def extract_article_content_element(root: Element) -> Element:
     if semantic is not None:
         return semantic
     best, max_score = None, -1.0
-    for selector in MAIN_CONTENT_SELECTORS:
-        for el in root.query_selector_all(selector):
+    for els in collect_matches(root, list(MAIN_CONTENT_SELECTORS)):
+        for el in els:
             score = _calculate_element_score(el, max_score)
             if score > max_score:
                 max_score, best = score, el
@@ -666,9 +666,8 @@ class MarkdownConverter:
             html = cleanup_html(html)
             root = parse_html(html)
 
-            for selector in PREPROCESSING_REMOVE_SELECTORS:
-                for el in root.query_selector_all(selector):
-                    el.remove()
+            for el in root.query_selector_all(",".join(PREPROCESSING_REMOVE_SELECTORS)):
+                el.remove()
 
             absolutize_relative_urls(root, base_url)
             remove_svg_image_refs(root)

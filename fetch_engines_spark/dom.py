@@ -143,7 +143,26 @@ class Element:
 
     def query_selector_all(self, selector: str) -> list["Element"]:
         sels = parse_selector_list(selector)
-        return [el for el in self.iter_elements() if _matches_any(el, sels)]
+        out: list[Element] = []
+        stack: list[Element | TextNode] = list(reversed(self.children))
+        if len(sels) == 1:
+            sel = sels[0]
+            while stack:
+                n = stack.pop()
+                if isinstance(n, Element):
+                    if _matches_compound(n, sel):
+                        out.append(n)
+                    stack.extend(reversed(n.children))
+            return out
+        while stack:
+            n = stack.pop()
+            if isinstance(n, Element):
+                for sel in sels:
+                    if _matches_compound(n, sel):
+                        out.append(n)
+                        break
+                stack.extend(reversed(n.children))
+        return out
 
     def query_selector(self, selector: str) -> "Element | None":
         sels = parse_selector_list(selector)
@@ -341,3 +360,148 @@ def parse_html(html: str) -> Element:
     builder.feed(html)
     builder.close()
     return builder.root
+
+
+# --------------------------------------------------------------------------
+# One-pass collectors (performance: the extraction chain makes dozens of
+# selector passes per document; these fold them into single traversals).
+# --------------------------------------------------------------------------
+
+
+def collect_matches(root: Element, selectors: list[str]) -> list[list[Element]]:
+    """One traversal, N selector lists → N match lists in document order.
+
+    Equivalent to ``[root.query_selector_all(s) for s in selectors]``.
+    """
+    parsed = [parse_selector_list(s) for s in selectors]
+    out: list[list[Element]] = [[] for _ in selectors]
+    stack: list[Element | TextNode] = list(reversed(root.children))
+    while stack:
+        n = stack.pop()
+        if isinstance(n, Element):
+            for i, sels in enumerate(parsed):
+                if _matches_any(n, sels):
+                    out[i].append(n)
+            stack.extend(reversed(n.children))
+    return out
+
+
+class SubtreeStats:
+    """Single-walk statistics over an element's subtree — everything the
+    link-density pruners and content scorers need, without re-traversal.
+
+    Parity notes: ``text`` is the raw textContent (whitespace preserved);
+    ``outer_link_texts`` are the textContents of links whose closest('a')
+    is themselves (nested links fold into the outer one, matching the
+    reference's non-nested link-text accounting,
+    markdown-converter.ts:575-582); ``p_texts`` are raw per-<p> texts.
+    """
+
+    __slots__ = (
+        "text",
+        "n_links",
+        "outer_link_texts",
+        "n_h16",
+        "n_h13",
+        "n_p",
+        "p_texts",
+        "n_img",
+        "n_figure",
+        "n_video",
+        "n_iframe",
+        "n_main_like",
+    )
+
+    def __init__(self):
+        self.text = ""
+        self.n_links = 0
+        self.outer_link_texts: list[str] = []
+        self.n_h16 = 0
+        self.n_h13 = 0
+        self.n_p = 0
+        self.p_texts: list[str] = []
+        self.n_img = 0
+        self.n_figure = 0
+        self.n_video = 0
+        self.n_iframe = 0
+        self.n_main_like = 0  # main/article tags or role=main/article
+
+    @property
+    def raw_text_len(self) -> int:
+        return len(self.text)
+
+    @property
+    def outer_link_text_len(self) -> int:
+        return sum(len(t) for t in self.outer_link_texts)
+
+
+_H16 = frozenset(("h1", "h2", "h3", "h4", "h5", "h6"))
+_H13 = frozenset(("h1", "h2", "h3"))
+
+
+def subtree_stats(el: Element) -> SubtreeStats:
+    st = SubtreeStats()
+    text_parts: list[str] = []
+    link_parts: list[str] | None = None
+    p_parts: list[str] | None = None
+    link_depth = 0
+    p_depth = 0
+    EXIT = object()
+    stack: list = [el]
+    first = True
+    while stack:
+        n = stack.pop()
+        if n is EXIT:
+            tag = stack.pop()
+            if tag == "a":
+                link_depth -= 1
+                if link_depth == 0 and link_parts is not None:
+                    st.outer_link_texts.append("".join(link_parts))
+                    link_parts = None
+            elif tag == "p":
+                p_depth -= 1
+                if p_depth == 0 and p_parts is not None:
+                    st.p_texts.append("".join(p_parts))
+                    p_parts = None
+            continue
+        if isinstance(n, TextNode):
+            text_parts.append(n.text)
+            if link_parts is not None:
+                link_parts.append(n.text)
+            if p_parts is not None:
+                p_parts.append(n.text)
+            continue
+        tag = n.tag
+        if not first:
+            if tag == "a":
+                st.n_links += 1
+                if link_depth == 0:
+                    link_parts = []
+                link_depth += 1
+                stack.append("a")
+                stack.append(EXIT)
+            elif tag == "p":
+                st.n_p += 1
+                if p_depth == 0:
+                    p_parts = []
+                p_depth += 1
+                stack.append("p")
+                stack.append(EXIT)
+            elif tag in _H16:
+                st.n_h16 += 1
+                if tag in _H13:
+                    st.n_h13 += 1
+            elif tag == "img":
+                st.n_img += 1
+            elif tag == "figure":
+                st.n_figure += 1
+            elif tag == "video":
+                st.n_video += 1
+            elif tag == "iframe":
+                st.n_iframe += 1
+            if tag in ("main", "article") or n.attrs.get("role") in ("main", "article"):
+                st.n_main_like += 1
+        first = False
+        stack.extend(reversed(n.children))
+    st.text = "".join(text_parts)
+    return st

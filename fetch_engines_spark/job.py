@@ -1,0 +1,60 @@
+"""spark-submit job entry for the extraction pipeline.
+
+Deploy (north_rule packaging):
+
+    python -c "from fetch_engines_spark.packaging import build_pyfiles_zip as b; print(b())"
+    spark-submit --py-files /tmp/fetch_engines_spark-0.1.0.zip \
+        -- fetch_engines_spark/job.py \
+        --input  <documents parquet/iceberg path> \
+        --output <checkpoint root> \
+        --run-id <run id> [--n-buckets 64] [--partitions 256] [--resume]
+
+The job is idempotent per (run_id, bucket): re-running after a failure
+anti-joins the ledger and only processes missing buckets (checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def parse_args(argv: list[str]) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="fetch-engines-spark extraction job")
+    p.add_argument("--input", required=True, help="documents table path (parquet)")
+    p.add_argument("--output", required=True, help="checkpoint root directory")
+    p.add_argument("--run-id", required=True)
+    p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--partitions", type=int, default=None)
+    p.add_argument("--keep-markdown", action="store_true")
+    p.add_argument("--master", default=None)
+    return p.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+
+    from .checkpoint import run_extraction_job
+    from .session import get_spark
+
+    spark = get_spark(app_name=f"fes-extract-{args.run_id}", master=args.master)
+    try:
+        documents = spark.read.parquet(args.input)
+        summary = run_extraction_job(
+            spark,
+            documents,
+            root=args.output,
+            run_id=args.run_id,
+            n_buckets=args.n_buckets,
+            num_partitions=args.partitions,
+            keep_markdown=args.keep_markdown,
+        )
+        print(json.dumps({"run_id": args.run_id, **summary}))
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -35,6 +35,17 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Shuffle/spill to tmpfs when available: on this single-node sandbox
+        # the disk becomes the serial bottleneck for the repartition shuffle;
+        # a real cluster would use fast local SSDs (override with
+        # SPARK_GRAFT_LOCAL_DIR).
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "SPARK_GRAFT_LOCAL_DIR",
+                "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
+            ),
+        )
     )
     if shuffle_partitions is not None:
         builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))

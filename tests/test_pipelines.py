@@ -1,0 +1,165 @@
+"""Unit tests for the training-data pipeline operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs to the hills"),
+        (2, "the quick brown fox jumps over the lazy dog and runs to the hills"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog and runs to the sea"),  # near dup
+        (4, "der hund ist nicht der beste freund und das ist gut"),
+        (5, "el perro es el mejor amigo de los hombres que viven"),
+        (6, "completely different content about spark query engines with zero overlap here"),
+        (7, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    from fetch_engines_spark.pipelines.dedup import exact_duplicates
+
+    groups = exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0].group_size == 2
+    assert groups[0].keeper_doc_id == 1
+
+
+def test_minhash_near_dups_share_signature(docs):
+    from fetch_engines_spark.pipelines.dedup import minhash_signatures
+
+    sigs = minhash_signatures(docs, num_hashes=4).collect()
+    by_doc = {}
+    for r in sigs:
+        by_doc.setdefault(r.doc_id, {})[r.hash_idx] = r.minhash
+    # exact dups: identical signatures
+    assert by_doc[1] == by_doc[2]
+    # near dups share at least one minhash (common shingles dominate)
+    assert any(by_doc[1][k] == by_doc[3][k] for k in by_doc[1])
+    # unrelated docs share none
+    assert all(by_doc[1][k] != by_doc[6][k] for k in by_doc[1])
+
+
+def test_minhash_candidate_pairs(docs):
+    from fetch_engines_spark.pipelines.dedup import minhash_candidate_pairs
+
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_candidate_pairs(docs).collect()}
+    assert (1, 2) in pairs
+    assert (1, 6) not in pairs and (6, 1) not in pairs
+
+
+def test_ngram_jaccard_values(spark, docs):
+    from fetch_engines_spark.pipelines.dedup import ngram_jaccard
+
+    pairs = spark.createDataFrame([(1, 2), (1, 6)], "doc_a long, doc_b long")
+    res = {(r.doc_a, r.doc_b): r.jaccard_bp for r in ngram_jaccard(docs, pairs).collect()}
+    assert res[(1, 2)] == 10000  # identical
+    assert res[(1, 6)] == 0  # disjoint
+
+
+def test_simhash_near_dups_close(docs):
+    from fetch_engines_spark.pipelines.dedup import simhash
+
+    sh = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert sh[1] == sh[2]
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(sh[1], sh[3]) <= hamming(sh[1], sh[6])
+
+
+def test_brute_force_topk_self_similarity_excluded(spark):
+    from fetch_engines_spark.pipelines.similarity import brute_force_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    res = brute_force_topk(emb, k=2, query_ids=[0]).collect()
+    assert [r.neighbor_id for r in res] == [1, 2]
+    assert all(r.query_id == 0 for r in res)
+    assert res[0].cosine_bp > 9900  # ~0.994 cosine
+
+
+def test_lsh_topk_is_subset_of_bruteforce(spark):
+    from fetch_engines_spark.pipelines.similarity import brute_force_topk, lsh_topk
+
+    import math
+
+    rows = [
+        (i, [math.cos(i * 0.37 + d) for d in range(8)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    bf = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, k=40, query_ids=[0, 1]).collect()}
+    lsh = {(r.query_id, r.neighbor_id) for r in lsh_topk(emb, k=5, num_planes=2, dims=8, query_ids=[0, 1]).collect()}
+    assert lsh  # non-empty buckets
+    assert lsh.issubset(bf)
+
+
+def test_media_metadata_roundtrip(spark):
+    from fetch_engines_spark.pipelines.multimodal import (
+        encode_payload,
+        extract_media_metadata,
+    )
+
+    rows = [
+        ("img1", encode_payload(1, 640, 480, 1, b"xyz")),
+        ("vid1", encode_payload(3, 1920, 1080, 300, b"frames")),
+        ("bad1", b"garbage"),
+        ("null1", None),
+    ]
+    from fetch_engines_spark.pipelines.multimodal import MEDIA_INPUT_SCHEMA
+
+    media = spark.createDataFrame(rows, MEDIA_INPUT_SCHEMA)
+    out = {r.media_id: r for r in extract_media_metadata(media).collect()}
+    assert out["img1"].kind == "image" and out["img1"].width == 640
+    assert out["vid1"].kind == "video" and out["vid1"].n_frames == 300
+    assert out["bad1"].error is not None and out["bad1"].kind is None
+    assert out["null1"].error is not None
+
+
+def test_frame_sample_plan(spark):
+    from fetch_engines_spark.pipelines.multimodal import (
+        MEDIA_INPUT_SCHEMA,
+        encode_payload,
+        extract_media_metadata,
+        frame_sample_plan,
+    )
+
+    media = spark.createDataFrame(
+        [("v", encode_payload(3, 10, 10, 25, b""))], MEDIA_INPUT_SCHEMA
+    )
+    frames = frame_sample_plan(extract_media_metadata(media), every_n=10).collect()
+    assert [r.frame_idx for r in frames] == [0, 10, 20]
+
+
+def test_decode_real_codec_is_stubbed():
+    from fetch_engines_spark.pipelines.multimodal import decode_real_codec
+
+    with pytest.raises(NotImplementedError):
+        decode_real_codec(b"")
+
+
+def test_lang_id_and_quality(spark):
+    from fetch_engines_spark.pipelines.text import lang_id, quality_features
+
+    rows = [
+        (1, "the cat and the dog of the house is in the garden"),
+        (2, "der hund und die katze das ist nicht gut"),
+        (3, "xyzzy plugh"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    langs = {r.doc_id: r.lang_guess for r in lang_id(docs).collect()}
+    assert langs[1] == "en"
+    assert langs[2] == "de"
+    assert langs[3] == "unknown"
+    q = {r.doc_id: r for r in quality_features(docs).collect()}
+    assert q[1].n_tokens == 12
+    assert q[1].quality_score >= q[3].quality_score
