@@ -182,3 +182,64 @@ def is_soft_block(html: Column) -> Column:
 def is_challenge_page(html: Column) -> Column:
     """X9: challenge keyword gate (constants.ts:30-31)."""
     return html.rlike(CHALLENGE_KEYWORDS_RX)
+
+
+def assess_serialized_content(content: Column, content_type: str) -> dict[str, Column]:
+    """X7: assessSerializedContent (render-detection.ts:147-169) — returns
+    {text_length, title_length, quality_score} columns for 'html' or
+    'markdown' content."""
+    if content_type == "html":
+        a = assess_html_render_need(content)
+        return {
+            "text_length": a["visible_text_length"],
+            "title_length": a["title_length"],
+            "quality_score": a["quality_score"],
+        }
+    vis_len = F.length(markdown_visible_text(content))
+    first_heading = F.regexp_extract(content, r"(?m)^#\s+(.+)$", 1)
+    has_heading = first_heading != ""
+    t_len = F.length(_collapse_ws(first_heading))
+    return {
+        "text_length": vis_len,
+        "title_length": t_len,
+        "quality_score": quality_score_expr(
+            vis_len, t_len, F.lit(False), F.when(has_heading, 1).otherwise(0)
+        ),
+    }
+
+
+def is_rendered_content_meaningfully_better(
+    baseline: dict[str, Column], candidate: dict[str, Column]
+) -> Column:
+    """X8: isRenderedContentMeaningfullyBetter (render-detection.ts:171-180).
+    Both args are X7 dicts (text_length, title_length, quality_score)."""
+    return (
+        (candidate["quality_score"] >= baseline["quality_score"] + 2)
+        | (candidate["text_length"] >= F.greatest(F.lit(200), baseline["text_length"] * 2))
+        | (
+            (candidate["title_length"] > 0)
+            & (baseline["title_length"] == 0)
+            & (candidate["text_length"] >= baseline["text_length"])
+        )
+    )
+
+
+# --- S2: raw-content text/binary split (FetchEngine.ts:211-225) -------------
+
+_TEXT_MIME_RX = (
+    r"^(?:text/|application/(?:json|xml|javascript|x-javascript|ecmascript"
+    r"|x-www-form-urlencoded)|image/svg)"
+)
+
+
+def is_text_mime(mime: Column) -> Column:
+    """Text-vs-binary content-type predicate (parity: the reference's
+    isTextBased split in fetchContent, FetchEngine.ts:211-217)."""
+    base = F.lower(F.trim(F.split(mime, ";").getItem(0)))
+    return base.rlike(_TEXT_MIME_RX) | base.endswith("+json") | base.endswith("+xml")
+
+
+def decode_if_text(payload: Column, mime: Column) -> Column:
+    """S2 projection: binary column → decoded UTF-8 string for text MIME
+    types, NULL for binary (the binary stays in its own column)."""
+    return F.when(is_text_mime(mime), F.decode(payload, "UTF-8")).otherwise(F.lit(None))

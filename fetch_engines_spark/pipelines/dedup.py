@@ -43,21 +43,25 @@ def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def minhash_signatures(df: DataFrame, text_col: str = "text", num_hashes: int = 4) -> DataFrame:
     """MinHash per document: k permutations simulated by salting the md5
-    (min over md5(salt || shingle)); one row per (doc_id, hash_idx)."""
+    (min over md5(salt || shingle)); one row per (doc_id, hash_idx).
+
+    Single scan + single shuffle: all k mins are computed in ONE
+    map-side-combinable aggregation over the exploded shingles, then
+    unpivoted — at 10^12 docs this is k× cheaper than one groupBy per
+    permutation."""
     sh = shingles(F.col(text_col)).alias("shingles")
-    base = df.select("doc_id", sh)
-    exploded = base.select("doc_id", F.explode("shingles").alias("shingle"))
-    sigs = []
-    for k in range(num_hashes):
-        sigs.append(
-            exploded.groupBy("doc_id").agg(
-                F.min(F.md5(F.concat(F.lit(f"s{k}|"), F.col("shingle")))).alias("minhash")
-            ).withColumn("hash_idx", F.lit(k))
-        )
-    out = sigs[0]
-    for s in sigs[1:]:
-        out = out.unionByName(s)
-    return out.select("doc_id", "hash_idx", "minhash")
+    exploded = df.select("doc_id", sh).select("doc_id", F.explode("shingles").alias("shingle"))
+    mins = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"s{k}|"), F.col("shingle")))).alias(f"mh{k}")
+            for k in range(num_hashes)
+        ]
+    )
+    stack_expr = "stack({n}, {args}) as (hash_idx, minhash)".format(
+        n=num_hashes,
+        args=", ".join(f"{k}, mh{k}" for k in range(num_hashes)),
+    )
+    return mins.select("doc_id", F.expr(stack_expr)).select("doc_id", "hash_idx", "minhash")
 
 
 def minhash_lsh_buckets(

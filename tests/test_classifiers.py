@@ -75,3 +75,56 @@ def test_classifiers_are_whole_stage_codegen(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_rendered_content_meaningfully_better(spark):
+    """Parity: RenderDetection.test.ts:53-61 — empty app shell baseline vs
+    rendered markdown candidate."""
+    from fetch_engines_spark.classifiers import (
+        assess_serialized_content,
+        is_rendered_content_meaningfully_better,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (
+                '<html><head><title></title></head><body><div id="app"></div></body></html>',
+                "# Example article\n\nThis rendered content now includes the title and body text that were missing before.",
+            )
+        ],
+        "html string, md string",
+    )
+    baseline = assess_serialized_content(F.col("html"), "html")
+    candidate = assess_serialized_content(F.col("md"), "markdown")
+    row = df.select(
+        is_rendered_content_meaningfully_better(baseline, candidate).alias("better")
+    ).collect()[0]
+    assert row.better is True
+
+
+def test_mime_text_binary_split(spark):
+    from fetch_engines_spark.classifiers import decode_if_text, is_text_mime
+
+    rows = [
+        ("a", b"hello world", "text/html; charset=utf-8"),
+        ("b", b'{"k":1}', "application/json"),
+        ("c", b"\x89PNG\r\n", "image/png"),
+        ("d", b"<svg/>", "image/svg+xml"),
+        ("e", b"%PDF-1.4", "application/pdf"),
+        ("f", b"<x/>", "application/atom+xml"),
+    ]
+    df = spark.createDataFrame(rows, "id string, payload binary, mime string")
+    out = {
+        r.id: (r.is_text, r.text)
+        for r in df.select(
+            "id",
+            is_text_mime(F.col("mime")).alias("is_text"),
+            decode_if_text(F.col("payload"), F.col("mime")).alias("text"),
+        ).collect()
+    }
+    assert out["a"] == (True, "hello world")
+    assert out["b"][0] is True
+    assert out["c"] == (False, None)
+    assert out["d"][0] is True  # svg is text-based in the reference's split
+    assert out["e"] == (False, None)
+    assert out["f"][0] is True

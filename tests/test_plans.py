@@ -1,0 +1,67 @@
+"""Physical-plan quality gates: the plans must stay the plans we designed
+(pushed filters, broadcast dim joins, pruned scans) — regression guard for
+100 TB behavior, checked at tiny scale.
+"""
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushes_filter_and_prunes_columns(spark):
+    df = entrymod.queries()["pricing_summary"](spark, SF)
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan must not read unused lineitem columns
+    assert "l_partkey" not in plan.split("ReadSchema")[-1]
+
+
+def test_revenue_by_nation_broadcasts_dims(spark):
+    df = entrymod.queries()["revenue_by_nation"](spark, SF)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_resume_anti_join_is_broadcast(spark):
+    df = entrymod.queries()["resume_anti_join"](spark, SF)
+    plan = plan_of(df)
+    assert "LeftAnti" in plan
+
+
+def test_topk_window_has_rank_limit_pushdown(spark):
+    df = entrymod.queries()["top_orders_per_customer"](spark, SF)
+    plan = plan_of(df)
+    # Spark turns row_number()<=k into WindowGroupLimit before the sort
+    assert "WindowGroupLimit" in plan
+
+
+def test_extraction_plan_is_single_python_stage(spark):
+    """Exactly ONE Python boundary (the Arrow extraction stage) — the
+    north_rule's one-vectorized-UDF constraint, enforced on the plan."""
+    df = entrymod.queries()["extract_spans_fixture"](spark, SF)
+    plan = plan_of(df)
+    n_python = (
+        plan.count("MapInArrow") + plan.count("MapInPandas")
+        + plan.count("ArrowEvalPython") + plan.count("BatchEvalPython")
+    )
+    assert n_python == 1, plan
+
+
+def test_classifier_queries_have_no_python(spark):
+    for name in ("classifier_shell_score", "classifier_soft_block", "classifier_title_extract"):
+        df = entrymod.queries()[name](spark, SF)
+        plan = plan_of(df)
+        assert "Python" not in plan and "MapInArrow" not in plan, name
+
+
+def test_embedding_topk_broadcasts_queries(spark):
+    df = entrymod.queries()["embedding_topk"](spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

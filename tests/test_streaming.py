@@ -1,0 +1,103 @@
+"""Structured Streaming tests: streaming extraction equals batch extraction;
+watermarked windowed aggregation over the events table."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fetch_engines_spark.extract import INPUT_SCHEMA, extract_spans
+from fetch_engines_spark.fixtures import fixture_document_rows
+from fetch_engines_spark.streaming import (
+    extract_documents_stream,
+    read_documents_stream,
+    windowed_event_counts,
+)
+
+
+def test_streaming_extraction_matches_batch(spark, tmp_path):
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    docs = spark.createDataFrame(fixture_document_rows(), INPUT_SCHEMA)
+    docs.write.parquet(input_dir)
+
+    stream = read_documents_stream(spark, input_dir, max_files_per_trigger=2)
+    q = extract_documents_stream(stream, out_dir, ckpt, keep_markdown=True).start()
+    q.awaitTermination(timeout=120)
+
+    streamed = {r.doc_id: r.markdown for r in spark.read.parquet(out_dir).collect()}
+    batch = {r.doc_id: r.markdown for r in extract_spans(docs, keep_markdown=True).collect()}
+    assert streamed == batch
+
+
+def test_streaming_extraction_is_incremental(spark, tmp_path):
+    """Restarting the stream after new files arrive processes ONLY the new
+    files (exactly-once via the checkpoint)."""
+    input_dir = tmp_path / "in"
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    input_dir.mkdir()
+
+    rows = fixture_document_rows()
+    docs1 = spark.createDataFrame(rows[:10], INPUT_SCHEMA)
+    docs1.coalesce(1).write.mode("append").parquet(str(input_dir))
+
+    q = extract_documents_stream(
+        read_documents_stream(spark, str(input_dir)), out_dir, ckpt
+    ).start()
+    q.awaitTermination(timeout=120)
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 == 10
+
+    docs2 = spark.createDataFrame(rows[10:], INPUT_SCHEMA)
+    docs2.coalesce(1).write.mode("append").parquet(str(input_dir))
+
+    q = extract_documents_stream(
+        read_documents_stream(spark, str(input_dir)), out_dir, ckpt
+    ).start()
+    q.awaitTermination(timeout=120)
+    out = spark.read.parquet(out_dir)
+    assert out.count() == len(rows)
+    # no duplicates: every doc exactly once
+    assert out.groupBy("doc_id").count().filter("count > 1").count() == 0
+
+
+def test_windowed_event_counts_with_watermark(spark, tmp_path):
+    events_dir = str(tmp_path / "events")
+    out_dir = str(tmp_path / "agg")
+    ckpt = str(tmp_path / "ckpt2")
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.write.parquet(events_dir)
+
+    stream = spark.readStream.schema(ev.schema).parquet(events_dir)
+    agg = windowed_event_counts(stream, window_duration="1 day", watermark_delay="1 hour")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=120)
+
+    got = spark.read.parquet(out_dir)
+    # batch oracle over the same data
+    expected = (
+        ev.groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .count()
+    )
+    # append mode emits only windows sealed by the watermark; the final
+    # window may be open, so streamed rows ≤ batch windows and > 0
+    assert 0 < got.count() <= expected
+    # sealed windows must match the batch aggregation exactly
+    batch = {
+        (str(r["window"].start), r.event_type): r.n_events
+        for r in ev.groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .collect()
+    }
+    for r in got.collect():
+        assert batch[(str(r.window_start), r.event_type)] == r.n_events
