@@ -378,6 +378,64 @@ def _q_span_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O4 hybrid routing decisions over the fixture pages."""
+    _prep(spark)
+    from fetch_engines_spark.routing import route_documents
+
+    pages = _fixture(spark, "pages").withColumn("url", F.lit("https://example.com/"))
+    routed = route_documents(pages)
+    return routed.select(
+        "doc_id",
+        "soft_block",
+        F.col("render_score").cast("long").alias("render_score"),
+        "needs_render",
+        "route",
+    )
+
+
+def _q_mime_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 raw-content text/binary split."""
+    _prep(spark)
+    from fetch_engines_spark.classifiers import decode_if_text, is_text_mime
+
+    raw = _fixture(spark, "raw_content")
+    return raw.select(
+        "content_id",
+        is_text_mime(F.col("mime")).alias("is_text"),
+        decode_if_text(F.col("payload"), F.col("mime")).alias("text"),
+        F.length(F.col("payload")).alias("payload_bytes"),
+    )
+
+
+def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucketed candidate join,
+    exact cosine verify, keep pairs >= 0.35 cosine (3500 bp — the corpus
+    has no true dups; the threshold is set to exercise the verify stage)."""
+    from fetch_engines_spark.pipelines.similarity import cosine_bp, lsh_bucket_expr
+
+    emb = _read(spark, sf_dir, "embeddings")
+    b = emb.select(
+        F.col("vec_id"),
+        F.col("embedding"),
+        lsh_bucket_expr(F.col("embedding"), num_planes=3, dims=64).alias("bucket"),
+    )
+    left = b.alias("l")
+    right = b.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(
+            F.col("l.vec_id").alias("vec_a"),
+            F.col("r.vec_id").alias("vec_b"),
+            cosine_bp(F.col("l.embedding"), F.col("r.embedding")).alias("cosine_bp"),
+        )
+        .filter(F.col("cosine_bp") >= 3500)
+    )
+
+
 def _q_media_ref_carry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """north_rule media carry-through: media refs present in golden output."""
     spans = _fixture(spark, "expected_spans")
@@ -412,6 +470,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_lsh": _q_embedding_topk_lsh,
         "media_metadata": _q_media_metadata,
         "media_frame_sample": _q_frame_sample,
+        "routing_decisions": _q_routing,
+        "mime_split": _q_mime_split,
+        "dedup_embedding": _q_dedup_embedding,
         "resume_anti_join": _q_resume_anti_join,
         "span_order_window": _q_span_order_window,
         "media_ref_carry": _q_media_ref_carry,
@@ -506,6 +567,19 @@ SELECT doc_id,
   END AS soft_block,
   regexp_matches(html, '(?i)cloudflare|checking your browser|please wait|verification|captcha|attention required') AS challenge
 FROM '{_PAGES}'
+"""
+
+
+_RAW_CONTENT = os.path.join(FIXTURES_DIR, "raw_content.parquet")
+
+_ROUTING_SQL = f"""
+WITH shell AS ({_SHELL_SQL}),
+soft AS ({_SOFT_BLOCK_SQL})
+SELECT shell.doc_id, soft.soft_block,
+       shell.render_score,
+       (soft.soft_block OR shell.render_likely_needed) AS needs_render,
+       CASE WHEN soft.soft_block OR shell.render_likely_needed THEN 'render' ELSE 'http' END AS route
+FROM shell JOIN soft ON shell.doc_id = soft.doc_id
 """
 
 
@@ -619,6 +693,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id, unnest(range(0, exp_n_frames, 10)) AS frame_idx
             FROM '{_MEDIA}' WHERE exp_kind = 'video'
         """,
+        "routing_decisions": _ROUTING_SQL,
+        "mime_split": f"""
+            SELECT content_id,
+              (regexp_matches(lower(trim(string_split(mime, ';')[1])),
+                 '^(?:text/|application/(?:json|xml|javascript|x-javascript|ecmascript|x-www-form-urlencoded)|image/svg)')
+               OR lower(trim(string_split(mime, ';')[1])) LIKE '%+json'
+               OR lower(trim(string_split(mime, ';')[1])) LIKE '%+xml') AS is_text,
+              CASE WHEN (regexp_matches(lower(trim(string_split(mime, ';')[1])),
+                 '^(?:text/|application/(?:json|xml|javascript|x-javascript|ecmascript|x-www-form-urlencoded)|image/svg)')
+               OR lower(trim(string_split(mime, ';')[1])) LIKE '%+json'
+               OR lower(trim(string_split(mime, ';')[1])) LIKE '%+xml')
+                THEN decode(payload) END AS text,
+              octet_length(payload) AS payload_bytes
+            FROM '{_RAW_CONTENT}'
+        """,
+        # dedup_embedding: engine-float LSH bucketing — rows-only check.
         "resume_anti_join": """
             SELECT source, count(*) AS n_remaining
             FROM documents

@@ -123,10 +123,36 @@ def build_media() -> None:
     )
 
 
+def build_raw_content() -> None:
+    """S2 fixture: raw fetched payloads with MIME types (ASCII text payloads
+    so the DuckDB oracle can compare decoded text via CAST)."""
+    rows = [
+        ("r0", b"<html><body>hello</body></html>", "text/html; charset=utf-8"),
+        ("r1", b'{"k": 1}', "application/json"),
+        ("r2", b"PNGBYTES-0", "image/png"),
+        ("r3", b"<svg><path d='M0 0'/></svg>", "image/svg+xml"),
+        ("r4", b"PDFBYTES-1", "application/pdf"),
+        ("r5", b"<feed/>", "application/atom+xml"),
+        ("r6", b"plain text body", "text/plain"),
+        ("r7", b"AUDIOBYTES", "audio/mpeg"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "content_id": [r[0] for r in rows],
+                "payload": pa.array([r[1] for r in rows], pa.binary()),
+                "mime": [r[2] for r in rows],
+            }
+        ),
+        os.path.join(OUT, "raw_content.parquet"),
+    )
+
+
 if __name__ == "__main__":
     os.makedirs(OUT, exist_ok=True)
     build_pages()
     build_documents_spans()
     build_expected()
     build_media()
+    build_raw_content()
     print(f"wrote fixture data to {OUT}")
