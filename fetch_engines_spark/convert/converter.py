@@ -655,7 +655,13 @@ class MarkdownConverter:
         if isinstance(content_el, str):
             markdown = content_el  # fallback: cleaned raw HTML string
         else:
-            markdown = to_markdown(content_el)
+            try:
+                markdown = to_markdown(content_el)
+            except (RecursionError, Exception):
+                # Serialization failure falls back to the (cleaned) raw
+                # input, mirroring the reference's conversion-failure path
+                # (FetchEngine.ts:138-141).
+                markdown = cleanup_content_html(cleanup_html(html))
         return postprocess_markdown(markdown, max_content_length)
 
     def preprocess(

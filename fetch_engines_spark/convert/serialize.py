@@ -17,8 +17,16 @@ Pure Python, no Spark imports — runs inside the Arrow-batched UDF.
 from __future__ import annotations
 
 import re
+import sys
 
 from ..dom import Element, TextNode
+
+# The block renderer recurses with ~4 frames per DOM level; real pages are
+# <100 deep but adversarial input can nest thousands.  Raise the limit so
+# ~5000-deep trees serialize; beyond that the converter's fallback path
+# (cleaned raw HTML, reference: FetchEngine.ts:138-141) takes over.
+if sys.getrecursionlimit() < 25000:
+    sys.setrecursionlimit(25000)
 
 _WS = re.compile(r"\s+")
 

@@ -167,7 +167,14 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     markdown = content
                     error = "ERR_PREPROCESS_FALLBACK"
                 else:
-                    markdown = postprocess_markdown(to_markdown(content))
+                    try:
+                        markdown = to_markdown(content)
+                    except Exception:
+                        from .convert.converter import cleanup_content_html, cleanup_html
+
+                        markdown = cleanup_content_html(cleanup_html(html))
+                        error = "ERR_MARKDOWN_CONVERSION_FALLBACK"
+                markdown = postprocess_markdown(markdown)
                 if source_url:
                     markdown = inject_source_url(markdown, source_url)
                 out_spans = markdown_to_spans(markdown) if markdown else []
@@ -241,7 +248,16 @@ def _extract_arrow_batches(batches):
                     markdown = content
                     error = "ERR_PREPROCESS_FALLBACK"
                 else:
-                    markdown = postprocess_markdown(to_markdown(content))
+                    try:
+                        markdown = to_markdown(content)
+                    except Exception:
+                        # serialization fallback = cleaned raw input
+                        # (parity: FetchEngine.ts:138-141)
+                        from .convert.converter import cleanup_content_html, cleanup_html
+
+                        markdown = cleanup_content_html(cleanup_html(html))
+                        error = "ERR_MARKDOWN_CONVERSION_FALLBACK"
+                markdown = postprocess_markdown(markdown)
                 if source_urls[i]:
                     markdown = inject_source_url(markdown, source_urls[i])
                 out_spans = markdown_to_spans(markdown) if markdown else []

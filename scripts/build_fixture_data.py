@@ -66,8 +66,11 @@ def build_expected() -> None:
     md_rows = []
     span_rows = []
     for f in FIXTURES:
+        # mirror extract.py's UDF exactly: serialize (or fallback), then
+        # postprocess both branches
         content, title = conv.preprocess(f.html, f.base_url)
-        markdown = content if isinstance(content, str) else postprocess_markdown(to_markdown(content))
+        markdown = content if isinstance(content, str) else to_markdown(content)
+        markdown = postprocess_markdown(markdown)
         md_rows.append((f.id, title, markdown))
         for s in markdown_to_spans(markdown):
             span_rows.append((f.id, s["offset"], s["kind"], s["text"], s["media_ref"]))

@@ -1,0 +1,89 @@
+"""Property-based robustness tests (hypothesis): the converter must never
+throw on arbitrary input, and span segmentation must round-trip."""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fetch_engines_spark.convert.converter import MarkdownConverter, postprocess_markdown
+from fetch_engines_spark.dom import parse_html
+from fetch_engines_spark.extract import markdown_to_spans, spans_to_markdown
+
+conv = MarkdownConverter()
+
+TAGS = ["div", "p", "a", "span", "main", "nav", "ul", "li", "table", "tr", "td",
+        "h1", "h2", "script", "style", "img", "button", "pre", "code", "strong"]
+
+text_strategy = st.text(
+    alphabet=string.ascii_letters + string.digits + " <>&\"'=/.\n\t{}|[]()#*-_`",
+    max_size=200,
+)
+
+
+@st.composite
+def html_fragments(draw, depth=0):
+    if depth > 4:
+        return draw(text_strategy)
+    n = draw(st.integers(0, 3))
+    parts = []
+    for _ in range(n):
+        if draw(st.booleans()):
+            tag = draw(st.sampled_from(TAGS))
+            attrs = ""
+            if draw(st.booleans()):
+                attrs = f' class="{draw(st.text(string.ascii_lowercase + "- ", max_size=20))}"'
+            if draw(st.booleans()):
+                attrs += f' href="{draw(st.text(string.ascii_letters + ":/.-", max_size=30))}"'
+            inner = draw(html_fragments(depth=depth + 1))
+            if draw(st.integers(0, 9)) == 0:
+                parts.append(f"<{tag}{attrs}>{inner}")  # unclosed
+            else:
+                parts.append(f"<{tag}{attrs}>{inner}</{tag}>")
+        else:
+            parts.append(draw(text_strategy))
+    return "".join(parts)
+
+
+@settings(max_examples=150, deadline=None)
+@given(html_fragments())
+def test_convert_never_raises(html):
+    md = conv.convert(html, base_url="https://example.com/a/b")
+    assert isinstance(md, str)
+
+
+@settings(max_examples=150, deadline=None)
+@given(text_strategy)
+def test_convert_raw_text_never_raises(text):
+    assert isinstance(conv.convert(text), str)
+
+
+@settings(max_examples=150, deadline=None)
+@given(html_fragments())
+def test_parse_never_raises(html):
+    root = parse_html(html)
+    assert root.text_content is not None
+
+
+@settings(max_examples=200, deadline=None)
+@given(html_fragments())
+def test_span_roundtrip_from_any_page(html):
+    """spans → markdown reconstruction must be lossless for any produced
+    markdown, and offsets dense."""
+    md = conv.convert(html)
+    spans = markdown_to_spans(md)
+    assert spans_to_markdown(spans) == md
+    assert [s["offset"] for s in spans] == list(range(len(spans)))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=500))
+def test_postprocess_idempotent_on_its_own_output(md):
+    once = postprocess_markdown(md)
+    assert isinstance(once, str)
+
+
+def test_deeply_nested_html_does_not_crash():
+    html = "<div>" * 3000 + "deep content here" + "</div>" * 3000
+    md = conv.convert(html)
+    assert isinstance(md, str)
