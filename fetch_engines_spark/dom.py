@@ -42,6 +42,10 @@ _IMPLICIT_CLOSERS = {
 }
 
 
+_EMPTY_TOKENS: list[str] = []
+_class_token_cache: dict[str, list[str]] = {}
+
+
 class TextNode:
     __slots__ = ("text", "parent")
 
@@ -116,7 +120,16 @@ class Element:
 
     @property
     def class_tokens(self) -> list[str]:
-        return (self.attrs.get("class") or "").split()
+        cls = self.attrs.get("class")
+        if not cls:
+            return _EMPTY_TOKENS
+        cached = _class_token_cache.get(cls)
+        if cached is None:
+            if len(_class_token_cache) > 20000:
+                _class_token_cache.clear()
+            cached = cls.split()
+            _class_token_cache[cls] = cached
+        return cached
 
     # --- text -------------------------------------------------------------
     @property
@@ -142,43 +155,39 @@ class Element:
                 stack.extend(reversed(n.children))
 
     def query_selector_all(self, selector: str) -> list["Element"]:
-        sels = parse_selector_list(selector)
+        sl = parse_selector_list(selector)
         out: list[Element] = []
         stack: list[Element | TextNode] = list(reversed(self.children))
-        if len(sels) == 1:
-            sel = sels[0]
-            while stack:
-                n = stack.pop()
-                if isinstance(n, Element):
-                    if _matches_compound(n, sel):
-                        out.append(n)
-                    stack.extend(reversed(n.children))
-            return out
+        tags = sl.tags
+        cx = sl.complex
         while stack:
             n = stack.pop()
             if isinstance(n, Element):
-                for sel in sels:
-                    if _matches_compound(n, sel):
-                        out.append(n)
-                        break
+                if n.tag in tags:
+                    out.append(n)
+                else:
+                    for c in cx:
+                        if _matches_compound(n, c):
+                            out.append(n)
+                            break
                 stack.extend(reversed(n.children))
         return out
 
     def query_selector(self, selector: str) -> "Element | None":
-        sels = parse_selector_list(selector)
+        sl = parse_selector_list(selector)
         for el in self.iter_elements():
-            if _matches_any(el, sels):
+            if sl.matches(el):
                 return el
         return None
 
     def matches(self, selector: str) -> bool:
-        return _matches_any(self, parse_selector_list(selector))
+        return parse_selector_list(selector).matches(self)
 
     def closest(self, selector: str) -> "Element | None":
-        sels = parse_selector_list(selector)
+        sl = parse_selector_list(selector)
         node: Element | None = self
         while node is not None:
-            if node.tag and _matches_any(node, sels):
+            if node.tag and sl.matches(node):
                 return node
             node = node.parent
         return None
@@ -223,10 +232,38 @@ _SEL_TOKEN = re.compile(
     re.VERBOSE,
 )
 
-_selector_cache: dict[str, list] = {}
+_selector_cache: dict[str, "SelectorList"] = {}
 
 
-def parse_selector_list(selector: str) -> list:
+class SelectorList:
+    """Parsed selector list with a tag-only fast path: compounds that are a
+    bare tag name collapse into a frozenset membership test."""
+
+    __slots__ = ("compounds", "tags", "complex")
+
+    def __init__(self, compounds: list):
+        self.compounds = compounds
+        self.tags = frozenset(
+            tag for tag, preds in compounds if tag is not None and not preds
+        )
+        self.complex = [c for c in compounds if c[1] or c[0] is None]
+
+    def __iter__(self):
+        return iter(self.compounds)
+
+    def __len__(self):
+        return len(self.compounds)
+
+    def matches(self, el: "Element") -> bool:
+        if el.tag in self.tags:
+            return True
+        for c in self.complex:
+            if _matches_compound(el, c):
+                return True
+        return False
+
+
+def parse_selector_list(selector: str) -> "SelectorList":
     cached = _selector_cache.get(selector)
     if cached is not None:
         return cached
@@ -236,8 +273,9 @@ def parse_selector_list(selector: str) -> list:
         if not part:
             continue
         compounds.append(_parse_compound(part))
-    _selector_cache[selector] = compounds
-    return compounds
+    sl = SelectorList(compounds)
+    _selector_cache[selector] = sl
+    return sl
 
 
 def _parse_compound(part: str):
@@ -298,8 +336,10 @@ def _matches_compound(el: Element, compound) -> bool:
     return True
 
 
-def _matches_any(el: Element, compounds: list) -> bool:
-    return any(_matches_compound(el, c) for c in compounds)
+def _matches_any(el: Element, sl) -> bool:
+    if isinstance(sl, SelectorList):
+        return sl.matches(el)
+    return any(_matches_compound(el, c) for c in sl)
 
 
 # --------------------------------------------------------------------------
@@ -379,8 +419,8 @@ def collect_matches(root: Element, selectors: list[str]) -> list[list[Element]]:
     while stack:
         n = stack.pop()
         if isinstance(n, Element):
-            for i, sels in enumerate(parsed):
-                if _matches_any(n, sels):
+            for i, sl in enumerate(parsed):
+                if sl.matches(n):
                     out[i].append(n)
             stack.extend(reversed(n.children))
     return out

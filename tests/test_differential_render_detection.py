@@ -1,0 +1,124 @@
+"""Differential test: my native-Column classifiers vs the REFERENCE'S OWN
+compiled implementation (/root/reference/dist/utils/render-detection.js has
+no external dependencies, so it runs directly under node).
+
+This is the strongest parity evidence available in this sandbox: the same
+inputs go through both implementations and every assessment field must
+match exactly.
+"""
+
+import json
+import shutil
+import subprocess
+
+import pytest
+from pyspark.sql import functions as F
+
+from fetch_engines_spark import classifiers as X
+
+node = shutil.which("node")
+pytestmark = pytest.mark.skipif(node is None, reason="node not available")
+
+_NODE_SCRIPT = """
+import * as rd from '/root/reference/dist/utils/render-detection.js';
+import { readFileSync } from 'node:fs';
+const docs = JSON.parse(readFileSync(0, 'utf8'));
+const out = docs.map((html) => {
+  const a = rd.assessHtmlRenderNeed(html);
+  return {
+    visibleTextLength: a.visibleTextLength,
+    titleLength: a.titleLength,
+    scriptCount: a.scriptCount,
+    headingCount: a.headingCount,
+    hasMainLike: a.hasMainLike,
+    hasEmptyRootContainer: a.hasEmptyRootContainer,
+    renderLikelyNeededScore: a.renderLikelyNeededScore,
+    renderLikelyNeeded: a.renderLikelyNeeded,
+    qualityScore: a.qualityScore,
+    softBlock: rd.isSoftBlockPage(html),
+  };
+});
+console.log(JSON.stringify(out));
+"""
+
+
+def _variants() -> list[str]:
+    """Deterministic enumeration of page shapes exercising every score term."""
+    titles = ["", "Short", "A Reasonably Long Page Title Here", "Just a moment..."]
+    bodies = [
+        "",
+        "<div id='root'></div>",
+        "<div id='root'><!-- app --></div>",
+        "<main><h1>H</h1><p>" + "real content words here " * 12 + "</p></main>",
+        "<article><h2>A</h2><p>" + "text " * 60 + "</p></article>",
+        "<p>tiny</p>",
+        "<div class='cf-turnstile'></div><p>We need to verify that you are not a robot.</p>",
+        "<h1>Verify you are human</h1><div class='captcha-container'></div>",
+        "<p>" + "long benign content about software engineering practices " * 40 + "</p>",
+        "<noscript>Please enable JavaScript to run this app.</noscript><div id='app'></div>",
+    ]
+    scripts = ["", "<script src='/a.js'></script>", "<script>x</script>" * 3]
+    pages = []
+    for t in titles:
+        for b in bodies:
+            for s in scripts:
+                pages.append(
+                    f"<html><head><title>{t}</title>{s}</head><body>{b}</body></html>"
+                )
+    # entity + comment edge cases
+    pages.append("<html><head><title>A &amp; B &nbsp; C</title></head><body><p>x &lt;y&gt; &quot;z&quot; &#39;w&#39;</p></body></html>")
+    pages.append("<html><!-- <title>fake</title> --><head><title>Real</title></head><body><svg><text>icon</text></svg><p>body</p></body></html>")
+    pages.append("no tags at all just text " * 10)
+    return pages
+
+
+def test_classifiers_match_reference_implementation(spark):
+    pages = _variants()
+    ref = json.loads(
+        subprocess.run(
+            [node, "--input-type=module", "-e", _NODE_SCRIPT],
+            input=json.dumps(pages),
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+    )
+    assert len(ref) == len(pages)
+
+    df = spark.createDataFrame([(i, p) for i, p in enumerate(pages)], "i int, html string")
+    cols = X.assess_html_render_need(F.col("html"))
+    got = {
+        r.i: r
+        for r in df.select(
+            "i",
+            cols["visible_text_length"].alias("vtl"),
+            cols["title_length"].alias("tl"),
+            cols["script_count"].alias("sc"),
+            cols["heading_count"].alias("hc"),
+            cols["has_main_like"].alias("ml"),
+            cols["has_empty_root_container"].alias("erc"),
+            cols["render_likely_needed_score"].alias("rs"),
+            cols["render_likely_needed"].alias("rn"),
+            cols["quality_score"].alias("qs"),
+            X.is_soft_block(F.col("html")).alias("sb"),
+        ).collect()
+    }
+    mismatches = []
+    for i, expected in enumerate(ref):
+        g = got[i]
+        checks = {
+            "visibleTextLength": (g.vtl, expected["visibleTextLength"]),
+            "titleLength": (g.tl, expected["titleLength"]),
+            "scriptCount": (g.sc, expected["scriptCount"]),
+            "headingCount": (g.hc, expected["headingCount"]),
+            "hasMainLike": (g.ml, expected["hasMainLike"]),
+            "hasEmptyRootContainer": (g.erc, expected["hasEmptyRootContainer"]),
+            "renderScore": (g.rs, expected["renderLikelyNeededScore"]),
+            "renderNeeded": (g.rn, expected["renderLikelyNeeded"]),
+            "qualityScore": (g.qs, expected["qualityScore"]),
+            "softBlock": (g.sb, expected["softBlock"]),
+        }
+        for field, (mine, theirs) in checks.items():
+            if mine != theirs:
+                mismatches.append((i, field, mine, theirs, pages[i][:120]))
+    assert not mismatches, mismatches[:10]
