@@ -29,11 +29,20 @@ def build_pyfiles_zip(dest: str | None = None) -> str:
     newer than the existing zip.
     """
     root = package_root()
+    # Already running from a --py-files zip (e.g. inside spark-submit):
+    # that zip IS the artifact — return it instead of rebuilding.
+    zip_ancestor = next(
+        (str(p) for p in [root, *root.parents] if str(p).endswith(".zip")), None
+    )
+    if zip_ancestor and os.path.isfile(zip_ancestor):
+        return zip_ancestor
     dest = dest or os.path.join(
         os.environ.get("TMPDIR", "/tmp"),
         f"fetch_engines_spark-{fetch_engines_spark.__version__}.zip",
     )
     sources = sorted(p for p in root.rglob("*.py") if "__pycache__" not in p.parts)
+    if not sources:
+        raise FileNotFoundError(f"no package sources under {root}")
     if os.path.exists(dest):
         newest = max(p.stat().st_mtime for p in sources)
         if os.path.getmtime(dest) >= newest:
