@@ -22,7 +22,7 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_EXTRACT_DOCS", "12000"))
+EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_EXTRACT_DOCS", "48000"))
 
 BENCH_QUERIES = [
     "pricing_summary",

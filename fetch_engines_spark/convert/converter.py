@@ -276,7 +276,6 @@ def remove_high_link_density_in_selected_content(content: Element) -> None:
             continue
         if st.n_links < 2:
             continue
-        links = [None] * st.n_links  # count only; texts come from the walk
         heading_count = st.n_h16
         has_paragraph = st.n_p > 0
         has_long_paragraph = any(len(_norm(t)) >= 140 for t in st.p_texts)
@@ -292,7 +291,7 @@ def remove_high_link_density_in_selected_content(content: Element) -> None:
             and non_link < 120
         )
         likely_related_links = (
-            len(links) >= 4
+            st.n_links >= 4
             and density > 0.82
             and heading_count == 0
             and not has_paragraph
