@@ -124,6 +124,7 @@ def main() -> None:
 
     for name in BENCH_QUERIES:
         fn = queries[name]
+        fn(spark, SF_DIR).count()  # untimed: codegen/IO warmup
         t0 = time.time()
         fn(spark, SF_DIR).count()
         timings[name] = round(time.time() - t0, 3)

@@ -55,6 +55,102 @@ def extract_documents_stream(
     return writer
 
 
+def stateful_sessionize(
+    events_stream: DataFrame,
+    gap_seconds: int = 1800,
+    idle_timeout: bool = True,
+) -> DataFrame:
+    """Custom stateful streaming operator: gap-based sessionization with
+    ``applyInPandasWithState`` (arbitrary per-key state across
+    micro-batches — the shape Structured Streaming's built-in windows can't
+    express).
+
+    State per user: (session_start, last_ts, n_events).  A gap >
+    ``gap_seconds`` closes the running session and emits it; the state
+    survives micro-batch boundaries, and (with ``idle_timeout``) a
+    processing-time timeout flushes idle users.  Pass
+    ``idle_timeout=False`` for availableNow/batch-style runs — a pending
+    timeout keeps the query alive past the available data.
+    Output: (user_id, session_start, session_end, n_events).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_us", LongType()),
+            StructField("last_us", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        sessions: list[tuple] = []
+        if state.hasTimedOut:
+            if state.exists:
+                start_us, last_us, n = state.get
+                sessions.append((user_id, start_us, last_us, n))
+                state.remove()
+        else:
+            if state.exists:
+                start_us, last_us, n = state.get
+            else:
+                start_us = last_us = None
+                n = 0
+            ts_all = []
+            for pdf in pdfs:
+                ts_all.append(pd.to_datetime(pdf["ts"]))
+            ts = pd.concat(ts_all).sort_values() if ts_all else pd.Series(dtype="datetime64[ns]")
+            for t in ts:
+                t_us = int(t.value // 1000)
+                if last_us is not None and t_us - last_us > gap_seconds * 1_000_000:
+                    sessions.append((user_id, start_us, last_us, n))
+                    start_us, n = t_us, 0
+                if start_us is None:
+                    start_us = t_us
+                last_us = t_us
+                n += 1
+            if last_us is not None:
+                state.update((start_us, last_us, n))
+                if idle_timeout:
+                    state.setTimeoutDuration(gap_seconds * 1000)
+        if sessions:
+            yield pd.DataFrame(
+                {
+                    "user_id": [s[0] for s in sessions],
+                    "session_start": [pd.Timestamp(s[1] * 1000, unit="ns") for s in sessions],
+                    "session_end": [pd.Timestamp(s[2] * 1000, unit="ns") for s in sessions],
+                    "n_events": [s[3] for s in sessions],
+                }
+            )
+
+    events = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout if idle_timeout else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
 def windowed_event_counts(
     events_stream: DataFrame,
     window_duration: str = "1 hour",

@@ -101,3 +101,49 @@ def test_windowed_event_counts_with_watermark(spark, tmp_path):
     }
     for r in got.collect():
         assert batch[(str(r.window_start), r.event_type)] == r.n_events
+
+
+def test_stateful_sessionize_applyinpandaswithstate(spark, tmp_path):
+    """Custom stateful op: completed sessions (in-batch gaps) are emitted;
+    the open tail session stays in state."""
+    import datetime as dt
+
+    events_dir = str(tmp_path / "sess_events")
+    out_dir = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    # user 1: two sessions separated by a 2h gap, tail session open
+    for mins in (0, 5, 10, 130, 135):
+        rows.append((eid, t0 + dt.timedelta(minutes=mins), 1, "click", 1.0, "{}"))
+        eid += 1
+    # user 2: one open session only
+    for mins in (0, 1):
+        rows.append((eid, t0 + dt.timedelta(minutes=mins), 2, "view", 1.0, "{}"))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    ev.write.parquet(events_dir)
+
+    from fetch_engines_spark.streaming import stateful_sessionize
+
+    stream = spark.readStream.schema(ev.schema).parquet(events_dir)
+    q = (
+        stateful_sessionize(stream, gap_seconds=1800, idle_timeout=False)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(timeout=180), "query did not terminate"
+    got = spark.read.parquet(out_dir).collect()
+    # exactly one COMPLETED session: user 1's first (3 events, 10 min span)
+    assert len(got) == 1
+    s = got[0]
+    assert s.user_id == 1 and s.n_events == 3
+    assert (s.session_end - s.session_start).total_seconds() == 600
