@@ -324,6 +324,121 @@ F20_ENGINE_ABS = """
         </main>
       </body>"""
 
+# --------------------------------------------------------------------------
+# F21-F24: additional archetypes (ours, not from the reference tests) that
+# widen the golden span-equality corpus: news article, wiki-style reference
+# page, forum thread (exercises the C-E branch end-to-end), commerce listing.
+# --------------------------------------------------------------------------
+
+F21_NEWS_ARTICLE = """<!doctype html>
+<html><head>
+  <title>Regional Grid Adds Storage | The Daily Ledger</title>
+  <meta property="og:title" content="Regional Grid Operator Adds 400 MWh of Battery Storage">
+</head>
+<body>
+  <header class="site-header"><a href="/">The Daily Ledger</a><nav><a href="/politics">Politics</a><a href="/energy">Energy</a></nav></header>
+  <article>
+    <h1>Grid Operator Adds Storage</h1>
+    <p>The regional grid operator commissioned a 400 MWh battery installation on Tuesday,
+       the largest storage project in the service area to date. Officials said the system
+       can discharge for four hours at full output.</p>
+    <figure>
+      <img src="/img/battery-yard.jpg" alt="Rows of battery containers">
+      <figcaption>The new battery yard at the substation.</figcaption>
+    </figure>
+    <blockquote><p>Storage lets us shift solar from noon into the evening peak.</p></blockquote>
+    <h2>What happens next</h2>
+    <ol>
+      <li>Commissioning tests run through March</li>
+      <li>Full commercial operation begins in April</li>
+      <li>A second phase doubles capacity next year</li>
+    </ol>
+    <p>Analysts expect the project to reduce evening reliance on gas peaker plants.</p>
+  </article>
+  <footer class="site-footer"><p>Subscribe to our newsletter</p><a href="/privacy">Privacy</a></footer>
+</body></html>"""
+
+F22_WIKI_REFERENCE = """<!doctype html>
+<html><head><title>Merge sort - Encyclopedia</title></head>
+<body>
+  <div id="content">
+    <main>
+      <h1>Merge sort</h1>
+      <p>Merge sort is an efficient, general-purpose, comparison-based sorting algorithm.
+         Most implementations produce a stable sort, meaning the order of equal elements
+         is preserved between input and output.</p>
+      <h2>Complexity</h2>
+      <table>
+        <tr><th>Case</th><th>Time</th></tr>
+        <tr><td>Best</td><td>O(n log n)</td></tr>
+        <tr><td>Worst</td><td>O(n log n)</td></tr>
+        <tr><td>Space</td><td>O(n)</td></tr>
+      </table>
+      <h2>Algorithm</h2>
+      <p>Conceptually, a merge sort works as follows: divide the unsorted list into
+         sublists, then repeatedly merge sublists to produce new sorted sublists.</p>
+      <pre><code class="language-python">def merge_sort(xs):
+    if len(xs) &lt;= 1:
+        return xs
+    mid = len(xs) // 2
+    return merge(merge_sort(xs[:mid]), merge_sort(xs[mid:]))</code></pre>
+      <h2>See also</h2>
+      <ul>
+        <li><a href="/wiki/Quicksort">Quicksort</a></li>
+        <li><a href="/wiki/Heapsort">Heapsort</a></li>
+      </ul>
+    </main>
+  </div>
+</body></html>"""
+
+F23_FORUM_THREAD = """<!doctype html>
+<html><head><title>Why is my shuffle slow? | Data Eng Forum</title>
+<link rel="canonical" href="https://forum.dataeng.example/t/4812">
+</head>
+<body>
+  <header><a href="/">Data Eng Forum</a></header>
+  <div class="submission">
+    <h1>Why is my shuffle slow?</h1>
+    <p>I have a 2 TB join that spills constantly. Partition count is 200. What should I look at first?</p>
+    <div class="votelinks"><span class="score">42</span></div>
+  </div>
+  <div class="comment-tree">
+    <div class="comment"><p>Check for key skew before anything else; one hot key will pin a single task.</p></div>
+    <div class="comment"><p>200 partitions for 2 TB is far too few. Aim for 128-256 MB per partition.</p></div>
+    <div class="comment"><p>Enable AQE and skew-join splitting, then look at the spill metrics again.</p></div>
+    <div class="sidebar"><a href="/jobs">Job board</a><a href="/swag">Swag shop</a></div>
+  </div>
+  <footer><p>Forum rules</p></footer>
+</body></html>"""
+
+F24_COMMERCE_LISTING = """<!doctype html>
+<html><head><title>Field Jacket - Outfitter Co.</title></head>
+<body>
+  <nav class="site-nav"><a href="/men">Men</a><a href="/women">Women</a><a href="/sale">Sale</a><a href="/stores">Stores</a></nav>
+  <main>
+    <div class="product-page">
+      <h1>Waxed Canvas Field Jacket</h1>
+      <img src="/media/field-jacket-front.jpg" alt="Field jacket front view">
+      <p class="price">$248.00</p>
+      <p>Built from 10 oz waxed canvas with a corduroy collar, this field jacket breaks in
+         like a good pair of boots. Four bellows pockets, interior security pocket,
+         antique brass hardware throughout the garment.</p>
+      <table>
+        <tbody>
+          <tr><td><strong>Size</strong></td><td><strong>Chest</strong></td><td><strong>Length</strong></td></tr>
+          <tr><td>M</td><td>40-42"</td><td>29"</td></tr>
+          <tr><td>L</td><td>43-45"</td><td>30"</td></tr>
+        </tbody>
+      </table>
+      <ul>
+        <li>Made in Portugal</li>
+        <li>Re-waxing kit included</li>
+      </ul>
+    </div>
+  </main>
+  <footer class="site-footer"><a href="/returns">Returns</a><a href="/shipping">Shipping</a></footer>
+</body></html>"""
+
 
 @dataclass
 class Fixture:
@@ -415,6 +530,54 @@ FIXTURES: list[Fixture] = [
     Fixture("F17", F17_VERIFY_MENTION, expect_soft_block=False),
     Fixture("F18", F18_PAYWALL, expect_soft_block=False),
     Fixture("F19", F19_TITLE, expect_title="Hello"),
+    Fixture(
+        "F21", F21_NEWS_ARTICLE,
+        base_url="https://dailyledger.example/energy/storage",
+        must_contain=[
+            "Grid Operator Adds Storage",
+            "400 MWh battery installation",
+            "![Rows of battery containers](https://dailyledger.example/img/battery-yard.jpg)",
+            "> Storage lets us shift solar",
+            "1. Commissioning tests run through March",
+            "## What happens next",
+        ],
+        must_not_contain=["Subscribe to our newsletter", "The Daily Ledger"],
+    ),
+    Fixture(
+        "F22", F22_WIKI_REFERENCE,
+        must_contain=[
+            "# Merge sort",
+            "| Case | Time |",
+            "| Best | O(n log n) |",
+            "```python",
+            "def merge_sort(xs):",
+            "[Quicksort](/wiki/Quicksort)",
+        ],
+        must_not_contain=["<table>", "<pre>"],
+    ),
+    Fixture(
+        "F23", F23_FORUM_THREAD,
+        canonical_url="https://forum.dataeng.example/t/4812",
+        must_contain=[
+            "Why is my shuffle slow?",
+            "2 TB join that spills constantly",
+            "Check for key skew",
+            "Enable AQE and skew-join splitting",
+        ],
+        must_not_contain=["Job board", "Swag shop", "Forum rules"],
+    ),
+    Fixture(
+        "F24", F24_COMMERCE_LISTING,
+        base_url="https://outfitter.example/p/field-jacket",
+        must_contain=[
+            "Waxed Canvas Field Jacket",
+            "$248.00",
+            "| **Size** | **Chest** | **Length** |",
+            "- Made in Portugal",
+            "![Field jacket front view](https://outfitter.example/media/field-jacket-front.jpg)",
+        ],
+        must_not_contain=["Returns", "Shipping", "Sale"],
+    ),
     Fixture(
         "F20", F20_ENGINE_ABS,
         base_url="https://example.com/products/item-1",

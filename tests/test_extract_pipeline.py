@@ -44,8 +44,10 @@ def test_input_synthesis_roundtrip():
 
 
 def test_all_docs_extracted_no_errors(extracted):
+    from fetch_engines_spark.fixtures import FIXTURES
+
     rows = extracted.collect()
-    assert len(rows) == 20  # F01..F20
+    assert len(rows) == len(FIXTURES)
     errs = [r for r in rows if r.error is not None]
     assert errs == [], errs
 
