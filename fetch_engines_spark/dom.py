@@ -165,8 +165,11 @@ class Element:
             if isinstance(n, Element):
                 if n.tag in tags:
                     out.append(n)
-                else:
-                    for c in cx:
+                elif cx:
+                    attrs = n.attrs
+                    for c, needs_attrs in cx:
+                        if needs_attrs and not attrs:
+                            continue
                         if _matches_compound(n, c):
                             out.append(n)
                             break
@@ -246,7 +249,14 @@ class SelectorList:
         self.tags = frozenset(
             tag for tag, preds in compounds if tag is not None and not preds
         )
-        self.complex = [c for c in compounds if c[1] or c[0] is None]
+        # (compound, needs_attrs): a compound with any positive class/id/attr
+        # predicate can only match an element that has attributes at all —
+        # pre-screening on that skips most elements of a typical page.
+        self.complex = [
+            (c, any(p[0] in ("class", "id", "attr") for p in c[1]))
+            for c in compounds
+            if c[1] or c[0] is None
+        ]
 
     def __iter__(self):
         return iter(self.compounds)
@@ -257,7 +267,10 @@ class SelectorList:
     def matches(self, el: "Element") -> bool:
         if el.tag in self.tags:
             return True
-        for c in self.complex:
+        attrs = el.attrs
+        for c, needs_attrs in self.complex:
+            if needs_attrs and not attrs:
+                continue
             if _matches_compound(el, c):
                 return True
         return False
