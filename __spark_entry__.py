@@ -335,6 +335,14 @@ def _q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantized ANN (broadcast codebook, cell-local search)."""
+    from fetch_engines_spark.pipelines.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, k=5, n_centroids=8, n_probe=2, query_ids=list(range(10)))
+
+
 def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     from fetch_engines_spark.pipelines.multimodal import extract_media_metadata
@@ -468,6 +476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_simhash,
         "embedding_topk": _q_embedding_topk,
         "embedding_topk_lsh": _q_embedding_topk_lsh,
+        "embedding_topk_ivf": _q_embedding_topk_ivf,
         "media_metadata": _q_media_metadata,
         "media_frame_sample": _q_frame_sample,
         "routing_decisions": _q_routing,
@@ -682,6 +691,7 @@ def oracle_sql() -> dict[str, str]:
         # dedup_simhash: engine-specific hash (xxhash64) — rows-only check.
         "embedding_topk": BRUTE_FORCE_TOPK_SQL.format(nq=10, k=5),
         # embedding_topk_lsh: approximate variant — rows-only check.
+        "embedding_topk_ivf": __import__("fetch_engines_spark.pipelines.similarity", fromlist=["x"]).ivf_topk_sql(k=5, n_centroids=8, n_probe=2, nq=10),
         "media_metadata": f"""
             SELECT media_id, exp_kind AS kind,
                    exp_width AS width, exp_height AS height,

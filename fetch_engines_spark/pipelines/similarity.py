@@ -145,7 +145,128 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    query_ids: list[int] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into centroid cells, search
+    only the query's ``n_probe`` nearest cells.
+
+    Deterministic coarse codebook: the first ``n_centroids`` vectors by id
+    (a real system would k-means; the *plan shape* — broadcast codebook,
+    cell-local candidate join — is what matters at 10^12 rows: the corpus
+    shuffles once on cell_id instead of all-pairs).
+    """
+    cents = embeddings.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
+    )
+
+    # assign every vector to its nearest centroid (broadcast codebook)
+    scored = (
+        embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+        .join(F.broadcast(cents))
+        .select(
+            "vid", "vec", "cent_id", cosine_bp(F.col("vec"), F.col("cv")).alias("sim_bp")
+        )
+    )
+    w_assign = Window.partitionBy("vid").orderBy(F.desc("sim_bp"), F.asc("cent_id"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vid", "vec", F.col("cent_id").alias("cell"))
+    )
+
+    # each query probes its n_probe nearest cells
+    q = assigned.select(F.col("vid").alias("query_id"), F.col("vec").alias("qv"))
+    if query_ids is not None:
+        q = q.filter(F.col("query_id").isin(query_ids))
+    q_cells = (
+        q.join(F.broadcast(cents))
+        .select(
+            "query_id", "qv", "cent_id", cosine_bp(F.col("qv"), F.col("cv")).alias("sim_bp")
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("sim_bp"), F.asc("cent_id"))
+            ),
+        )
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qv", F.col("cent_id").alias("cell"))
+    )
+
+    candidates = (
+        F.broadcast(q_cells)
+        .join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("vid"))
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            cosine_bp(F.col("qv"), F.col("vec")).alias("cosine_bp"),
+        )
+        .distinct()  # a neighbor can appear via multiple probed cells
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_bp"), F.asc("neighbor_id"))
+    return (
+        candidates.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine_bp", "rnk")
+    )
+
+
 # --- DuckDB oracle twin -------------------------------------------------------
+
+def cosine_bp_sql(a: str, b: str) -> str:
+    """DuckDB twin of cosine_bp (same fold order → same floored bp)."""
+    return (
+        f"CAST(floor(list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))) * 10000 "
+        f"/ greatest(sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) "
+        f"* sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 1e-12)) AS BIGINT)"
+    )
+
+
+def ivf_topk_sql(k: int = 5, n_centroids: int = 8, n_probe: int = 2, nq: int = 10) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM e WHERE vec_id < {n_centroids}),
+assign_scored AS (
+  SELECT e.vec_id AS vid, e.embedding AS vec, c.cent_id,
+         {cosine_bp_sql('e.embedding', 'c.cv')} AS sim_bp
+  FROM e, cents c
+),
+assigned AS (
+  SELECT vid, vec, cent_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY sim_bp DESC, cent_id ASC) AS rn
+    FROM assign_scored
+  ) WHERE rn = 1
+),
+q_cells AS (
+  SELECT query_id, qv, cent_id AS cell FROM (
+    SELECT a.vid AS query_id, a.vec AS qv, c.cent_id,
+           {cosine_bp_sql('a.vec', 'c.cv')} AS sim_bp,
+           row_number() OVER (PARTITION BY a.vid ORDER BY {cosine_bp_sql('a.vec', 'c.cv')} DESC, c.cent_id ASC) AS rn
+    FROM assigned a, cents c
+    WHERE a.vid < {nq}
+  ) WHERE rn <= {n_probe}
+),
+candidates AS (
+  SELECT DISTINCT q.query_id, a.vid AS neighbor_id,
+         {cosine_bp_sql('q.qv', 'a.vec')} AS cosine_bp
+  FROM q_cells q JOIN assigned a ON q.cell = a.cell
+  WHERE a.vid <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine_bp, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_bp DESC, neighbor_id ASC) AS rnk
+  FROM candidates
+) WHERE rnk <= {k}
+"""
+
 
 BRUTE_FORCE_TOPK_SQL = """
 WITH q AS (

@@ -163,3 +163,28 @@ def test_lang_id_and_quality(spark):
     q = {r.doc_id: r for r in quality_features(docs).collect()}
     assert q[1].n_tokens == 12
     assert q[1].quality_score >= q[3].quality_score
+
+
+def test_ivf_topk_subset_and_exhaustive_probe_equals_bruteforce(spark):
+    import math
+
+    from fetch_engines_spark.pipelines.similarity import brute_force_topk, ivf_topk
+
+    rows = [(i, [math.cos(i * 0.31 + d * 0.7) for d in range(8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    bf = brute_force_topk(emb, k=5, query_ids=[10, 11]).collect()
+    bf_pairs = {(r.query_id, r.neighbor_id, r.cosine_bp) for r in bf}
+
+    # probing ALL cells == exact search
+    ivf_all = ivf_topk(emb, k=5, n_centroids=4, n_probe=4, query_ids=[10, 11]).collect()
+    assert {(r.query_id, r.neighbor_id, r.cosine_bp) for r in ivf_all} == bf_pairs
+
+    # partial probe: results are a subset of the full candidate space with
+    # correct local ranking (dense rnk per query)
+    ivf_partial = ivf_topk(emb, k=5, n_centroids=4, n_probe=1, query_ids=[10, 11]).collect()
+    by_q = {}
+    for r in ivf_partial:
+        by_q.setdefault(r.query_id, []).append(r.rnk)
+    for q, rnks in by_q.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1))
