@@ -362,6 +362,28 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(extract_media_metadata(media), every_n=10)
 
 
+def _q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation: quality gate → exact-dup removal (keep min
+    doc_id) → per-source kept counts.  The composed shape of a
+    training-data cleaning job: one scan, one dedup shuffle, one agg."""
+    from fetch_engines_spark.pipelines.text import quality_features
+
+    docs = _read(spark, sf_dir, "documents")
+    q = quality_features(docs).select("doc_id", "quality_score")
+    passed = docs.join(q, "doc_id").filter(F.col("quality_score") >= 4)
+    keeper = (
+        passed.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = passed.join(keeper, "doc_id", "left_semi")
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
 def _q_resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpoint-resume shape: input anti-join completed ledger keys."""
     docs = _read(spark, sf_dir, "documents")
@@ -482,6 +504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "routing_decisions": _q_routing,
         "mime_split": _q_mime_split,
         "dedup_embedding": _q_dedup_embedding,
+        "corpus_curation": _q_corpus_curation,
         "resume_anti_join": _q_resume_anti_join,
         "span_order_window": _q_span_order_window,
         "media_ref_carry": _q_media_ref_carry,
@@ -719,6 +742,22 @@ def oracle_sql() -> dict[str, str]:
             FROM '{_RAW_CONTENT}'
         """,
         # dedup_embedding: engine-float LSH bucketing — rows-only check.
+        "corpus_curation": """
+            WITH q AS (
+              SELECT doc_id, source, text,
+                least(5, CAST(floor(len(string_split_regex(trim(text), '\s+')) / 100) AS BIGINT))
+                + CASE WHEN CAST(floor(len(list_filter(string_split(text, ' '), w -> w IN ('the','and','of','to','in','is'))) * 10000 / greatest(len(string_split_regex(trim(text), '\s+')), 1)) AS BIGINT) BETWEEN 100 AND 6000 THEN 2 ELSE 0 END
+                + CASE WHEN CAST(floor(len(regexp_extract_all(text, '[^\w\s]')) * 10000 / greatest(length(text), 1)) AS BIGINT) <= 2000 THEN 1 ELSE 0 END
+                + CASE WHEN CAST(floor(length(text) * 100 / greatest(len(string_split_regex(trim(text), '\s+')), 1)) AS BIGINT) BETWEEN 300 AND 1200 THEN 2 ELSE 0 END
+                AS quality_score
+              FROM documents
+            ),
+            passed AS (SELECT * FROM q WHERE quality_score >= 4),
+            keeper AS (SELECT min(doc_id) AS doc_id FROM passed GROUP BY md5(text)),
+            kept AS (SELECT p.* FROM passed p WHERE p.doc_id IN (SELECT doc_id FROM keeper))
+            SELECT source, count(*) AS n_kept, min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+            FROM kept GROUP BY source
+        """,
         "resume_anti_join": """
             SELECT source, count(*) AS n_remaining
             FROM documents

@@ -137,3 +137,30 @@ def test_giant_document_skew_row(spark):
     # content selection picks the single best-scoring subtree, so the
     # output stays compact even when the input is replicated 200×
     assert len(out[0].spans) > 0
+
+
+def test_source_url_column_injects_source_span(spark):
+    """M14: a source_url column yields a 'Source: <url>' span after the H1."""
+    rows = [
+        {
+            "doc_id": "s1",
+            "base_url": None,
+            "canonical_url": None,
+            "source_url": "https://example.com/origin",
+            "spans": [
+                {
+                    "kind": "html",
+                    "text": "<body><main><h1>Titled</h1><p>Body text long enough to be selected as main content here.</p></main></body>",
+                    "media_ref": None,
+                    "offset": 0,
+                }
+            ],
+        }
+    ]
+    schema = INPUT_SCHEMA.add("source_url", "string")
+    # build with the right field order: doc_id, base_url, canonical_url, spans, source_url
+    df = spark.createDataFrame(rows, schema)
+    out = extract_spans(df, keep_markdown=True).collect()[0]
+    kinds = [s.kind for s in out.spans]
+    assert kinds[0] == "heading" and kinds[1] == "source"
+    assert out.spans[1].text == "Source: https://example.com/origin"
