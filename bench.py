@@ -40,8 +40,11 @@ BENCH_QUERIES = [
 ]
 
 
-def extraction_corpus(spark, n_docs: int):
-    """Deterministic replicated fixture corpus with a skew tail."""
+def extraction_corpus(spark, n_docs: int, skew_every: int = 500, skew_factor: int = 40):
+    """Deterministic replicated fixture corpus with a genuine skew tail:
+    every ``skew_every``-th replica carries its page body ×``skew_factor``
+    (multi-hundred-KB documents), so the bench exercises the salted
+    repartition's straggler behavior (FIXTURES.md synthesis rule)."""
     from pyspark.sql import functions as F
 
     from fetch_engines_spark.extract import INPUT_SCHEMA
@@ -54,15 +57,31 @@ def extraction_corpus(spark, n_docs: int):
         [r for r in base_rows if r["doc_id"].split("#")[0] in {f.id for f in extraction}],
         INPUT_SCHEMA,
     )
-    # cross join with a replica index → n_docs rows, same page content
+    # cross join with a replica index → n_docs rows, same page content;
+    # skewed replicas repeat the html span text skew_factor times
     idx = spark.range(replicas).select(F.col("id").alias("replica"))
+    is_skewed = F.col("replica") % skew_every == 0
+    spans = F.when(
+        is_skewed,
+        F.transform(
+            F.col("spans"),
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                F.when(
+                    s["kind"] == "html", F.repeat(s["text"], skew_factor)
+                ).otherwise(s["text"]).alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].alias("offset"),
+            ),
+        ),
+    ).otherwise(F.col("spans"))
     return (
         base.crossJoin(idx)
         .select(
             F.concat_ws("#", "doc_id", "replica").alias("doc_id"),
             "base_url",
             "canonical_url",
-            "spans",
+            spans.alias("spans"),
         )
     )
 
