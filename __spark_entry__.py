@@ -742,7 +742,7 @@ def oracle_sql() -> dict[str, str]:
             FROM '{_RAW_CONTENT}'
         """,
         # dedup_embedding: engine-float LSH bucketing — rows-only check.
-        "corpus_curation": """
+        "corpus_curation": r"""
             WITH q AS (
               SELECT doc_id, source, text,
                 least(5, CAST(floor(len(string_split_regex(trim(text), '\s+')) / 100) AS BIGINT))

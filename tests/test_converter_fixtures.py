@@ -133,3 +133,50 @@ def test_breadcrumbs_removed(converter):
     md = converter.convert(html)
     assert "Home" not in md
     assert "Article" in md
+
+
+def test_serializer_edge_blocks(converter):
+    """Pin additional serializer behaviors: thead tables, nested lists,
+    blockquote, hr, definition lists, inline code in headings."""
+    html = """
+    <body><main>
+      <h1>Edge <code>cases</code></h1>
+      <table><thead><tr><th>A</th><th>B</th></tr></thead>
+        <tbody><tr><td>1</td><td>2</td></tr></tbody></table>
+      <ul><li>top<ul><li>nested one</li><li>nested two</li></ul></li><li>second</li></ul>
+      <blockquote><p>quoted wisdom</p></blockquote>
+      <hr>
+      <dl><dt>Term</dt><dd>Definition text</dd></dl>
+      <p>after the rule with plenty of supporting words to stay selected here</p>
+    </main></body>"""
+    md = converter.convert(html)
+    assert "# Edge `cases`" in md
+    assert "| A | B |" in md and "| 1 | 2 |" in md
+    # M9 (reference postprocess step 6) trims leading spaces per line, so
+    # nested-list indentation flattens — faithful to the reference's own
+    # postprocessMarkdown (markdown-converter.ts:933)
+    assert "- top" in md and "- nested one" in md
+    assert "> quoted wisdom" in md
+    assert "\n---\n" in md
+    assert "Term" in md and "Definition text" in md
+
+
+def test_ordered_list_numbering(converter):
+    html = ("<body><main><h1>Steps</h1><ol><li>first step</li><li>second step</li>"
+            "<li>third step</li></ol><p>closing text to keep main selected with more words</p></main></body>")
+    md = converter.convert(html)
+    assert "1. first step" in md and "2. second step" in md and "3. third step" in md
+
+
+def test_strikethrough_and_em(converter):
+    html = ("<body><main><h1>Styles</h1><p>Some <em>emphasis</em> and <s>struck</s> and "
+            "<strong>bold</strong> text in a paragraph long enough to be chosen as content.</p></main></body>")
+    md = converter.convert(html)
+    assert "*emphasis*" in md and "~~struck~~" in md and "**bold**" in md
+
+
+def test_linked_image_stays_inline(converter):
+    html = ("<body><main><h1>Pic</h1><p><a href='/big.png'><img src='/thumb.png' alt='thumb'></a>"
+            " caption words and enough additional text for the content selection to hold.</p></main></body>")
+    md = converter.convert(html)
+    assert "[![thumb](/thumb.png)](/big.png)" in md
