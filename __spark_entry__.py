@@ -466,6 +466,36 @@ def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_span_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star invariant as a query: LIVE extraction vs the golden
+    spans, per-doc span-sequence equality on (kind, text, media_ref,
+    order).  The oracle asserts every doc matches — any drift in the
+    extraction chain flips `equal` and fails the gate."""
+    _prep(spark)
+    from fetch_engines_spark.extract import extract_spans, span_equality_report
+
+    docs = _fixture(spark, "documents_spans")
+    produced = extract_spans(docs, keep_markdown=False).select("doc_id", "spans")
+    golden = (
+        _fixture(spark, "expected_spans")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("kind", "text", "media_ref", "offset"))
+            ).alias("spans")
+        )
+    )
+    # docs whose golden output is empty (app shells) have no golden rows;
+    # restore them with empty span arrays so every doc gets a verdict
+    all_docs = docs.select("doc_id")
+    golden_full = all_docs.join(golden, "doc_id", "left").select(
+        "doc_id", F.coalesce("spans", F.array().cast(produced.schema["spans"].dataType)).alias("spans")
+    )
+    return span_equality_report(produced, golden_full).select(
+        "doc_id", "n_mismatched", "equal"
+    )
+
+
 def _q_media_ref_carry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """north_rule media carry-through: media refs present in golden output."""
     spans = _fixture(spark, "expected_spans")
@@ -507,6 +537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": _q_corpus_curation,
         "resume_anti_join": _q_resume_anti_join,
         "span_order_window": _q_span_order_window,
+        "span_equality_gate": _q_span_equality,
         "media_ref_carry": _q_media_ref_carry,
     }
 
@@ -774,6 +805,10 @@ def oracle_sql() -> dict[str, str]:
                    min(CASE WHEN rn = "offset" + 1 THEN 1 ELSE 0 END) AS all_ordered,
                    count(DISTINCT kind) AS n_kinds
             FROM r GROUP BY doc_id
+        """,
+        "span_equality_gate": f"""
+            SELECT p.doc_id, 0 AS n_mismatched, true AS equal
+            FROM (SELECT DISTINCT doc_id FROM '{os.path.join(FIXTURES_DIR, "documents_spans.parquet")}') p
         """,
         "media_ref_carry": f"""
             SELECT doc_id, kind, media_ref FROM '{_EXPECTED_SPANS}'
