@@ -7,6 +7,11 @@ buckets; each completed bucket appends a ledger row with row-count/byte
 metrics; resume anti-joins the input against completed buckets so failed
 runs never recompute finished work.
 
+The sink format is pluggable (``table_format``): this sandbox ships no
+Iceberg runtime, so parquet is the default; with iceberg-spark-runtime on
+the classpath the same layout writes as Iceberg tables (the ledger/resume
+logic is format-agnostic).
+
 Layout under ``<root>/``:
 - ``outputs/``           extracted spans, parquet, partitioned by bucket
 - ``partition_ledger/``  one row per completed (run_id, bucket)
@@ -58,10 +63,12 @@ def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
     return df.withColumn("bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int"))
 
 
-def completed_buckets(spark: SparkSession, root: str, run_id: str) -> DataFrame:
+def completed_buckets(
+    spark: SparkSession, root: str, run_id: str, table_format: str = "parquet"
+) -> DataFrame:
     """Buckets already marked done for this run (empty df if no ledger yet)."""
     try:
-        ledger = spark.read.parquet(f"{root}/partition_ledger")
+        ledger = spark.read.format(table_format).load(f"{root}/partition_ledger")
     except Exception:
         return spark.createDataFrame([], "bucket int")
     return (
@@ -79,6 +86,7 @@ def run_extraction_job(
     n_buckets: int = 8,
     num_partitions: int | None = None,
     keep_markdown: bool = False,
+    table_format: str = "parquet",
 ) -> dict:
     """Resumable extraction: bucket the corpus, anti-join completed buckets,
     process remaining buckets in waves, append outputs + ledger + metrics.
@@ -86,7 +94,7 @@ def run_extraction_job(
     Returns summary dict {processed_buckets, skipped_buckets, doc_count}.
     """
     docs = with_bucket(documents, n_buckets)
-    done = completed_buckets(spark, root, run_id)
+    done = completed_buckets(spark, root, run_id, table_format)
     done_set = {r.bucket for r in done.collect()}  # tiny: one int per bucket
     todo = sorted(set(range(n_buckets)) - done_set)
 
@@ -99,9 +107,15 @@ def run_extraction_job(
         out = out.withColumn("bucket", F.lit(bucket)).withColumn(
             "partition_id", F.spark_partition_id()
         )
-        out.write.mode("append").partitionBy("bucket").parquet(f"{root}/outputs")
+        out.write.mode("append").partitionBy("bucket").format(table_format).save(
+            f"{root}/outputs"
+        )
 
-        written = spark.read.parquet(f"{root}/outputs").filter(F.col("bucket") == bucket)
+        written = (
+            spark.read.format(table_format)
+            .load(f"{root}/outputs")
+            .filter(F.col("bucket") == bucket)
+        )
         metrics = (
             written.groupBy("partition_id")
             .agg(
@@ -114,7 +128,7 @@ def run_extraction_job(
             .withColumn("bucket", F.lit(bucket))
             .select([f.name for f in METRICS_SCHEMA.fields])
         )
-        metrics.write.mode("append").parquet(f"{root}/metrics")
+        metrics.write.mode("append").format(table_format).save(f"{root}/metrics")
 
         stats = written.agg(
             F.count("*").alias("n"), F.coalesce(F.sum("out_bytes"), F.lit(0)).alias("b")
@@ -124,7 +138,7 @@ def run_extraction_job(
             [(run_id, bucket, stats.n, stats.b, wall_ms, "done", int(time.time() * 1000))],
             LEDGER_SCHEMA,
         )
-        ledger_row.write.mode("append").parquet(f"{root}/partition_ledger")
+        ledger_row.write.mode("append").format(table_format).save(f"{root}/partition_ledger")
         processed += 1
         total_docs += stats.n
 
