@@ -466,6 +466,18 @@ def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup recall gate: LSH candidate pairs over the committed
+    planted-duplicate corpus (30 exact + 30 near dups among 150 docs)."""
+    from fetch_engines_spark.pipelines.dedup import minhash_candidate_pairs
+
+    docs = _fixture(spark, "neardup")
+    # recall-oriented banding (6 bands x 1 hash): P(candidate) ~ 1-(1-s)^6,
+    # ~0.999 at jaccard 0.6 - the planted near dups; the jaccard stage
+    # downstream removes the extra false positives this admits
+    return minhash_candidate_pairs(docs, num_hashes=6, band_size=1)
+
+
 def _q_span_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-star invariant as a query: LIVE extraction vs the golden
     spans, per-doc span-sequence equality on (kind, text, media_ref,
@@ -525,6 +537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _q_minhash,
         "dedup_minhash_bands": _q_minhash_bands,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
+        "dedup_planted": _q_dedup_planted,
         "dedup_simhash": _q_simhash,
         "embedding_topk": _q_embedding_topk,
         "embedding_topk_lsh": _q_embedding_topk_lsh,
@@ -742,6 +755,11 @@ def oracle_sql() -> dict[str, str]:
                    / greatest(len(list_distinct(list_concat(a.s, b.s))), 1)) AS BIGINT) AS jaccard_bp
             FROM pairs p JOIN sh a ON p.doc_a = a.doc_id JOIN sh b ON p.doc_b = b.doc_id
         """,
+        "dedup_planted": __import__("fetch_engines_spark.pipelines.dedup", fromlist=["x"]).candidate_pairs_oracle_sql(
+            source=f"read_parquet('{os.path.join(FIXTURES_DIR, 'neardup.parquet')}')",
+            num_hashes=6,
+            band_size=1,
+        ),
         # dedup_simhash: engine-specific hash (xxhash64) — rows-only check.
         "embedding_topk": BRUTE_FORCE_TOPK_SQL.format(nq=10, k=5),
         # embedding_topk_lsh: approximate variant — rows-only check.

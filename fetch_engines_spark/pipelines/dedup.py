@@ -166,7 +166,7 @@ WITH sh AS (
       range(0, greatest(len(string_split(text,' ')) - 3, 0) + 1),
       i -> array_to_string(list_slice(string_split(text,' '), i + 1, i + 3), ' ')
     )) AS shingle
-  FROM documents
+  FROM {source}
 )
 SELECT doc_id, hash_idx, minhash FROM (
   {unions}
@@ -174,9 +174,25 @@ SELECT doc_id, hash_idx, minhash FROM (
 """
 
 
-def minhash_oracle_sql(num_hashes: int = 4) -> str:
+def minhash_oracle_sql(num_hashes: int = 4, source: str = "documents") -> str:
     unions = "\nUNION ALL\n".join(
         f"SELECT doc_id, {k} AS hash_idx, min(md5('s{k}|' || shingle)) AS minhash FROM sh GROUP BY doc_id"
         for k in range(num_hashes)
     )
-    return MINHASH_SQL_TEMPLATE.format(unions=unions)
+    return MINHASH_SQL_TEMPLATE.format(unions=unions, source=source)
+
+
+def candidate_pairs_oracle_sql(source: str, num_hashes: int = 4, band_size: int = 2) -> str:
+    """Full SQL twin of minhash_candidate_pairs over an arbitrary source."""
+    sigs = minhash_oracle_sql(num_hashes, source)
+    return f"""
+WITH sigs AS ({sigs}),
+bands AS (
+  SELECT doc_id, CAST(floor(hash_idx / {band_size}) AS BIGINT) AS band_id,
+         md5(array_to_string(list_sort(list(minhash)), '|')) AS band_key
+  FROM sigs GROUP BY doc_id, floor(hash_idx / {band_size})
+)
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+FROM bands l JOIN bands r
+  ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+"""

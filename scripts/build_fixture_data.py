@@ -151,6 +151,43 @@ def build_raw_content() -> None:
     )
 
 
+def build_neardup_corpus() -> None:
+    """Planted-duplicate corpus for dedup recall gating: 30 base texts,
+    each with an exact copy, a near-copy (one word substituted per 12),
+    and a shuffled-suffix copy; plus 30 unrelated texts.  Deterministic
+    (id-derived perturbations, no RNG)."""
+    words = (
+        "engine spark shuffle partition arrow batch schema parquet column row "
+        "join filter window aggregate broadcast salt skew ledger resume span "
+        "markdown heading table code image media document corpus token quality"
+    ).split()
+    rows = []
+    for i in range(30):
+        base = [words[(i * 7 + j * 3) % len(words)] for j in range(48)]
+        text = " ".join(base)
+        rows.append((f"base{i:02d}", text, f"base{i:02d}"))
+        rows.append((f"copy{i:02d}", text, f"base{i:02d}"))  # exact dup
+        near = list(base)
+        for j in range(0, 48, 12):
+            near[j] = words[(i * 11 + j * 5 + 1) % len(words)]
+        rows.append((f"near{i:02d}", " ".join(near), f"base{i:02d}"))  # near dup
+        tail = base[40:] + base[:40]
+        rows.append((f"far{i:02d}", " ".join(tail[:24]) + " " + " ".join(reversed(words[: (i % 14) + 10 ])), None))
+    for i in range(30):
+        uniq = [words[(i * 13 + j * j) % len(words)] + str((i + j) % 9) for j in range(40)]
+        rows.append((f"uniq{i:02d}", " ".join(uniq), None))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "family": [r[2] for r in rows],
+            }
+        ),
+        os.path.join(OUT, "neardup.parquet"),
+    )
+
+
 if __name__ == "__main__":
     os.makedirs(OUT, exist_ok=True)
     build_pages()
@@ -158,4 +195,5 @@ if __name__ == "__main__":
     build_expected()
     build_media()
     build_raw_content()
+    build_neardup_corpus()
     print(f"wrote fixture data to {OUT}")

