@@ -72,8 +72,48 @@ def _variants() -> list[str]:
     return pages
 
 
+def _lcg_pages(n: int = 300, seed: int = 0xC0FFEE) -> list[str]:
+    """Deterministic pseudo-random page generator (LCG, no RNG module) —
+    broadens the differential surface beyond the enumerated variants."""
+    state = seed
+    def rnd(m):
+        nonlocal state
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        return (state >> 33) % m
+
+    words = "content page example render script title verify browser robot main article".split()
+    titles = ["", "Just a moment...", "Plain Title", "security check pending", "A & B &amp; C"]
+    pages = []
+    for _ in range(n):
+        t = titles[rnd(len(titles))]
+        parts = [f"<html><head><title>{t}</title>"]
+        for _ in range(rnd(4)):
+            parts.append("<script src='/x.js'></script>")
+        if rnd(3) == 0:
+            parts.append("<noscript>please enable javascript to run this app</noscript>")
+        parts.append("</head><body>")
+        shape = rnd(4)
+        if shape == 0:
+            parts.append(f"<div id='{'root' if rnd(2) else 'app'}'></div>")
+        elif shape == 1:
+            body = " ".join(words[rnd(len(words))] for _ in range(rnd(120)))
+            parts.append(f"<main><h{1+rnd(3)}>H</h{1+rnd(3)}><p>{body}</p></main>")
+        elif shape == 2:
+            parts.append("<div class='captcha-container'><p>please complete the security check</p></div>")
+        else:
+            body = " ".join(words[rnd(len(words))] for _ in range(rnd(400)))
+            parts.append(f"<article><p>{body}</p></article>")
+        if rnd(4) == 0:
+            parts.append("<!-- <main>commented out</main> -->")
+        if rnd(5) == 0:
+            parts.append("<svg><text>inline icon</text></svg>")
+        parts.append("</body></html>")
+        pages.append("".join(parts))
+    return pages
+
+
 def test_classifiers_match_reference_implementation(spark):
-    pages = _variants()
+    pages = _variants() + _lcg_pages()
     ref = json.loads(
         subprocess.run(
             [node, "--input-type=module", "-e", _NODE_SCRIPT],
