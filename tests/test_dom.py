@@ -89,3 +89,76 @@ def test_to_html_roundtrip():
     reparsed = parse_html(out)
     assert reparsed.query_selector("p").text_content == "text & more"
     assert reparsed.query_selector("img").get_attribute("src") == "x.png"
+
+
+def _merge_text(children):
+    from fetch_engines_spark.dom import TextNode
+
+    out = []
+    for c in children:
+        if isinstance(c, TextNode) and out and isinstance(out[-1], TextNode):
+            out[-1] = TextNode(out[-1].text + c.text)
+        else:
+            out.append(c)
+    return out
+
+
+def _tree_diff(a, b, path="root"):
+    from fetch_engines_spark.dom import TextNode
+
+    ca, cb = _merge_text(a.children), _merge_text(b.children)
+    if len(ca) != len(cb):
+        return f"{path}: child count {len(ca)} vs {len(cb)}"
+    for i, (x, y) in enumerate(zip(ca, cb)):
+        tx, ty = isinstance(x, TextNode), isinstance(y, TextNode)
+        if tx != ty:
+            return f"{path}[{i}]: node type"
+        if tx:
+            if x.text != y.text:
+                return f"{path}[{i}]: text {x.text[:40]!r} != {y.text[:40]!r}"
+        else:
+            if x.tag != y.tag or x.attrs != y.attrs:
+                return f"{path}[{i}]: {x.tag} {x.attrs} != {y.tag} {y.attrs}"
+            d = _tree_diff(x, y, f"{path}/{x.tag}")
+            if d:
+                return d
+    return None
+
+
+def test_fast_parser_matches_stdlib_on_fixtures():
+    from fetch_engines_spark.dom import parse_html_fast, parse_html_stdlib
+    from fetch_engines_spark.fixtures import FIXTURES
+
+    for f in FIXTURES:
+        d = _tree_diff(parse_html_fast(f.html), parse_html_stdlib(f.html))
+        assert d is None, (f.id, d)
+
+
+def test_fast_parser_matches_stdlib_fuzz():
+    import string
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fetch_engines_spark.dom import parse_html_fast, parse_html_stdlib
+
+    tags = ["div", "p", "a", "span", "script", "style", "img", "ul", "li", "br", "table", "tr", "td"]
+    frag = st.recursive(
+        st.text(string.ascii_letters + " &amp; &lt; #x27; \n\t", max_size=40),
+        lambda inner: st.builds(
+            lambda t, a, i, closed: f"<{t}{a}>{i}" + (f"</{t}>" if closed else ""),
+            st.sampled_from(tags),
+            st.sampled_from(["", " class='a b'", ' id="x"', " data-v='1' hidden", " href=/x"]),
+            inner,
+            st.booleans(),
+        ),
+        max_leaves=8,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(frag, max_size=5).map("".join))
+    def check(html):
+        d = _tree_diff(parse_html_fast(html), parse_html_stdlib(html))
+        assert d is None, (html[:120], d)
+
+    check()
