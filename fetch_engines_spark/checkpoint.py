@@ -32,7 +32,20 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from contextlib import contextmanager
+
 from .extract import extract_spans
+
+
+@contextmanager
+def _dynamic_partition_overwrite(spark: SparkSession):
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 LEDGER_SCHEMA = StructType(
     [
@@ -104,28 +117,33 @@ def run_extraction_job(
         t0 = time.time()
         chunk = docs.filter(F.col("bucket") == bucket).drop("bucket")
         out = extract_spans(chunk, num_partitions=num_partitions, keep_markdown=keep_markdown)
-        out = out.withColumn("bucket", F.lit(bucket)).withColumn(
-            "partition_id", F.spark_partition_id()
+        out = (
+            out.withColumn("run_id", F.lit(run_id))
+            .withColumn("bucket", F.lit(bucket))
+            .withColumn("partition_id", F.spark_partition_id())
         )
-        out.write.mode("append").partitionBy("bucket").format(table_format).save(
-            f"{root}/outputs"
-        )
+        # dynamic partition overwrite makes bucket writes idempotent: if a
+        # run crashed AFTER writing outputs but BEFORE the ledger append,
+        # the rerun replaces that (run_id, bucket) partition instead of
+        # appending duplicates; other runs' outputs are untouched
+        with _dynamic_partition_overwrite(spark):
+            out.write.mode("overwrite").partitionBy("run_id", "bucket").format(
+                table_format
+            ).save(f"{root}/outputs")
 
         written = (
             spark.read.format(table_format)
             .load(f"{root}/outputs")
-            .filter(F.col("bucket") == bucket)
+            .filter((F.col("bucket") == bucket) & (F.col("run_id") == run_id))
         )
         metrics = (
-            written.groupBy("partition_id")
+            written.groupBy("run_id", "bucket", "partition_id")
             .agg(
                 F.count("*").alias("doc_count"),
                 F.sum("out_bytes").alias("byte_count"),
                 F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("error_count"),
                 F.sum("wall_us").alias("wall_us_sum"),
             )
-            .withColumn("run_id", F.lit(run_id))
-            .withColumn("bucket", F.lit(bucket))
             .select([f.name for f in METRICS_SCHEMA.fields])
         )
         metrics.write.mode("append").format(table_format).save(f"{root}/metrics")

@@ -74,3 +74,27 @@ def test_different_run_id_does_not_skip(spark, documents, tmp_path):
     run_extraction_job(spark, documents, root, run_id="a", n_buckets=2)
     summary = run_extraction_job(spark, documents, root, run_id="b", n_buckets=2)
     assert summary["processed_buckets"] == 2
+
+
+def test_crash_between_outputs_and_ledger_does_not_duplicate(spark, documents, tmp_path):
+    """Crash-window resume: outputs written but ledger append lost → the
+    rerun must REPLACE the bucket's outputs (dynamic partition overwrite),
+    not append duplicates."""
+    root = str(tmp_path / "ckpt")
+    run_extraction_job(spark, documents, root, run_id="crash", n_buckets=2)
+    before = spark.read.parquet(f"{root}/outputs").count()
+
+    # simulate the crash window: drop bucket 1's ledger row (outputs remain)
+    ledger = spark.read.parquet(f"{root}/partition_ledger")
+    kept = ledger.filter(~((F.col("run_id") == "crash") & (F.col("bucket") == 1)))
+    kept_rows = kept.collect()
+    import shutil
+
+    shutil.rmtree(f"{root}/partition_ledger")
+    spark.createDataFrame(kept_rows, ledger.schema).write.parquet(f"{root}/partition_ledger")
+
+    summary = run_extraction_job(spark, documents, root, run_id="crash", n_buckets=2)
+    assert summary["processed_buckets"] == 1  # only the "crashed" bucket
+    out = spark.read.parquet(f"{root}/outputs")
+    assert out.count() == before  # no duplicates
+    assert out.groupBy("doc_id").count().filter("count > 1").count() == 0
