@@ -180,3 +180,28 @@ def test_linked_image_stays_inline(converter):
             " caption words and enough additional text for the content selection to hold.</p></main></body>")
     md = converter.convert(html)
     assert "[![thumb](/thumb.png)](/big.png)" in md
+
+
+def test_forum_detection_via_og_url(converter):
+    """Forum host detection falls back to og:url when no canonical link
+    (parity: detectForumPage, markdown-converter.ts:662-676)."""
+    html = (
+        "<html><head><meta property='og:url' content='https://community.example.com/t/1'>"
+        "</head><body><div class='post'><p>Single post body long enough to be the content here.</p>"
+        "</div></body></html>"
+    )
+    content, _ = converter.preprocess(html)
+    # forum branch selected: no .fatitem/.comments → falls back to cleaned body
+    md = converter.convert(html)
+    assert "Single post body" in md
+
+
+def test_relative_canonical_resolved_against_dummy_base(converter):
+    """Relative canonical URLs resolve against http://example.com (parity:
+    markdown-converter.ts:666-668) — no crash, no forum detection."""
+    html = (
+        "<html><head><link rel='canonical' href='/article/42'></head>"
+        "<body><main><h1>T</h1><p>Body content with enough words to be selected as main.</p></main></body></html>"
+    )
+    md = converter.convert(html)
+    assert "Body content" in md
