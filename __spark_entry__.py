@@ -278,6 +278,17 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
+def _q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints, exploded to (doc_id, fp) pairs
+    (the dedup-index shape: group by fp → collision candidates)."""
+    from fetch_engines_spark.pipelines.text import winnowing_fingerprints
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(winnowing_fingerprints(F.col("text"))).alias("fp")
+    )
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fetch_engines_spark.pipelines.dedup import exact_duplicates
 
@@ -533,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "text_quality": _q_text_quality,
         "doc_fingerprint": _q_fingerprint,
+        "doc_winnowing": _q_winnowing,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_minhash,
         "dedup_minhash_bands": _q_minhash_bands,
@@ -731,6 +743,21 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": LANG_ID_SQL,
         "text_quality": QUALITY_SQL,
         "doc_fingerprint": "SELECT doc_id, md5(lower(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))) AS fp FROM documents",
+        "doc_winnowing": """
+            WITH h AS (
+              SELECT doc_id,
+                list_transform(
+                  range(0, greatest(len(string_split(text,' ')) - 3, 0) + 1),
+                  i -> md5(array_to_string(list_slice(string_split(text,' '), i + 1, i + 3), ' '))
+                ) AS hashes
+              FROM documents
+            )
+            SELECT doc_id, unnest(list_distinct(list_transform(
+              range(0, greatest(len(hashes) - 4, 0) + 1),
+              i -> list_min(list_slice(hashes, i + 1, i + 4))
+            ))) AS fp
+            FROM h
+        """,
         "dedup_exact": EXACT_DUP_SQL,
         "dedup_minhash": minhash_oracle_sql(),
         "dedup_minhash_bands": f"""

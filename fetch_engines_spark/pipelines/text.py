@@ -97,6 +97,24 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def winnowing_fingerprints(text: Column, k: int = 3, window: int = 4) -> Column:
+    """Winnowing document fingerprints (rolling-hash family): hash every
+    k-word shingle, slide a window of ``window`` consecutive hashes, keep
+    each window's minimum — the classic local-minima selection that makes
+    fingerprints robust to insertions/reordering (used for near-dup and
+    plagiarism detection at corpus scale).  All native higher-order
+    functions; identical construction in the DuckDB oracle."""
+    w = F.split(text, " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - k, F.lit(0)))
+    hashes = F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(w, i + 1, k)))
+    )
+    widx = F.sequence(F.lit(0), F.greatest(F.size(hashes) - window, F.lit(0)))
+    return F.array_distinct(
+        F.transform(widx, lambda i: F.array_min(F.slice(hashes, i + 1, window)))
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Normalization fingerprint: md5 of the lowercased text with all
     non-alphanumerics removed — a cheap canonical-form document hash for
@@ -146,4 +164,22 @@ SELECT doc_id, n_chars_computed, n_tokens, n_tokens_bpe, n_punct,
     + CASE WHEN CAST(floor(n_chars_computed * 100 / greatest(n_tokens, 1)) AS BIGINT) BETWEEN 300 AND 1200 THEN 2 ELSE 0 END
     AS quality_score
 FROM f
+"""
+
+
+WINNOWING_SQL = """
+WITH h AS (
+  SELECT doc_id,
+    list_transform(
+      range(0, greatest(len(string_split(text,' ')) - 3, 0) + 1),
+      i -> md5(array_to_string(list_slice(string_split(text,' '), i + 1, i + 3), ' '))
+    ) AS hashes
+  FROM documents
+)
+SELECT doc_id,
+  list_distinct(list_transform(
+    range(0, greatest(len(hashes) - 4, 0) + 1),
+    i -> list_min(list_slice(hashes, i + 1, i + 4))
+  )) AS fp_set
+FROM h
 """

@@ -214,3 +214,26 @@ def test_planted_neardup_recall(spark):
     assert all(a[:4] == "base" or b[:4] in ("copy", "near") or True for a, b in keep)
     # noise pairs (uniq/far) don't survive the 0.5 jaccard bar
     assert not any(a.startswith("uniq") or b.startswith("uniq") for a, b in keep)
+
+
+def test_winnowing_fingerprints_robust_to_insertion(spark):
+    """Winnowing property: inserting one word changes only local
+    fingerprints — overlap stays high; unrelated docs share none."""
+    from fetch_engines_spark.pipelines.text import winnowing_fingerprints
+    import pyspark.sql.functions as F
+
+    base = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    inserted = base.replace("jumps over", "jumps right over")
+    other = "completely unrelated words about database engines and storage layers here now"
+    docs = spark.createDataFrame(
+        [(1, base), (2, inserted), (3, other)], "doc_id long, text string"
+    )
+    fps = {
+        r.doc_id: set(r.fps)
+        for r in docs.select(
+            "doc_id", winnowing_fingerprints(F.col("text")).alias("fps")
+        ).collect()
+    }
+    overlap = len(fps[1] & fps[2]) / len(fps[1] | fps[2])
+    assert overlap >= 0.5, overlap
+    assert not (fps[1] & fps[3])
