@@ -162,3 +162,82 @@ def test_classifiers_match_reference_implementation(spark):
             if mine != theirs:
                 mismatches.append((i, field, mine, theirs, pages[i][:120]))
     assert not mismatches, mismatches[:10]
+
+
+_NODE_X7X8 = """
+import * as rd from '/root/reference/dist/utils/render-detection.js';
+import { readFileSync } from 'node:fs';
+const cases = JSON.parse(readFileSync(0, 'utf8'));
+const out = cases.map(([html, md]) => {
+  const base = rd.assessSerializedContent(html, 'html');
+  const cand = rd.assessSerializedContent(md, 'markdown');
+  return {
+    baseText: base.textLength, baseTitle: base.titleLength, baseQ: base.qualityScore,
+    candText: cand.textLength, candTitle: cand.titleLength, candQ: cand.qualityScore,
+    better: rd.isRenderedContentMeaningfullyBetter(base, cand),
+  };
+});
+console.log(JSON.stringify(out));
+"""
+
+
+def test_x7_x8_match_reference_implementation(spark):
+    """X7 (serialized-content assessment, html+markdown) and X8
+    (rendered-vs-static comparator) vs the reference's own implementation."""
+    htmls = _variants()[:40]
+    mds = [
+        "",
+        "# Title\n\nshort",
+        "# Example article\n\n" + "rendered body text " * 30,
+        "no heading, just plain text " * 10,
+        "```\ncode only\n```",
+        "![img](http://x/y.png)\n\n[link text](http://x)",
+        "# A much longer rendered title line here\n\n" + "word " * 200,
+        "**bold** *em* ~~strike~~ > quote\n\n- item",
+    ]
+    cases = [[h, mds[i % len(mds)]] for i, h in enumerate(htmls)]
+    ref = json.loads(
+        subprocess.run(
+            [node, "--input-type=module", "-e", _NODE_X7X8],
+            input=json.dumps(cases),
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+    )
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, h, m) for i, (h, m) in enumerate(cases)], "i int, html string, md string"
+    )
+    base = X.assess_serialized_content(F.col("html"), "html")
+    cand = X.assess_serialized_content(F.col("md"), "markdown")
+    got = {
+        r.i: r
+        for r in df.select(
+            "i",
+            base["text_length"].alias("bt"),
+            base["title_length"].alias("bl"),
+            base["quality_score"].alias("bq"),
+            cand["text_length"].alias("ct"),
+            cand["title_length"].alias("cl"),
+            cand["quality_score"].alias("cq"),
+            X.is_rendered_content_meaningfully_better(base, cand).alias("better"),
+        ).collect()
+    }
+    mismatches = []
+    for i, e in enumerate(ref):
+        g = got[i]
+        for field, pair in {
+            "baseText": (g.bt, e["baseText"]),
+            "baseTitle": (g.bl, e["baseTitle"]),
+            "baseQ": (g.bq, e["baseQ"]),
+            "candText": (g.ct, e["candText"]),
+            "candTitle": (g.cl, e["candTitle"]),
+            "candQ": (g.cq, e["candQ"]),
+            "better": (g.better, e["better"]),
+        }.items():
+            if pair[0] != pair[1]:
+                mismatches.append((i, field, *pair))
+    assert not mismatches, mismatches[:8]
