@@ -354,6 +354,33 @@ def _q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, k=5, n_centroids=8, n_probe=2, query_ids=list(range(10)))
 
 
+def _q_streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming extraction over the fixture corpus: land the
+    corpus, run the availableNow stream through the real parquet sink,
+    read the sink back.  Oracle = the committed goldens, so the streaming
+    path is held to the same span/title equality as the batch path."""
+    _prep(spark)
+    import tempfile
+
+    from fetch_engines_spark.streaming import (
+        extract_documents_stream,
+        read_documents_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="fes_stream_q_")
+    docs = _fixture(spark, "documents_spans")
+    docs.write.mode("overwrite").parquet(f"{base}/in")
+    q = extract_documents_stream(
+        read_documents_stream(spark, f"{base}/in"),
+        f"{base}/out",
+        f"{base}/ckpt",
+        keep_markdown=True,
+    ).start()
+    q.awaitTermination(timeout=300)
+    out = spark.read.parquet(f"{base}/out")
+    return out.select("doc_id", "title", F.size("spans").alias("n_spans"), "markdown")
+
+
 def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     from fetch_engines_spark.pipelines.multimodal import extract_media_metadata
@@ -563,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resume_anti_join": _q_resume_anti_join,
         "span_order_window": _q_span_order_window,
         "span_equality_gate": _q_span_equality,
+        "streaming_extract": _q_streaming_extract,
         "media_ref_carry": _q_media_ref_carry,
     }
 
@@ -854,6 +882,14 @@ def oracle_sql() -> dict[str, str]:
         "span_equality_gate": f"""
             SELECT p.doc_id, 0 AS n_mismatched, true AS equal
             FROM (SELECT DISTINCT doc_id FROM '{os.path.join(FIXTURES_DIR, "documents_spans.parquet")}') p
+        """,
+        "streaming_extract": f"""
+            SELECT m.doc_id, m.title,
+                   coalesce(s.n_spans, 0) AS n_spans, m.markdown
+            FROM '{_EXPECTED_MD}' m
+            LEFT JOIN (
+              SELECT doc_id, count(*) AS n_spans FROM '{_EXPECTED_SPANS}' GROUP BY doc_id
+            ) s USING (doc_id)
         """,
         "media_ref_carry": f"""
             SELECT doc_id, kind, media_ref FROM '{_EXPECTED_SPANS}'
