@@ -194,10 +194,14 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
-def _extract_arrow_batches(batches):
+def _extract_arrow_batches(batches, emit_markdown: bool = True):
     """Arrow-native variant of the extraction stage (mapInArrow): consumes
     pyarrow RecordBatches and builds the output arrays directly, skipping
-    the pandas materialization on both sides of the boundary."""
+    the pandas materialization on both sides of the boundary.
+
+    With ``emit_markdown=False`` the markdown column is emitted as nulls —
+    it never crosses the Arrow boundary (the span array already carries
+    the content; at corpus scale this halves the stage's output bytes)."""
     import pyarrow as pa
 
     from .convert.converter import MarkdownConverter, inject_source_url, postprocess_markdown
@@ -267,7 +271,7 @@ def _extract_arrow_batches(batches):
                 markdown = ""
             o_title.append(title)
             o_spans.append(out_spans)
-            o_md.append(markdown)
+            o_md.append(markdown if emit_markdown else None)
             o_err.append(error)
             o_in.append(in_bytes)
             o_out.append(len(markdown.encode("utf-8", "ignore")))
@@ -314,7 +318,10 @@ def extract_spans(
     cols = [c for c in ("doc_id", "base_url", "canonical_url", "source_url", "spans") if c in df.columns]
     sel = df.select(*cols)
     if use_arrow and hasattr(sel, "mapInArrow"):
-        out = sel.mapInArrow(_extract_arrow_batches, schema=OUTPUT_SCHEMA)
+        import functools
+
+        fn = functools.partial(_extract_arrow_batches, emit_markdown=keep_markdown)
+        out = sel.mapInArrow(fn, schema=OUTPUT_SCHEMA)
     else:
         out = sel.mapInPandas(_extract_batches, schema=OUTPUT_SCHEMA)
     if not keep_markdown:
