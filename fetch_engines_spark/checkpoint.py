@@ -51,6 +51,7 @@ LEDGER_SCHEMA = StructType(
     [
         StructField("run_id", StringType()),
         StructField("bucket", IntegerType()),
+        StructField("n_buckets", IntegerType()),
         StructField("doc_count", LongType()),
         StructField("byte_count", LongType()),
         StructField("wall_ms", LongType()),
@@ -77,18 +78,37 @@ def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
 
 
 def completed_buckets(
-    spark: SparkSession, root: str, run_id: str, table_format: str = "parquet"
+    spark: SparkSession,
+    root: str,
+    run_id: str,
+    table_format: str = "parquet",
+    n_buckets: int | None = None,
 ) -> DataFrame:
-    """Buckets already marked done for this run (empty df if no ledger yet)."""
+    """Buckets already marked done for this run (empty df if no ledger yet).
+
+    When ``n_buckets`` is given, fail fast if the ledger recorded a
+    different bucketing for this run_id: bucket ids from a different
+    n_buckets denote different document sets, so silently reusing them
+    would skip or double-process documents.
+    """
     try:
         ledger = spark.read.format(table_format).load(f"{root}/partition_ledger")
     except Exception:
         return spark.createDataFrame([], "bucket int")
-    return (
-        ledger.filter((F.col("run_id") == run_id) & (F.col("status") == "done"))
-        .select("bucket")
-        .distinct()
-    )
+    mine = ledger.filter((F.col("run_id") == run_id) & (F.col("status") == "done"))
+    if n_buckets is not None and "n_buckets" in ledger.columns:
+        mismatched = (
+            mine.filter(F.col("n_buckets").isNotNull() & (F.col("n_buckets") != n_buckets))
+            .limit(1)
+            .count()
+        )
+        if mismatched:
+            raise ValueError(
+                f"run_id={run_id!r} has ledger rows with a different n_buckets "
+                f"than the requested {n_buckets}; resume with the original "
+                f"n_buckets or use a new run_id"
+            )
+    return mine.select("bucket").distinct()
 
 
 def run_extraction_job(
@@ -107,7 +127,7 @@ def run_extraction_job(
     Returns summary dict {processed_buckets, skipped_buckets, doc_count}.
     """
     docs = with_bucket(documents, n_buckets)
-    done = completed_buckets(spark, root, run_id, table_format)
+    done = completed_buckets(spark, root, run_id, table_format, n_buckets=n_buckets)
     done_set = {r.bucket for r in done.collect()}  # tiny: one int per bucket
     todo = sorted(set(range(n_buckets)) - done_set)
 
@@ -116,6 +136,17 @@ def run_extraction_job(
     for bucket in todo:
         t0 = time.time()
         chunk = docs.filter(F.col("bucket") == bucket).drop("bucket")
+        if chunk.isEmpty():
+            # Empty buckets write no parquet files, so the read-back below
+            # would fail (UNABLE_TO_INFER_SCHEMA on a fresh root); ledger
+            # them as done with zero counts and move on.
+            wall_ms = int((time.time() - t0) * 1000)
+            spark.createDataFrame(
+                [(run_id, bucket, n_buckets, 0, 0, wall_ms, "done", int(time.time() * 1000))],
+                LEDGER_SCHEMA,
+            ).write.mode("append").format(table_format).save(f"{root}/partition_ledger")
+            processed += 1
+            continue
         out = extract_spans(chunk, num_partitions=num_partitions, keep_markdown=keep_markdown)
         out = (
             out.withColumn("run_id", F.lit(run_id))
@@ -146,14 +177,20 @@ def run_extraction_job(
             )
             .select([f.name for f in METRICS_SCHEMA.fields])
         )
-        metrics.write.mode("append").format(table_format).save(f"{root}/metrics")
+        # same idempotence as outputs: a crash after this write but before
+        # the ledger append must not double-count lineage on rerun, so the
+        # (run_id, bucket) metrics partition is overwritten, not appended
+        with _dynamic_partition_overwrite(spark):
+            metrics.write.mode("overwrite").partitionBy("run_id", "bucket").format(
+                table_format
+            ).save(f"{root}/metrics")
 
         stats = written.agg(
             F.count("*").alias("n"), F.coalesce(F.sum("out_bytes"), F.lit(0)).alias("b")
         ).collect()[0]
         wall_ms = int((time.time() - t0) * 1000)
         ledger_row = spark.createDataFrame(
-            [(run_id, bucket, stats.n, stats.b, wall_ms, "done", int(time.time() * 1000))],
+            [(run_id, bucket, n_buckets, stats.n, stats.b, wall_ms, "done", int(time.time() * 1000))],
             LEDGER_SCHEMA,
         )
         ledger_row.write.mode("append").format(table_format).save(f"{root}/partition_ledger")

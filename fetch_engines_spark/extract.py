@@ -292,10 +292,20 @@ def _extract_arrow_batches(batches, emit_markdown: bool = True):
 
 
 def salted_repartition(df: DataFrame, num_partitions: int, salt_buckets: int = 16) -> DataFrame:
-    """Salted repartition on doc_id (north_rule skew handling): giant
-    documents hash to distinct (doc_id, salt) cells so a hot doc_id cannot
-    pin a whole partition."""
-    salted = df.withColumn("_salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt_buckets)))
+    """Salted repartition on doc_id (north_rule skew handling).
+
+    The salt must be row-unique, not a function of doc_id (a doc_id-derived
+    salt has the identical key distribution to doc_id alone and mitigates
+    nothing), so rows sharing a hot doc_id — re-crawls, sharded documents —
+    spread across ``salt_buckets`` partitions instead of hash-pinning one.
+    The salt only affects row placement, so monotonically_increasing_id's
+    nondeterminism across task retries is safe here.  Single-giant-ROW skew
+    cannot be split by any repartition; it is bounded instead by
+    spark.sql.execution.arrow.maxRecordsPerBatch (see extract_spans).
+    """
+    salted = df.withColumn(
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+    )
     return salted.repartition(num_partitions, "doc_id", "_salt").drop("_salt")
 
 

@@ -55,8 +55,8 @@ def test_resume_processes_only_missing_buckets(spark, documents, tmp_path):
 
     # Pre-mark buckets 0 and 2 as done with a hand-written ledger.
     ledger = spark.createDataFrame(
-        [("r3", 0, 0, 0, 0, "done", 0), ("r3", 2, 0, 0, 0, "done", 0)],
-        "run_id string, bucket int, doc_count long, byte_count long, wall_ms long, status string, updated_at long",
+        [("r3", 0, 4, 0, 0, 0, "done", 0), ("r3", 2, 4, 0, 0, 0, "done", 0)],
+        "run_id string, bucket int, n_buckets int, doc_count long, byte_count long, wall_ms long, status string, updated_at long",
     )
     ledger.write.mode("append").parquet(f"{root}/partition_ledger")
     summary = run_extraction_job(spark, documents, root, run_id="r3", n_buckets=4)
@@ -98,3 +98,39 @@ def test_crash_between_outputs_and_ledger_does_not_duplicate(spark, documents, t
     out = spark.read.parquet(f"{root}/outputs")
     assert out.count() == before  # no duplicates
     assert out.groupBy("doc_id").count().filter("count > 1").count() == 0
+    # metrics lineage must not double-count the reprocessed bucket either:
+    # exactly one metrics row per (run_id, bucket, partition_id)
+    metrics = spark.read.parquet(f"{root}/metrics")
+    dup_metrics = (
+        metrics.groupBy("run_id", "bucket", "partition_id").count().filter("count > 1")
+    )
+    assert dup_metrics.count() == 0
+    assert metrics.agg(F.sum("doc_count")).collect()[0][0] == documents.count()
+
+
+def test_empty_buckets_on_fresh_root_complete(spark, documents, tmp_path):
+    """ADVICE repro: a tiny corpus with n_buckets >> docs used to crash with
+    UNABLE_TO_INFER_SCHEMA when the first bucket was empty on a fresh root;
+    empty buckets must ledger as done with zero counts and the job must
+    finish."""
+    root = str(tmp_path / "ckpt")
+    tiny = documents.limit(3)
+    summary = run_extraction_job(spark, tiny, root, run_id="tiny", n_buckets=64)
+    assert summary["processed_buckets"] == 64
+    ledger = spark.read.parquet(f"{root}/partition_ledger")
+    assert ledger.filter("status = 'done'").count() == 64
+    assert ledger.agg(F.sum("doc_count")).collect()[0][0] == 3
+    # rerun resumes cleanly: everything already done
+    summary2 = run_extraction_job(spark, tiny, root, run_id="tiny", n_buckets=64)
+    assert summary2["processed_buckets"] == 0
+    assert summary2["skipped_buckets"] == 64
+
+
+def test_resume_with_mismatched_n_buckets_fails_fast(spark, documents, tmp_path):
+    root = str(tmp_path / "ckpt")
+    run_extraction_job(spark, documents, root, run_id="nb", n_buckets=4)
+    with pytest.raises(ValueError, match="n_buckets"):
+        run_extraction_job(spark, documents, root, run_id="nb", n_buckets=8)
+    # a different run_id with a different bucketing is fine
+    summary = run_extraction_job(spark, documents, root, run_id="nb2", n_buckets=8)
+    assert summary["processed_buckets"] == 8

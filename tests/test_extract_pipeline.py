@@ -164,3 +164,21 @@ def test_source_url_column_injects_source_span(spark):
     kinds = [s.kind for s in out.spans]
     assert kinds[0] == "heading" and kinds[1] == "source"
     assert out.spans[1].text == "Source: https://example.com/origin"
+
+
+def test_salted_repartition_spreads_hot_doc_id(spark):
+    """The salt must be row-unique: 64 rows sharing one doc_id land in
+    multiple partitions (a doc_id-derived salt would pin them to one)."""
+    from pyspark.sql import functions as F
+
+    from fetch_engines_spark.extract import salted_repartition
+
+    df = spark.range(64).select(F.lit("hot-doc").alias("doc_id"), F.col("id"))
+    parts = (
+        salted_repartition(df, num_partitions=8, salt_buckets=8)
+        .withColumn("pid", F.spark_partition_id())
+        .select("pid")
+        .distinct()
+        .count()
+    )
+    assert parts > 1
