@@ -815,7 +815,9 @@ def oracle_sql() -> dict[str, str]:
             num_hashes=6,
             band_size=1,
         ),
-        # dedup_simhash: engine-specific hash (xxhash64) — rows-only check.
+        "dedup_simhash": __import__(
+            "fetch_engines_spark.pipelines.dedup", fromlist=["x"]
+        ).simhash_oracle_sql(),
         "embedding_topk": BRUTE_FORCE_TOPK_SQL.format(nq=10, k=5),
         # embedding_topk_lsh: approximate variant — rows-only check.
         "embedding_topk_ivf": __import__("fetch_engines_spark.pipelines.similarity", fromlist=["x"]).ivf_topk_sql(k=5, n_centroids=8, n_probe=2, nq=10),

@@ -126,17 +126,20 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text") -> Da
 def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
     """SimHash document fingerprint (bit-majority over token hashes).
 
-    Tokens are hashed with xxhash64; for each of ``bits`` bit positions the
-    signed majority vote sets the output bit.  One explode + one groupBy
-    (map-side combinable).  Engine-specific hash → rows-only correctness
-    check (no SQL oracle).
+    Bit ``i`` of a token's hash is the high bit of hex digit ``i`` of its
+    md5 (digit >= '8') — portable across engines, so the DuckDB oracle can
+    verify values exactly (``simhash_oracle_sql``), unlike xxhash64.  One
+    md5 per token covers up to 32 bits.  One explode + one
+    map-side-combinable groupBy: the scale-safe shape at 10^12 docs.
     """
+    if bits > 32:
+        raise ValueError("md5-hex simhash supports at most 32 bits")
     toks = df.select(
         "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", F.md5("tok"))
     votes = [
         F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+            F.when(F.substring("h", i + 1, 1) >= "8", 1).otherwise(-1)
         ).alias(f"b{i}")
         for i in range(bits)
     ]
@@ -180,6 +183,26 @@ def minhash_oracle_sql(num_hashes: int = 4, source: str = "documents") -> str:
         for k in range(num_hashes)
     )
     return MINHASH_SQL_TEMPLATE.format(unions=unions, source=source)
+
+
+def simhash_oracle_sql(bits: int = 16, source: str = "documents") -> str:
+    """DuckDB twin of simhash(): same md5 hex digits, same majority rule."""
+    votes = ",\n    ".join(
+        f"sum(CASE WHEN substr(h, {i + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    sig = " + ".join(f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(bits))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM {source}
+),
+votes AS (
+  SELECT doc_id,
+    {votes}
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes
+"""
 
 
 def candidate_pairs_oracle_sql(source: str, num_hashes: int = 4, band_size: int = 2) -> str:
