@@ -477,30 +477,15 @@ def _q_mime_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: LSH-bucketed candidate join,
-    exact cosine verify, keep pairs >= 0.35 cosine (3500 bp — the corpus
-    has no true dups; the threshold is set to exercise the verify stage)."""
-    from fetch_engines_spark.pipelines.similarity import cosine_bp, lsh_bucket_expr
+    """Embedding-cosine near-dup pairs over the planted corpus: multi-table
+    hyperplane LSH (8 tables x 8 planes = 64 planes) candidate join + exact
+    cosine verify at >= 9500 bp.  Recall vs brute force is gated in
+    tests/test_pipelines.py::test_embedding_dedup_recall."""
+    from fetch_engines_spark.pipelines.similarity import embedding_candidate_pairs
 
-    emb = _read(spark, sf_dir, "embeddings")
-    b = emb.select(
-        F.col("vec_id"),
-        F.col("embedding"),
-        lsh_bucket_expr(F.col("embedding"), num_planes=3, dims=64).alias("bucket"),
-    )
-    left = b.alias("l")
-    right = b.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.vec_id") < F.col("r.vec_id")),
-        )
-        .select(
-            F.col("l.vec_id").alias("vec_a"),
-            F.col("r.vec_id").alias("vec_b"),
-            cosine_bp(F.col("l.embedding"), F.col("r.embedding")).alias("cosine_bp"),
-        )
-        .filter(F.col("cosine_bp") >= 3500)
+    emb = _fixture(spark, "neardup_embeddings")
+    return embedding_candidate_pairs(
+        emb, num_tables=8, planes_per_table=8, dims=64, threshold_bp=9500
     )
 
 
@@ -819,7 +804,9 @@ def oracle_sql() -> dict[str, str]:
             "fetch_engines_spark.pipelines.dedup", fromlist=["x"]
         ).simhash_oracle_sql(),
         "embedding_topk": BRUTE_FORCE_TOPK_SQL.format(nq=10, k=5),
-        # embedding_topk_lsh: approximate variant — rows-only check.
+        "embedding_topk_lsh": __import__(
+            "fetch_engines_spark.pipelines.similarity", fromlist=["x"]
+        ).lsh_topk_sql(k=5, num_planes=3, dims=64, nq=10),
         "embedding_topk_ivf": __import__("fetch_engines_spark.pipelines.similarity", fromlist=["x"]).ivf_topk_sql(k=5, n_centroids=8, n_probe=2, nq=10),
         "media_metadata": f"""
             SELECT media_id, exp_kind AS kind,
@@ -847,7 +834,15 @@ def oracle_sql() -> dict[str, str]:
               octet_length(payload) AS payload_bytes
             FROM '{_RAW_CONTENT}'
         """,
-        # dedup_embedding: engine-float LSH bucketing — rows-only check.
+        "dedup_embedding": __import__(
+            "fetch_engines_spark.pipelines.similarity", fromlist=["x"]
+        ).embedding_pairs_oracle_sql(
+            source=f"read_parquet('{os.path.join(FIXTURES_DIR, 'neardup_embeddings.parquet')}')",
+            num_tables=8,
+            planes_per_table=8,
+            dims=64,
+            threshold_bp=9500,
+        ),
         "corpus_curation": r"""
             WITH q AS (
               SELECT doc_id, source, text,

@@ -76,21 +76,39 @@ def brute_force_topk(
     )
 
 
-def hyperplane_weight(plane: int, dim: int):
-    """Deterministic integer pseudo-hyperplane weight in {-3..3}\\{0}:
-    w = ((dim*31 + plane*17) mod 7) - 3, with 0 mapped to 1."""
-    v = (dim * 31 + plane * 17) % 7 - 3
-    return v if v != 0 else 1
+def hyperplane_weight(plane: int, dim: int) -> int:
+    """Deterministic pseudo-random hyperplane weight in [-128, 127]: byte 0
+    of md5("hp{plane}|{dim}") - 128.  Computed at plan-build time — the
+    weights are embedded as literals in both the Spark expression and its
+    SQL twin, so the buckets are engine-independent.
+
+    (The previous arithmetic formula ((d*31 + p*17) mod 7 - 3) had period 7
+    in the plane index — planes p and p+7 were the SAME hyperplane — which
+    silently voided multi-table recall amplification; md5 bytes have no
+    such structure.)
+    """
+    import hashlib
+
+    return int(hashlib.md5(f"hp{plane}|{dim}".encode()).hexdigest()[:2], 16) - 128
 
 
-def lsh_bucket_expr(vec_col, num_planes: int, dims: int):
-    """Bucket id = bits of sign(v · w_plane) over deterministic planes."""
+def lsh_bucket_expr(vec_col, num_planes: int, dims: int, plane_offset: int = 0):
+    """Bucket id = bits of sign(v · w_plane) over deterministic planes.
+
+    ``plane_offset`` selects an independent plane family, so multiple LSH
+    tables (multi-probe recall amplification) draw disjoint hyperplanes.
+    """
     bucket = F.lit(0)
     for p in range(num_planes):
         proj = F.aggregate(
             F.zip_with(
                 vec_col,
-                F.array(*[F.lit(float(hyperplane_weight(p, d))) for d in range(dims)]),
+                F.array(
+                    *[
+                        F.lit(float(hyperplane_weight(plane_offset + p, d)))
+                        for d in range(dims)
+                    ]
+                ),
                 lambda x, w: x.cast("double") * w,
             ),
             F.lit(0.0),
@@ -98,6 +116,22 @@ def lsh_bucket_expr(vec_col, num_planes: int, dims: int):
         )
         bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(0)
     return bucket
+
+
+def lsh_bucket_sql(vec: str, num_planes: int, dims: int, plane_offset: int = 0) -> str:
+    """DuckDB twin of lsh_bucket_expr: same weights, same left-to-right
+    float fold (list_sum over the element-wise products), same sign test."""
+    terms = []
+    for p in range(num_planes):
+        weights = ", ".join(
+            str(float(hyperplane_weight(plane_offset + p, d))) for d in range(dims)
+        )
+        proj = (
+            f"list_sum(list_transform(range(1, {dims} + 1), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ([{weights}])[i]))"
+        )
+        terms.append(f"CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
 
 
 def lsh_topk(
@@ -143,6 +177,64 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_bp", "rank")
     )
+
+
+def embedding_candidate_pairs(
+    embeddings: DataFrame,
+    num_tables: int = 8,
+    planes_per_table: int = 8,
+    dims: int = 64,
+    threshold_bp: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate candidate pairs via multi-table hyperplane
+    LSH, with an exact-cosine verify stage.
+
+    Each of ``num_tables`` tables buckets on ``planes_per_table`` sign bits
+    drawn from a disjoint plane family; a pair is a candidate if it
+    collides in ANY table (recall 1-(1-p^b)^L for per-plane agreement p),
+    while each table's 2^b buckets keep the in-bucket self-join linear-ish.
+    At 10^9+ vectors, scale planes_per_table ~ log2(N / target_bucket_size)
+    (~20+) and keep num_tables for recall — bucket count, not table count,
+    is what bounds the join.  Shuffle cost: one explode x L, one equi-join
+    on (table_id, bucket) — never all-pairs.
+    """
+    b = embeddings.select(
+        F.col(id_col).alias("vid"),
+        *[
+            lsh_bucket_expr(
+                F.col(vec_col), planes_per_table, dims, plane_offset=t * planes_per_table
+            ).alias(f"t{t}")
+            for t in range(num_tables)
+        ],
+    )
+    stack_expr = "stack({n}, {args}) as (table_id, bucket)".format(
+        n=num_tables, args=", ".join(f"{t}, t{t}" for t in range(num_tables))
+    )
+    tabled = b.select("vid", F.expr(stack_expr))
+    left = tabled.alias("l")
+    right = tabled.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.table_id") == F.col("r.table_id"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.vid") < F.col("r.vid")),
+        )
+        .select(F.col("l.vid").alias("vec_a"), F.col("r.vid").alias("vec_b"))
+        .distinct()
+    )
+    ea = embeddings.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    eb = embeddings.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    verified = (
+        pairs.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", cosine_bp(F.col("va"), F.col("vb")).alias("cosine_bp"))
+    )
+    if threshold_bp is not None:
+        verified = verified.filter(F.col("cosine_bp") >= threshold_bp)
+    return verified
 
 
 def ivf_topk(
@@ -229,6 +321,63 @@ def cosine_bp_sql(a: str, b: str) -> str:
         f"/ greatest(sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) "
         f"* sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 1e-12)) AS BIGINT)"
     )
+
+
+def lsh_topk_sql(
+    k: int = 5, num_planes: int = 3, dims: int = 64, nq: int = 10
+) -> str:
+    """DuckDB twin of lsh_topk: same buckets, same cosine_bp, same ranking."""
+    bucket = lsh_bucket_sql("embedding", num_planes, dims)
+    return f"""
+WITH b AS (
+  SELECT vec_id AS vid, embedding AS vec, {bucket} AS bucket FROM embeddings
+),
+q AS (SELECT vid AS query_id, vec AS qv, bucket FROM b WHERE vid < {nq}),
+scored AS (
+  SELECT q.query_id, c.vid AS neighbor_id,
+         {cosine_bp_sql('q.qv', 'c.vec')} AS cosine_bp
+  FROM q JOIN b c ON q.bucket = c.bucket
+  WHERE c.vid <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine_bp, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_bp DESC, neighbor_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= {k}
+"""
+
+
+def embedding_pairs_oracle_sql(
+    source: str,
+    num_tables: int = 8,
+    planes_per_table: int = 8,
+    dims: int = 64,
+    threshold_bp: int | None = None,
+) -> str:
+    """DuckDB twin of embedding_candidate_pairs over an arbitrary source."""
+    per_table = "\nUNION ALL\n".join(
+        f"SELECT {t} AS table_id, vec_id AS vid, "
+        + lsh_bucket_sql("embedding", planes_per_table, dims, plane_offset=t * planes_per_table)
+        + f" AS bucket FROM {source}"
+        for t in range(num_tables)
+    )
+    thresh = f"WHERE cosine_bp >= {threshold_bp}" if threshold_bp is not None else ""
+    return f"""
+WITH tabled AS (
+  {per_table}
+),
+pairs AS (
+  SELECT DISTINCT l.vid AS vec_a, r.vid AS vec_b
+  FROM tabled l JOIN tabled r
+    ON l.table_id = r.table_id AND l.bucket = r.bucket AND l.vid < r.vid
+),
+verified AS (
+  SELECT p.vec_a, p.vec_b, {cosine_bp_sql('a.embedding', 'b.embedding')} AS cosine_bp
+  FROM pairs p
+  JOIN {source} a ON p.vec_a = a.vec_id
+  JOIN {source} b ON p.vec_b = b.vec_id
+)
+SELECT vec_a, vec_b, cosine_bp FROM verified {thresh}
+"""
 
 
 def ivf_topk_sql(k: int = 5, n_centroids: int = 8, n_probe: int = 2, nq: int = 10) -> str:

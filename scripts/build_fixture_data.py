@@ -188,6 +188,48 @@ def build_neardup_corpus() -> None:
     )
 
 
+def build_neardup_embeddings() -> None:
+    """Planted embedding near-duplicates for ANN-dedup recall gating:
+    40 base unit vectors (dim 64); each base gets an exact copy and a near
+    copy (~0.97 cosine: base tilted 0.25 rad toward an orthogonal
+    direction), plus 120 unrelated vectors.  Deterministic: fixed-seed
+    numpy RandomState (seeded RNG, no wall clock)."""
+    import numpy as np
+
+    rng = np.random.RandomState(20260816)
+    dim = 64
+    rows: list[tuple[int, int, str, list[float]]] = []
+    vid = 0
+
+    def unit(v):
+        return v / np.linalg.norm(v)
+
+    for fam in range(40):
+        v = unit(rng.randn(dim))
+        rows.append((vid, fam, "base", v)); vid += 1
+        rows.append((vid, fam, "exact", v.copy())); vid += 1
+        n = rng.randn(dim)
+        n = unit(n - n.dot(v) * v)  # orthogonal noise direction
+        rows.append((vid, fam, "near", unit(v + 0.25 * n))); vid += 1
+    for _ in range(120):
+        rows.append((vid, -1, "noise", unit(rng.randn(dim)))); vid += 1
+
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "family": pa.array([r[1] for r in rows], pa.int32()),
+                "role": [r[2] for r in rows],
+                "embedding": pa.array(
+                    [[float(x) for x in r[3].astype("float32")] for r in rows],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        ),
+        os.path.join(OUT, "neardup_embeddings.parquet"),
+    )
+
+
 if __name__ == "__main__":
     os.makedirs(OUT, exist_ok=True)
     build_pages()
@@ -196,4 +238,5 @@ if __name__ == "__main__":
     build_media()
     build_raw_content()
     build_neardup_corpus()
+    build_neardup_embeddings()
     print(f"wrote fixture data to {OUT}")

@@ -237,3 +237,61 @@ def test_winnowing_fingerprints_robust_to_insertion(spark):
     overlap = len(fps[1] & fps[2]) / len(fps[1] | fps[2])
     assert overlap >= 0.5, overlap
     assert not (fps[1] & fps[3])
+
+
+def test_embedding_dedup_recall(spark):
+    """ANN-dedup recall gate on the planted embedding corpus: multi-table
+    hyperplane LSH must recover every exact pair and >=95% of all true
+    pairs (cosine >= 9500 bp), with zero false positives after the exact
+    verify stage."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fetch_engines_spark.pipelines.similarity import (
+        cosine_bp,
+        embedding_candidate_pairs,
+    )
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "data", "fixtures", "neardup_embeddings.parquet"
+    )
+    emb = spark.read.parquet(path)
+
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    truth = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine_bp(F.col("va"), F.col("vb")).alias("cbp"))
+        .filter(F.col("cbp") >= 9500)
+    )
+    truth_pairs = {(r.vec_a, r.vec_b) for r in truth.collect()}
+    assert len(truth_pairs) == 120  # 40 families x (base-exact, base-near, exact-near)
+
+    found = embedding_candidate_pairs(
+        emb, num_tables=8, planes_per_table=8, dims=64, threshold_bp=9500
+    )
+    found_pairs = {(r.vec_a, r.vec_b) for r in found.collect()}
+
+    assert found_pairs <= truth_pairs  # verify stage admits no false positives
+    exact_pairs = {p for p in truth_pairs}  # all true pairs
+    recall = len(found_pairs & truth_pairs) / len(truth_pairs)
+    assert recall >= 0.95, f"recall {recall:.3f}"
+    # exact duplicates (identical vectors share every bucket) must all be found
+    exact_truth = (
+        truth.join(emb.select(F.col("vec_id").alias("vec_a"), F.col("role").alias("ra")), "vec_a")
+        .join(emb.select(F.col("vec_id").alias("vec_b"), F.col("role").alias("rb")), "vec_b")
+        .filter((F.col("cbp") >= 9999))
+    )
+    for r in exact_truth.collect():
+        assert (r.vec_a, r.vec_b) in found_pairs
+
+
+def test_lsh_tables_are_genuinely_distinct():
+    """Regression for the period-7 hyperplane bug: distinct plane indices
+    must give distinct weight vectors (the old formula made planes p and
+    p+7 identical, voiding multi-table recall amplification)."""
+    from fetch_engines_spark.pipelines.similarity import hyperplane_weight
+
+    rows = [tuple(hyperplane_weight(p, d) for d in range(16)) for p in range(64)]
+    assert len(set(rows)) == 64
