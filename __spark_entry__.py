@@ -501,6 +501,17 @@ def _q_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidate_pairs(docs, num_hashes=6, band_size=1)
 
 
+def _q_dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-guarded LSH candidate pairs over the adversarial corpus (5000
+    byte-identical boilerplate docs): buckets above the cap route to the
+    linear signature-group star path, so the hot bucket yields 4999 star
+    pairs instead of a 12.5M-row quadratic self-join."""
+    from fetch_engines_spark.pipelines.dedup import minhash_candidate_pairs
+
+    docs = _fixture(spark, "adversarial")
+    return minhash_candidate_pairs(docs, num_hashes=4, band_size=2, max_bucket_size=50)
+
+
 def _q_span_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-star invariant as a query: LIVE extraction vs the golden
     spans, per-doc span-sequence equality on (kind, text, media_ref,
@@ -562,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_bands": _q_minhash_bands,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_planted": _q_dedup_planted,
+        "dedup_minhash_capped": _q_dedup_minhash_capped,
         "dedup_simhash": _q_simhash,
         "embedding_topk": _q_embedding_topk,
         "embedding_topk_lsh": _q_embedding_topk_lsh,
@@ -799,6 +811,14 @@ def oracle_sql() -> dict[str, str]:
             source=f"read_parquet('{os.path.join(FIXTURES_DIR, 'neardup.parquet')}')",
             num_hashes=6,
             band_size=1,
+        ),
+        "dedup_minhash_capped": __import__(
+            "fetch_engines_spark.pipelines.dedup", fromlist=["x"]
+        ).capped_candidate_pairs_oracle_sql(
+            source=f"read_parquet('{os.path.join(FIXTURES_DIR, 'adversarial.parquet')}')",
+            num_hashes=4,
+            band_size=2,
+            max_bucket_size=50,
         ),
         "dedup_simhash": __import__(
             "fetch_engines_spark.pipelines.dedup", fromlist=["x"]

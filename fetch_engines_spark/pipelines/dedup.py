@@ -41,22 +41,24 @@ def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def minhash_signatures(df: DataFrame, text_col: str = "text", num_hashes: int = 4) -> DataFrame:
-    """MinHash per document: k permutations simulated by salting the md5
-    (min over md5(salt || shingle)); one row per (doc_id, hash_idx).
-
-    Single scan + single shuffle: all k mins are computed in ONE
-    map-side-combinable aggregation over the exploded shingles, then
-    unpivoted — at 10^12 docs this is k× cheaper than one groupBy per
-    permutation."""
+def _minhash_wide(df: DataFrame, text_col: str, num_hashes: int) -> DataFrame:
+    """All k minhash permutations in ONE map-side-combinable aggregation
+    over the exploded shingles (single scan + single shuffle — at 10^12
+    docs this is k× cheaper than one groupBy per permutation)."""
     sh = shingles(F.col(text_col)).alias("shingles")
     exploded = df.select("doc_id", sh).select("doc_id", F.explode("shingles").alias("shingle"))
-    mins = exploded.groupBy("doc_id").agg(
+    return exploded.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"s{k}|"), F.col("shingle")))).alias(f"mh{k}")
             for k in range(num_hashes)
         ]
     )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", num_hashes: int = 4) -> DataFrame:
+    """MinHash per document: k permutations simulated by salting the md5
+    (min over md5(salt || shingle)); one row per (doc_id, hash_idx)."""
+    mins = _minhash_wide(df, text_col, num_hashes)
     stack_expr = "stack({n}, {args}) as (hash_idx, minhash)".format(
         n=num_hashes,
         args=", ".join(f"{k}, mh{k}" for k in range(num_hashes)),
@@ -65,38 +67,110 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", num_hashes: int = 
 
 
 def minhash_lsh_buckets(
-    df: DataFrame, text_col: str = "text", num_hashes: int = 4, band_size: int = 2
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 4,
+    band_size: int = 2,
+    include_sig_key: bool = False,
 ) -> DataFrame:
     """LSH banding: concat band_size minhashes into a band key; docs sharing
-    a (band_id, band_key) are near-duplicate candidates."""
-    sigs = minhash_signatures(df, text_col, num_hashes)
-    banded = sigs.withColumn("band_id", F.floor(F.col("hash_idx") / band_size))
-    return (
-        banded.groupBy("doc_id", "band_id")
-        .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list("minhash")))).alias("band_key"))
+    a (band_id, band_key) are near-duplicate candidates.
+
+    Band keys are derived directly from the wide signature row (no second
+    shuffle).  ``include_sig_key`` adds a full-signature digest column,
+    used by the capped candidate join to group signature-identical docs
+    inside degenerate buckets."""
+    mins = _minhash_wide(df, text_col, num_hashes)
+    n_bands = -(-num_hashes // band_size)
+    band_cols = []
+    for b in range(n_bands):
+        cols = [
+            F.col(f"mh{i}")
+            for i in range(b * band_size, min((b + 1) * band_size, num_hashes))
+        ]
+        band_cols.append(
+            F.md5(F.concat_ws("|", F.sort_array(F.array(*cols)))).alias(f"bk{b}")
+        )
+    extra = (
+        [F.md5(F.concat_ws("|", *[F.col(f"mh{i}") for i in range(num_hashes)])).alias("sig_key")]
+        if include_sig_key
+        else []
     )
+    wide = mins.select("doc_id", *extra, *band_cols)
+    stack_expr = "stack({n}, {args}) as (band_id, band_key)".format(
+        n=n_bands,
+        args=", ".join(f"CAST({b} AS BIGINT), bk{b}" for b in range(n_bands)),
+    )
+    out_cols = ["doc_id", "band_id", "band_key"] + (["sig_key"] if include_sig_key else [])
+    return wide.select(
+        "doc_id", *(["sig_key"] if include_sig_key else []), F.expr(stack_expr)
+    ).select(*out_cols)
 
 
 def minhash_candidate_pairs(
-    df: DataFrame, text_col: str = "text", num_hashes: int = 4, band_size: int = 2
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 4,
+    band_size: int = 2,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Near-duplicate candidate pairs: self-join inside LSH buckets only."""
-    b = minhash_lsh_buckets(df, text_col, num_hashes, band_size)
-    left = b.alias("l")
-    right = b.alias("r")
-    return (
-        left.join(
-            right,
+    """Near-duplicate candidate pairs: self-join inside LSH buckets only.
+
+    ``max_bucket_size`` is the degenerate-bucket skew guard: a hot
+    (band_id, band_key) bucket — thousands of boilerplate-identical pages,
+    the classic crawl pathology — would otherwise make the in-bucket
+    self-join quadratic on a single key.  Buckets above the cap are routed
+    to a linear star path instead: docs are grouped by their FULL minhash
+    signature and each doc pairs only with its group's min doc_id.  Giant
+    buckets are overwhelmingly signature-identical docs, so the star
+    captures them with n-1 pairs; signature-distinct strangers in a giant
+    bucket are dropped (a documented recall tradeoff — they can still be
+    caught by the other bands).  Worst-case pairwise work per bucket is
+    then cap², independent of data skew."""
+    b = minhash_lsh_buckets(
+        df, text_col, num_hashes, band_size, include_sig_key=max_bucket_size is not None
+    )
+    if max_bucket_size is None:
+        left = b.alias("l")
+        right = b.alias("r")
+        return (
+            left.join(
+                right,
+                (F.col("l.band_id") == F.col("r.band_id"))
+                & (F.col("l.band_key") == F.col("r.band_key"))
+                & (F.col("l.doc_id") < F.col("r.doc_id")),
+            )
+            .select(
+                F.col("l.doc_id").alias("doc_a"),
+                F.col("r.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+
+    from pyspark.sql import Window
+
+    sized = b.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band_id", "band_key"))
+    )
+    small = sized.filter(F.col("bucket_n") <= max_bucket_size).drop("bucket_n", "sig_key")
+    small_pairs = (
+        small.alias("l")
+        .join(
+            small.alias("r"),
             (F.col("l.band_id") == F.col("r.band_id"))
             & (F.col("l.band_key") == F.col("r.band_key"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
-        .select(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
-        )
-        .distinct()
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
     )
+    big = sized.filter(F.col("bucket_n") > max_bucket_size)
+    reps = big.groupBy("band_id", "band_key", "sig_key").agg(F.min("doc_id").alias("rep"))
+    star_pairs = (
+        big.join(reps, ["band_id", "band_key", "sig_key"])
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    return small_pairs.unionByName(star_pairs).distinct()
 
 
 def ngram_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -183,6 +257,49 @@ def minhash_oracle_sql(num_hashes: int = 4, source: str = "documents") -> str:
         for k in range(num_hashes)
     )
     return MINHASH_SQL_TEMPLATE.format(unions=unions, source=source)
+
+
+def capped_candidate_pairs_oracle_sql(
+    source: str, num_hashes: int = 4, band_size: int = 2, max_bucket_size: int = 50
+) -> str:
+    """Full SQL twin of minhash_candidate_pairs(max_bucket_size=...)."""
+    sigs = minhash_oracle_sql(num_hashes, source)
+    return f"""
+WITH sigs AS ({sigs}),
+keys AS (
+  SELECT doc_id, md5(array_to_string(list(minhash ORDER BY hash_idx), '|')) AS sig_key
+  FROM sigs GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, CAST(floor(hash_idx / {band_size}) AS BIGINT) AS band_id,
+         md5(array_to_string(list_sort(list(minhash)), '|')) AS band_key
+  FROM sigs GROUP BY doc_id, floor(hash_idx / {band_size})
+),
+sized AS (
+  SELECT b.doc_id, b.band_id, b.band_key, k.sig_key,
+         count(*) OVER (PARTITION BY b.band_id, b.band_key) AS bucket_n
+  FROM bands b JOIN keys k USING (doc_id)
+),
+small AS (SELECT * FROM sized WHERE bucket_n <= {max_bucket_size}),
+small_pairs AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM small l JOIN small r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+),
+big AS (SELECT * FROM sized WHERE bucket_n > {max_bucket_size}),
+reps AS (
+  SELECT band_id, band_key, sig_key, min(doc_id) AS rep
+  FROM big GROUP BY band_id, band_key, sig_key
+),
+star_pairs AS (
+  SELECT r.rep AS doc_a, g.doc_id AS doc_b
+  FROM big g JOIN reps r USING (band_id, band_key, sig_key)
+  WHERE g.doc_id <> r.rep
+)
+SELECT DISTINCT doc_a, doc_b FROM (
+  SELECT * FROM small_pairs UNION ALL SELECT * FROM star_pairs
+)
+"""
 
 
 def simhash_oracle_sql(bits: int = 16, source: str = "documents") -> str:

@@ -188,6 +188,34 @@ def build_neardup_corpus() -> None:
     )
 
 
+def build_adversarial_corpus() -> None:
+    """Degenerate-LSH-bucket skew fixture: 5000 byte-identical boilerplate
+    docs (the classic hot bucket — every band key collides) plus 200
+    distinct pages.  The capped candidate join must complete with a LINEAR
+    pair count for the boilerplate family, not 5000^2/2."""
+    words = (
+        "engine spark shuffle partition arrow batch schema parquet column row "
+        "join filter window aggregate broadcast salt skew ledger resume span "
+        "markdown heading table code image media document corpus token quality"
+    ).split()
+    boiler = " ".join(words[(j * 5) % len(words)] for j in range(48))
+    rows = [(f"boiler{i:04d}", boiler) for i in range(5000)]
+    for i in range(200):
+        t = " ".join(
+            words[(i * 17 + j * j * 3) % len(words)] + str((i * j) % 7) for j in range(40)
+        )
+        rows.append((f"page{i:03d}", t))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+            }
+        ),
+        os.path.join(OUT, "adversarial.parquet"),
+    )
+
+
 def build_neardup_embeddings() -> None:
     """Planted embedding near-duplicates for ANN-dedup recall gating:
     40 base unit vectors (dim 64); each base gets an exact copy and a near
@@ -238,5 +266,6 @@ if __name__ == "__main__":
     build_media()
     build_raw_content()
     build_neardup_corpus()
+    build_adversarial_corpus()
     build_neardup_embeddings()
     print(f"wrote fixture data to {OUT}")

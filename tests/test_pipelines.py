@@ -295,3 +295,62 @@ def test_lsh_tables_are_genuinely_distinct():
 
     rows = [tuple(hyperplane_weight(p, d) for d in range(16)) for p in range(64)]
     assert len(set(rows)) == 64
+
+
+def test_capped_candidate_pairs_skew_guard(spark):
+    """Degenerate-bucket guard: 5000 identical docs must yield a LINEAR
+    star-pair set (n-1 pairs to the group rep), and the pairwise join's
+    input must contain no bucket larger than the cap — bounding any task's
+    pairwise work to cap^2 regardless of data skew."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fetch_engines_spark.pipelines.dedup import (
+        minhash_candidate_pairs,
+        minhash_lsh_buckets,
+    )
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "data", "fixtures", "adversarial.parquet"
+    )
+    docs = spark.read.parquet(path)
+    cap = 50
+
+    pairs = minhash_candidate_pairs(
+        docs, num_hashes=4, band_size=2, max_bucket_size=cap
+    ).cache()
+    boiler = pairs.filter(F.col("doc_b").startswith("boiler"))
+    # linear, not quadratic: every boiler doc pairs once with the rep
+    assert boiler.count() == 4999
+    assert boiler.select("doc_a").distinct().collect()[0][0] == "boiler0000"
+
+    # structural bound: after the cap filter, no bucket entering the
+    # pairwise self-join exceeds the cap
+    b = minhash_lsh_buckets(docs, num_hashes=4, band_size=2)
+    sizes = b.groupBy("band_id", "band_key").count()
+    max_small = (
+        sizes.filter(F.col("count") <= cap).agg(F.max("count")).collect()[0][0]
+    )
+    assert max_small is not None and max_small <= cap
+    # and the giant bucket exists (the fixture is genuinely adversarial)
+    assert sizes.agg(F.max("count")).collect()[0][0] >= 5000
+    pairs.unpersist()
+
+
+def test_capped_matches_uncapped_when_no_giant_buckets(spark, docs):
+    """With a cap larger than every bucket, the capped path must emit
+    exactly the uncapped pairwise candidates (pure refactor parity)."""
+    from fetch_engines_spark.pipelines.dedup import minhash_candidate_pairs
+
+    base = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_candidate_pairs(docs, num_hashes=4, band_size=2).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_candidate_pairs(
+            docs, num_hashes=4, band_size=2, max_bucket_size=10**6
+        ).collect()
+    }
+    assert base == capped
