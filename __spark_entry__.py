@@ -501,6 +501,16 @@ def _q_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidate_pairs(docs, num_hashes=6, band_size=1)
 
 
+def _q_dedup_minhash_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash dedup at production parameters (128 permutations / 16 bands
+    of 8, affine-permutation fast path) over the high-similarity planted
+    corpus; recall gated in tests/test_pipelines.py::test_minhash_production_recall."""
+    from fetch_engines_spark.pipelines.dedup import minhash_candidate_pairs_fast
+
+    docs = _fixture(spark, "neardup_hi")
+    return minhash_candidate_pairs_fast(docs, num_hashes=128, band_size=8)
+
+
 def _q_dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-guarded LSH candidate pairs over the adversarial corpus (5000
     byte-identical boilerplate docs): buckets above the cap route to the
@@ -574,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_planted": _q_dedup_planted,
         "dedup_minhash_capped": _q_dedup_minhash_capped,
+        "dedup_minhash_prod": _q_dedup_minhash_prod,
         "dedup_simhash": _q_simhash,
         "embedding_topk": _q_embedding_topk,
         "embedding_topk_lsh": _q_embedding_topk_lsh,
@@ -811,6 +822,13 @@ def oracle_sql() -> dict[str, str]:
             source=f"read_parquet('{os.path.join(FIXTURES_DIR, 'neardup.parquet')}')",
             num_hashes=6,
             band_size=1,
+        ),
+        "dedup_minhash_prod": __import__(
+            "fetch_engines_spark.pipelines.dedup", fromlist=["x"]
+        ).minhash_fast_pairs_oracle_sql(
+            source=f"read_parquet('{os.path.join(FIXTURES_DIR, 'neardup_hi.parquet')}')",
+            num_hashes=128,
+            band_size=8,
         ),
         "dedup_minhash_capped": __import__(
             "fetch_engines_spark.pipelines.dedup", fromlist=["x"]

@@ -440,6 +440,36 @@ F24_COMMERCE_LISTING = """<!doctype html>
 </body></html>"""
 
 
+# reference: scripts/test-table.mjs — the 3-row headerless table demo page
+F25_TABLE_SCRIPT = """
+<div>
+  <h2>Pay</h2>
+  <table>
+    <tbody>
+      <tr>
+        <td><strong>Position</strong></td>
+        <td><strong>Weekly Pay Rate</strong></td>
+        <td><strong>Plus 16% Superannuation</strong></td>
+        <td><strong>Total Weekly Remuneration*</strong></td>
+      </tr>
+      <tr>
+        <td>Apprentice - under 18 years^</td>
+        <td>$722.16</td>
+        <td>$115.55</td>
+        <td>$837.71</td>
+      </tr>
+      <tr>
+        <td>Apprentice - 18 years and over</td>
+        <td>$1,437.12</td>
+        <td>$229.94</td>
+        <td>$1,667.06</td>
+      </tr>
+    </tbody>
+  </table>
+</div>
+"""
+
+
 @dataclass
 class Fixture:
     id: str
@@ -577,6 +607,18 @@ FIXTURES: list[Fixture] = [
             "![Field jacket front view](https://outfitter.example/media/field-jacket-front.jpg)",
         ],
         must_not_contain=["Returns", "Shipping", "Sale"],
+    ),
+    Fixture(
+        "F25", F25_TABLE_SCRIPT,
+        must_contain=[
+            "# Pay",
+            "| **Position** | **Weekly Pay Rate**",
+            "Apprentice - under 18 years^",
+            "Apprentice - 18 years and over",
+            "$1,437.12",
+            "$1,667.06",
+        ],
+        must_not_contain=["<table>"],
     ),
     Fixture(
         "F20", F20_ENGINE_ABS,

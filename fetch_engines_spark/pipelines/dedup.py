@@ -66,6 +66,45 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", num_hashes: int = 
     return mins.select("doc_id", F.expr(stack_expr)).select("doc_id", "hash_idx", "minhash")
 
 
+MERSENNE_31 = 2147483647  # 2^31 - 1, prime
+
+
+def _affine_params(i: int) -> tuple[int, int]:
+    """Deterministic affine-permutation params from md5 (portable literals:
+    both the Spark expression and the SQL twin embed the same a, b)."""
+    import hashlib
+
+    h = hashlib.md5(f"perm{i}".encode()).hexdigest()
+    a = int(h[:8], 16) % (MERSENNE_31 - 1) + 1  # 1 .. M-1
+    b = int(h[8:16], 16) % MERSENNE_31
+    return a, b
+
+
+def _minhash_fast_wide(df: DataFrame, text_col: str, num_hashes: int) -> DataFrame:
+    """Production-parameter MinHash: ONE md5 per shingle reduced to a
+    31-bit integer, then k affine permutations (a_i*h + b_i mod 2^31-1) —
+    k× cheaper than k independent md5s, the only viable shape at 128
+    permutations over 10^12 documents.  All arithmetic stays in signed
+    64-bit (a, h < 2^31 → a*h + b < 2^62) and is engine-portable
+    (DuckDB twin: minhash_fast_oracle_sql)."""
+    sh = shingles(F.col(text_col)).alias("shingles")
+    exploded = df.select("doc_id", sh).select("doc_id", F.explode("shingles").alias("shingle"))
+    hashed = exploded.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+            % F.lit(MERSENNE_31)
+        ).alias("h"),
+    )
+    aggs = []
+    for i in range(num_hashes):
+        a, b = _affine_params(i)
+        aggs.append(
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE_31)).alias(f"mh{i}")
+        )
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
 def minhash_lsh_buckets(
     df: DataFrame,
     text_col: str = "text",
@@ -81,6 +120,26 @@ def minhash_lsh_buckets(
     used by the capped candidate join to group signature-identical docs
     inside degenerate buckets."""
     mins = _minhash_wide(df, text_col, num_hashes)
+    return _bands_from_wide(mins, num_hashes, band_size, include_sig_key)
+
+
+def minhash_lsh_buckets_fast(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 128,
+    band_size: int = 8,
+    include_sig_key: bool = False,
+) -> DataFrame:
+    """Production-parameter LSH banding over the affine MinHash (one hash
+    per shingle + k affine permutations).  128/16-band style configs target
+    an LSH threshold s* = (1/bands)^(1/band_size) ≈ 0.707."""
+    mins = _minhash_fast_wide(df, text_col, num_hashes)
+    return _bands_from_wide(mins, num_hashes, band_size, include_sig_key)
+
+
+def _bands_from_wide(
+    mins: DataFrame, num_hashes: int, band_size: int, include_sig_key: bool
+) -> DataFrame:
     n_bands = -(-num_hashes // band_size)
     band_cols = []
     for b in range(n_bands):
@@ -88,11 +147,23 @@ def minhash_lsh_buckets(
             F.col(f"mh{i}")
             for i in range(b * band_size, min((b + 1) * band_size, num_hashes))
         ]
+        # sort in the native type (numeric for affine minhashes, lexicographic
+        # for md5 strings), THEN stringify — mirrors DuckDB's
+        # array_to_string(list_sort(...)) in both oracle twins
         band_cols.append(
-            F.md5(F.concat_ws("|", F.sort_array(F.array(*cols)))).alias(f"bk{b}")
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(F.sort_array(F.array(*cols)), lambda x: x.cast("string")),
+                )
+            ).alias(f"bk{b}")
         )
     extra = (
-        [F.md5(F.concat_ws("|", *[F.col(f"mh{i}") for i in range(num_hashes)])).alias("sig_key")]
+        [
+            F.md5(
+                F.concat_ws("|", *[F.col(f"mh{i}").cast("string") for i in range(num_hashes)])
+            ).alias("sig_key")
+        ]
         if include_sig_key
         else []
     )
@@ -130,6 +201,26 @@ def minhash_candidate_pairs(
     b = minhash_lsh_buckets(
         df, text_col, num_hashes, band_size, include_sig_key=max_bucket_size is not None
     )
+    return _pairs_from_buckets(b, max_bucket_size)
+
+
+def minhash_candidate_pairs_fast(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 128,
+    band_size: int = 8,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Candidate pairs at production MinHash parameters (affine
+    permutations; see _minhash_fast_wide).  Same bucket-cap skew guard as
+    minhash_candidate_pairs."""
+    b = minhash_lsh_buckets_fast(
+        df, text_col, num_hashes, band_size, include_sig_key=max_bucket_size is not None
+    )
+    return _pairs_from_buckets(b, max_bucket_size)
+
+
+def _pairs_from_buckets(b: DataFrame, max_bucket_size: int | None) -> DataFrame:
     if max_bucket_size is None:
         left = b.alias("l")
         right = b.alias("r")
@@ -257,6 +348,54 @@ def minhash_oracle_sql(num_hashes: int = 4, source: str = "documents") -> str:
         for k in range(num_hashes)
     )
     return MINHASH_SQL_TEMPLATE.format(unions=unions, source=source)
+
+
+def minhash_fast_pairs_oracle_sql(
+    source: str, num_hashes: int = 128, band_size: int = 8
+) -> str:
+    """DuckDB twin of minhash_candidate_pairs_fast (uncapped): single-pass
+    wide aggregation of all k affine permutations, band keys from the wide
+    row, bucket-local pairwise join."""
+    m = MERSENNE_31
+    min_cols = ",\n    ".join(
+        f"min(({a} * h + {b}) % {m}) AS mh{i}"
+        for i, (a, b) in ((i, _affine_params(i)) for i in range(num_hashes))
+    )
+    n_bands = -(-num_hashes // band_size)
+    band_branches = "\nUNION ALL\n".join(
+        "SELECT doc_id, CAST({b} AS BIGINT) AS band_id, "
+        "md5(array_to_string(list_sort([{cols}]), '|')) AS band_key FROM mins".format(
+            b=b,
+            cols=", ".join(
+                f"mh{i}" for i in range(b * band_size, min((b + 1) * band_size, num_hashes))
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+    unnest(list_transform(
+      range(0, greatest(len(string_split(text,' ')) - 3, 0) + 1),
+      i -> array_to_string(list_slice(string_split(text,' '), i + 1, i + 3), ' ')
+    )) AS shingle
+  FROM {source}
+),
+hs AS (
+  SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % {m} AS h FROM sh
+),
+mins AS (
+  SELECT doc_id,
+    {min_cols}
+  FROM hs GROUP BY doc_id
+),
+bands AS (
+  {band_branches}
+)
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+FROM bands l JOIN bands r
+  ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+"""
 
 
 def capped_candidate_pairs_oracle_sql(

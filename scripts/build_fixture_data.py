@@ -188,6 +188,43 @@ def build_neardup_corpus() -> None:
     )
 
 
+def build_neardup_hi_corpus() -> None:
+    """High-similarity planted corpus for production-parameter LSH gating.
+    128 perms / 16 bands targets an LSH threshold s* = (1/16)^(1/8) ≈ 0.707,
+    so the planted near-dups here sit ABOVE it: one word substituted per
+    48 → 3-shingle jaccard ≈ 0.88 (expected candidate probability ≈ 0.999).
+    30 families of base + exact + near, plus 40 unrelated docs."""
+    words = (
+        "engine spark shuffle partition arrow batch schema parquet column row "
+        "join filter window aggregate broadcast salt skew ledger resume span "
+        "markdown heading table code image media document corpus token quality"
+    ).split()
+    rows = []
+    for i in range(30):
+        # position-suffixed tokens → 48 DISTINCT words → 46 distinct
+        # shingles, so one substitution gives jaccard 43/49 ≈ 0.878
+        base = [words[(i * 7 + j * 3) % len(words)] + str(j) for j in range(48)]
+        text = " ".join(base)
+        rows.append((f"base{i:02d}", text, f"base{i:02d}"))
+        rows.append((f"copy{i:02d}", text, f"base{i:02d}"))
+        near = list(base)
+        near[24] = words[(i * 11 + 5) % len(words)] + "x"  # always a new token
+        rows.append((f"near{i:02d}", " ".join(near), f"base{i:02d}"))
+    for i in range(40):
+        uniq = [words[(i * 13 + j * j) % len(words)] + str((i + 2 * j) % 11) for j in range(40)]
+        rows.append((f"uniq{i:02d}", " ".join(uniq), None))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "family": [r[2] for r in rows],
+            }
+        ),
+        os.path.join(OUT, "neardup_hi.parquet"),
+    )
+
+
 def build_adversarial_corpus() -> None:
     """Degenerate-LSH-bucket skew fixture: 5000 byte-identical boilerplate
     docs (the classic hot bucket — every band key collides) plus 200
@@ -266,6 +303,7 @@ if __name__ == "__main__":
     build_media()
     build_raw_content()
     build_neardup_corpus()
+    build_neardup_hi_corpus()
     build_adversarial_corpus()
     build_neardup_embeddings()
     print(f"wrote fixture data to {OUT}")

@@ -1,0 +1,46 @@
+"""Golden-change guard (ADVICE): the committed extraction goldens are
+produced by the same converter under test, so the driver oracle alone
+verifies stability, not absolute correctness.  This guard fails whenever
+the golden content changes, forcing the change through the containment /
+differential test layer and a conscious re-pin
+(scripts/update_golden_hashes.py) instead of a silent regeneration.
+"""
+
+import json
+import os
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "..", "data", "fixtures")
+
+
+def test_goldens_match_pinned_hashes():
+    from scripts.update_golden_hashes import content_hash
+
+    pinned = json.load(open(os.path.join(FIXTURES, "GOLDEN_HASHES.json")))
+    for name, expected in pinned.items():
+        actual = content_hash(os.path.join(FIXTURES, f"{name}.parquet"))
+        assert actual == expected, (
+            f"golden {name}.parquet content changed. If this is an intended "
+            "converter-behavior change: (1) update/verify the containment "
+            "assertions in fetch_engines_spark/fixtures.py and "
+            "tests/test_converter_fixtures.py, then (2) re-pin with "
+            "python scripts/update_golden_hashes.py"
+        )
+
+
+def test_goldens_regenerate_deterministically(tmp_path):
+    """build_fixture_data's expected outputs are a pure function of the
+    fixture corpus: regenerating into a temp dir yields the same content
+    hash as the committed goldens."""
+    import scripts.build_fixture_data as bfd
+    from scripts.update_golden_hashes import content_hash
+
+    orig_out = bfd.OUT
+    try:
+        bfd.OUT = str(tmp_path)
+        bfd.build_expected()
+    finally:
+        bfd.OUT = orig_out
+    for name in ("expected_spans", "expected_markdown"):
+        assert content_hash(str(tmp_path / f"{name}.parquet")) == content_hash(
+            os.path.join(FIXTURES, f"{name}.parquet")
+        )

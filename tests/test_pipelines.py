@@ -354,3 +354,57 @@ def test_capped_matches_uncapped_when_no_giant_buckets(spark, docs):
         ).collect()
     }
     assert base == capped
+
+
+def test_minhash_production_recall(spark):
+    """Recall gate at production parameters (128 perms / 16 bands of 8,
+    affine fast path) on the high-similarity planted corpus: all exact
+    dups and >=95% of the jaccard~0.88 near dups must become candidates."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fetch_engines_spark.pipelines.dedup import minhash_candidate_pairs_fast
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "data", "fixtures", "neardup_hi.parquet"
+    )
+    docs = spark.read.parquet(path)
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_candidate_pairs_fast(docs, num_hashes=128, band_size=8).collect()
+    }
+    exact_found = sum(1 for i in range(30) if (f"base{i:02d}", f"copy{i:02d}") in pairs)
+    near_found = sum(
+        1
+        for i in range(30)
+        if (f"base{i:02d}", f"near{i:02d}") in pairs or (f"copy{i:02d}", f"near{i:02d}") in pairs
+    )
+    assert exact_found == 30
+    assert near_found >= 29  # >=95% of 30 families
+    # unrelated docs must not flood the candidate set (precision sanity)
+    uniq_pairs = [p for p in pairs if p[0].startswith("uniq") and p[1].startswith("uniq")]
+    assert len(uniq_pairs) <= 5
+
+
+def test_fast_affine_minhash_matches_brute_python(spark):
+    """The affine fast path is a real MinHash: its jaccard estimate over a
+    known pair must land near the true jaccard (sanity that the affine
+    permutations behave like permutations, not a fixed hash)."""
+    from pyspark.sql import functions as F
+
+    from fetch_engines_spark.pipelines.dedup import _minhash_fast_wide
+
+    a = "the quick brown fox jumps over the lazy dog again and again " * 4
+    b = a.replace("lazy", "sleepy")
+    docs = spark.createDataFrame([("a", a.strip()), ("b", b.strip())], "doc_id string, text string")
+    wide = _minhash_fast_wide(docs, "text", 128).collect()
+    sig = {r.doc_id: [r[f"mh{i}"] for i in range(128)] for r in wide}
+    est = sum(1 for x, y in zip(sig["a"], sig["b"]) if x == y) / 128
+    # true 3-shingle jaccard of the two texts
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+    sa, sb = sh(a.strip()), sh(b.strip())
+    true_j = len(sa & sb) / len(sa | sb)
+    assert abs(est - true_j) < 0.15, (est, true_j)
