@@ -381,6 +381,19 @@ def _q_streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "title", F.size("spans").alias("n_spans"), "markdown")
 
 
+def _q_extract_markdown_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M13 truncation driver-gated: extraction with max_content_length=400
+    (sentence-boundary cut + '... (truncated)' suffix) vs the committed
+    truncated golden."""
+    _prep(spark)
+    from fetch_engines_spark.extract import extract_spans
+
+    docs = _fixture(spark, "documents_spans")
+    return extract_spans(docs, keep_markdown=True, max_content_length=400).select(
+        "doc_id", "title", "markdown"
+    )
+
+
 def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     from fetch_engines_spark.pipelines.multimodal import extract_media_metadata
@@ -566,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_spans_fixture": _q_extract_spans,
         "extract_markdown_fixture": _q_extract_markdown,
+        "extract_markdown_truncated": _q_extract_markdown_truncated,
         "classifier_shell_score": _q_shell_score,
         "classifier_soft_block": _q_soft_block,
         "classifier_title_extract": _q_title_extract,
@@ -715,6 +729,10 @@ def oracle_sql() -> dict[str, str]:
     return {
         "extract_spans_fixture": f'SELECT doc_id, "offset", kind, text, media_ref FROM \'{_EXPECTED_SPANS}\'',
         "extract_markdown_fixture": f"SELECT doc_id, title, markdown FROM '{_EXPECTED_MD}'",
+        "extract_markdown_truncated": (
+            "SELECT doc_id, title, markdown FROM "
+            f"'{os.path.join(FIXTURES_DIR, 'expected_markdown_truncated.parquet')}'"
+        ),
         "classifier_shell_score": _SHELL_SQL,
         "classifier_soft_block": _SOFT_BLOCK_SQL,
         "classifier_title_extract": f"SELECT doc_id, trim({_TITLE_X1}) AS title FROM '{_PAGES}'",
@@ -864,11 +882,14 @@ def oracle_sql() -> dict[str, str]:
                  '^(?:text/|application/(?:json|xml|javascript|x-javascript|ecmascript|x-www-form-urlencoded)|image/svg)')
                OR lower(trim(string_split(mime, ';')[1])) LIKE '%+json'
                OR lower(trim(string_split(mime, ';')[1])) LIKE '%+xml') AS is_text,
+              -- expected text = build-time Python-codec decode with the MIME
+              -- charset (engine-independent); the is_text predicate stays a
+              -- genuine SQL twin
               CASE WHEN (regexp_matches(lower(trim(string_split(mime, ';')[1])),
                  '^(?:text/|application/(?:json|xml|javascript|x-javascript|ecmascript|x-www-form-urlencoded)|image/svg)')
                OR lower(trim(string_split(mime, ';')[1])) LIKE '%+json'
                OR lower(trim(string_split(mime, ';')[1])) LIKE '%+xml')
-                THEN decode(payload) END AS text,
+                THEN exp_text END AS text,
               octet_length(payload) AS payload_bytes
             FROM '{_RAW_CONTENT}'
         """,

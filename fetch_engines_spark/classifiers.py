@@ -240,6 +240,26 @@ def is_text_mime(mime: Column) -> Column:
 
 
 def decode_if_text(payload: Column, mime: Column) -> Column:
-    """S2 projection: binary column → decoded UTF-8 string for text MIME
-    types, NULL for binary (the binary stays in its own column)."""
-    return F.when(is_text_mime(mime), F.decode(payload, "UTF-8")).otherwise(F.lit(None))
+    """S2 projection: binary column → decoded string for text MIME types,
+    honoring the content-type charset parameter (parity: the reference's
+    response.text() charset semantics, FetchEngine.ts:211-225); NULL for
+    binary (the binary stays in its own column).
+
+    Charset aliases map to JVM codecs (latin-1 → ISO-8859-1, ascii →
+    US-ASCII, utf-16 variants); unknown or absent charsets decode as UTF-8
+    with replacement characters — never a task failure.  Real crawl
+    corpora are full of latin-1, so defaulting everything to UTF-8 (the
+    previous behavior) silently mangled a large fraction of the web."""
+    charset = F.upper(F.regexp_extract(mime, r"(?i)charset=[\"']?([A-Za-z0-9_-]+)", 1))
+    decoded = (
+        F.when(
+            charset.isin("ISO-8859-1", "ISO8859-1", "LATIN-1", "LATIN1", "L1", "IBM819", "CP819"),
+            F.decode(payload, "ISO-8859-1"),
+        )
+        .when(charset.isin("US-ASCII", "ASCII", "ANSI_X3.4-1968"), F.decode(payload, "US-ASCII"))
+        .when(charset == "UTF-16", F.decode(payload, "UTF-16"))
+        .when(charset == "UTF-16BE", F.decode(payload, "UTF-16BE"))
+        .when(charset == "UTF-16LE", F.decode(payload, "UTF-16LE"))
+        .otherwise(F.decode(payload, "UTF-8"))
+    )
+    return F.when(is_text_mime(mime), decoded).otherwise(F.lit(None))

@@ -133,7 +133,9 @@ def spans_to_markdown(spans: list[dict]) -> str:
 # --- the UDF ----------------------------------------------------------------
 
 
-def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _extract_batches(
+    batches: Iterator[pd.DataFrame], max_content_length: int | None = None
+) -> Iterator[pd.DataFrame]:
     # Import inside the worker so the zipped --py-files package resolves.
     from .convert.converter import MarkdownConverter, inject_source_url, postprocess_markdown
     from .convert.serialize import to_markdown
@@ -174,7 +176,7 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
                         markdown = cleanup_content_html(cleanup_html(html))
                         error = "ERR_MARKDOWN_CONVERSION_FALLBACK"
-                markdown = postprocess_markdown(markdown)
+                markdown = postprocess_markdown(markdown, max_content_length)
                 if source_url:
                     markdown = inject_source_url(markdown, source_url)
                 out_spans = markdown_to_spans(markdown) if markdown else []
@@ -194,7 +196,9 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
-def _extract_arrow_batches(batches, emit_markdown: bool = True):
+def _extract_arrow_batches(
+    batches, emit_markdown: bool = True, max_content_length: int | None = None
+):
     """Arrow-native variant of the extraction stage (mapInArrow): consumes
     pyarrow RecordBatches and builds the output arrays directly, skipping
     the pandas materialization on both sides of the boundary.
@@ -261,7 +265,7 @@ def _extract_arrow_batches(batches, emit_markdown: bool = True):
 
                         markdown = cleanup_content_html(cleanup_html(html))
                         error = "ERR_MARKDOWN_CONVERSION_FALLBACK"
-                markdown = postprocess_markdown(markdown)
+                markdown = postprocess_markdown(markdown, max_content_length)
                 if source_urls[i]:
                     markdown = inject_source_url(markdown, source_urls[i])
                 out_spans = markdown_to_spans(markdown) if markdown else []
@@ -314,6 +318,7 @@ def extract_spans(
     num_partitions: int | None = None,
     keep_markdown: bool = True,
     use_arrow: bool = True,
+    max_content_length: int | None = None,
 ) -> DataFrame:
     """documents(doc_id, spans[, base_url, canonical_url, source_url]) →
     outputs(doc_id, title, spans, markdown, error, metrics cols).
@@ -330,10 +335,19 @@ def extract_spans(
     if use_arrow and hasattr(sel, "mapInArrow"):
         import functools
 
-        fn = functools.partial(_extract_arrow_batches, emit_markdown=keep_markdown)
+        fn = functools.partial(
+            _extract_arrow_batches,
+            emit_markdown=keep_markdown,
+            max_content_length=max_content_length,
+        )
         out = sel.mapInArrow(fn, schema=OUTPUT_SCHEMA)
     else:
-        out = sel.mapInPandas(_extract_batches, schema=OUTPUT_SCHEMA)
+        import functools
+
+        out = sel.mapInPandas(
+            functools.partial(_extract_batches, max_content_length=max_content_length),
+            schema=OUTPUT_SCHEMA,
+        )
     if not keep_markdown:
         out = out.drop("markdown")
     return out

@@ -61,19 +61,34 @@ def build_documents_spans() -> None:
     pq.write_table(tbl, os.path.join(OUT, "documents_spans.parquet"))
 
 
+TRUNCATE_AT = 400  # max_content_length for the M13 truncation golden
+
+
 def build_expected() -> None:
     conv = MarkdownConverter()
     md_rows = []
     span_rows = []
+    trunc_rows = []
     for f in FIXTURES:
         # mirror extract.py's UDF exactly: serialize (or fallback), then
         # postprocess both branches
         content, title = conv.preprocess(f.html, f.base_url)
         markdown = content if isinstance(content, str) else to_markdown(content)
+        trunc_rows.append((f.id, title, postprocess_markdown(markdown, TRUNCATE_AT)))
         markdown = postprocess_markdown(markdown)
         md_rows.append((f.id, title, markdown))
         for s in markdown_to_spans(markdown):
             span_rows.append((f.id, s["offset"], s["kind"], s["text"], s["media_ref"]))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [r[0] for r in trunc_rows],
+                "title": [r[1] for r in trunc_rows],
+                "markdown": [r[2] for r in trunc_rows],
+            }
+        ),
+        os.path.join(OUT, "expected_markdown_truncated.parquet"),
+    )
     pq.write_table(
         pa.table(
             {
@@ -127,17 +142,24 @@ def build_media() -> None:
 
 
 def build_raw_content() -> None:
-    """S2 fixture: raw fetched payloads with MIME types (ASCII text payloads
-    so the DuckDB oracle can compare decoded text via CAST)."""
+    """S2 fixture: raw fetched payloads with MIME types, including non-UTF-8
+    charsets.  ``exp_text`` is the build-time Python-codec decode (the
+    charset declared in the MIME parameter), giving the DuckDB oracle an
+    engine-independent expected value — JVM decode vs Python codecs."""
     rows = [
-        ("r0", b"<html><body>hello</body></html>", "text/html; charset=utf-8"),
-        ("r1", b'{"k": 1}', "application/json"),
-        ("r2", b"PNGBYTES-0", "image/png"),
-        ("r3", b"<svg><path d='M0 0'/></svg>", "image/svg+xml"),
-        ("r4", b"PDFBYTES-1", "application/pdf"),
-        ("r5", b"<feed/>", "application/atom+xml"),
-        ("r6", b"plain text body", "text/plain"),
-        ("r7", b"AUDIOBYTES", "audio/mpeg"),
+        # (id, payload bytes, mime, charset for expected decode or None=binary)
+        ("r0", b"<html><body>hello</body></html>", "text/html; charset=utf-8", "utf-8"),
+        ("r1", b'{"k": 1}', "application/json", "utf-8"),
+        ("r2", b"PNGBYTES-0", "image/png", None),
+        ("r3", b"<svg><path d='M0 0'/></svg>", "image/svg+xml", "utf-8"),
+        ("r4", b"PDFBYTES-1", "application/pdf", None),
+        ("r5", b"<feed/>", "application/atom+xml", "utf-8"),
+        ("r6", b"plain text body", "text/plain", "utf-8"),
+        ("r7", b"AUDIOBYTES", "audio/mpeg", None),
+        ("r8", "café résumé ©1999".encode("latin-1"), "text/html; charset=ISO-8859-1", "iso-8859-1"),
+        ("r9", "naïve ±2°".encode("latin-1"), "text/plain; charset=latin-1", "iso-8859-1"),
+        ("r10", "utf16 павло ü".encode("utf-16"), "text/plain; charset=utf-16", "utf-16"),
+        ("r11", b"plain ascii only", "text/plain; charset=us-ascii", "us-ascii"),
     ]
     pq.write_table(
         pa.table(
@@ -145,6 +167,9 @@ def build_raw_content() -> None:
                 "content_id": [r[0] for r in rows],
                 "payload": pa.array([r[1] for r in rows], pa.binary()),
                 "mime": [r[2] for r in rows],
+                "exp_text": [
+                    (r[1].decode(r[3]) if r[3] else None) for r in rows
+                ],
             }
         ),
         os.path.join(OUT, "raw_content.parquet"),

@@ -128,3 +128,33 @@ def test_mime_text_binary_split(spark):
     assert out["d"][0] is True  # svg is text-based in the reference's split
     assert out["e"] == (False, None)
     assert out["f"][0] is True
+
+
+def test_decode_if_text_honors_charset(spark):
+    """Charset-aware S2 decode: latin-1 / ascii / utf-16 payloads decode to
+    the same strings Python's codecs produce; binary stays NULL."""
+    from pyspark.sql import functions as F
+
+    from fetch_engines_spark.classifiers import decode_if_text
+
+    rows = [
+        ("latin", "café ©1999".encode("latin-1"), "text/html; charset=ISO-8859-1"),
+        ("latin2", "±2°".encode("latin-1"), "text/plain; charset=latin-1"),
+        ("utf16", "павло ü".encode("utf-16"), "text/plain; charset=utf-16"),
+        ("ascii", b"plain", "text/plain; charset=us-ascii"),
+        ("default", "über".encode("utf-8"), "text/html"),
+        ("binary", b"\x89PNG", "image/png"),
+    ]
+    df = spark.createDataFrame(rows, "content_id string, payload binary, mime string")
+    got = {
+        r.content_id: r.text
+        for r in df.select(
+            "content_id", decode_if_text(F.col("payload"), F.col("mime")).alias("text")
+        ).collect()
+    }
+    assert got["latin"] == "café ©1999"
+    assert got["latin2"] == "±2°"
+    assert got["utf16"] == "павло ü"
+    assert got["ascii"] == "plain"
+    assert got["default"] == "über"
+    assert got["binary"] is None

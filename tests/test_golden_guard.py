@@ -44,3 +44,39 @@ def test_goldens_regenerate_deterministically(tmp_path):
         assert content_hash(str(tmp_path / f"{name}.parquet")) == content_hash(
             os.path.join(FIXTURES, f"{name}.parquet")
         )
+
+
+def test_truncated_golden_obeys_m13_rules():
+    """Structural (converter-independent) checks of the M13 truncation
+    golden: bounded length, the literal suffix, and the sentence-boundary
+    midpoint rule against the untruncated golden."""
+    import pyarrow.parquet as pq
+
+    full = {
+        r["doc_id"]: r["markdown"]
+        for r in pq.read_table(os.path.join(FIXTURES, "expected_markdown.parquet")).to_pylist()
+    }
+    trunc = {
+        r["doc_id"]: r["markdown"]
+        for r in pq.read_table(
+            os.path.join(FIXTURES, "expected_markdown_truncated.parquet")
+        ).to_pylist()
+    }
+    limit = 400
+    suffix = "... (truncated)"
+    truncated_docs = 0
+    for doc_id, t in trunc.items():
+        f = full[doc_id]
+        if len(f) <= limit:
+            assert t == f
+            continue
+        truncated_docs += 1
+        assert t.endswith(suffix), doc_id
+        body = t[: -len(suffix)]
+        assert len(body) <= limit, (doc_id, len(body))
+        # the sentence-boundary rule: if the cut is past the midpoint it
+        # lands right after a period, else it's the hard limit
+        assert body.endswith(".") or len(body) == limit, doc_id
+        # prefix property: the truncated body is a prefix of the full text
+        assert f.startswith(body.rstrip(".") [:10])
+    assert truncated_docs >= 5  # fixture corpus genuinely exercises M13
