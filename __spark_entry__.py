@@ -70,7 +70,9 @@ def entry(spark: SparkSession) -> DataFrame:
             F.struct(
                 F.lit("html").alias("kind"),
                 F.concat(
-                    F.lit("<html><head><title>doc </title></head><body><main><h1>Document</h1><p>"),
+                    F.lit("<html><head><title>doc "),
+                    F.col("doc_id").cast("string"),
+                    F.lit("</title></head><body><main><h1>Document</h1><p>"),
                     F.col("text"),
                     F.lit("</p></main></body></html>"),
                 ).alias("text"),
@@ -514,6 +516,40 @@ def _q_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidate_pairs(docs, num_hashes=6, band_size=1)
 
 
+def _q_structured_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7 NoObjectGenerated taxonomy as batch error columns (parity:
+    StructuredContentEngine.ts:258-360): classify raw model responses
+    against the extraction schema — native columns only."""
+    _prep(spark)
+    from pyspark.sql.types import BooleanType, DoubleType, StringType, StructField, StructType
+
+    from fetch_engines_spark.structured import validate_generated_objects
+
+    schema = StructType(
+        [
+            StructField("title", StringType(), metadata={"description": "product title"}),
+            StructField("price", DoubleType(), metadata={"description": "price, numeric"}),
+            StructField("in_stock", BooleanType(), metadata={"description": "availability"}),
+        ]
+    )
+    resp = _fixture(spark, "llm_responses")
+    out = validate_generated_objects(resp, schema)
+    # arrays stringified for the canonical compare (array reprs differ
+    # across the pandas conversion paths)
+    return out.select(
+        "doc_id",
+        "ok",
+        "error_kind",
+        F.concat_ws(",", "received_keys").alias("received_keys"),
+        F.concat_ws(",", "missing_fields").alias("missing_fields"),
+        F.concat_ws(",", "mismatched_fields").alias("mismatched_fields"),
+        "error_detail",
+        "out_title",
+        "out_price",
+        "out_in_stock",
+    )
+
+
 def _q_dedup_minhash_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash dedup at production parameters (128 permutations / 16 bands
     of 8, affine-permutation fast path) over the high-similarity planted
@@ -614,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_equality_gate": _q_span_equality,
         "streaming_extract": _q_streaming_extract,
         "media_ref_carry": _q_media_ref_carry,
+        "structured_validation": _q_structured_validation,
     }
 
 
@@ -950,5 +987,69 @@ def oracle_sql() -> dict[str, str]:
         "media_ref_carry": f"""
             SELECT doc_id, kind, media_ref FROM '{_EXPECTED_SPANS}'
             WHERE media_ref IS NOT NULL ORDER BY doc_id, media_ref
+        """,
+        "structured_validation": f"""
+            WITH r AS (SELECT * FROM '{os.path.join(FIXTURES_DIR, "llm_responses.parquet")}'),
+            base AS (
+              SELECT doc_id, response, finish_reason,
+                CASE WHEN json_valid(response) THEN json_type(response) = 'OBJECT' ELSE false END AS is_obj
+              FROM r
+            ),
+            keyed AS (
+              SELECT *,
+                CASE WHEN is_obj THEN list_sort(json_keys(response)) ELSE [] END AS received
+              FROM base
+            ),
+            analyzed AS (
+              SELECT *,
+                len(list_filter(received, k -> starts_with(k, '.') OR contains(k, ' ')
+                    OR NOT list_contains(['title','price','in_stock'], k))) > 0 AS weird,
+                list_filter(['title','price','in_stock'], n -> NOT list_contains(received, n)) AS missing,
+                CASE WHEN is_obj THEN list_filter(['title','price','in_stock'],
+                  n -> list_contains(received, n) AND (
+                    CASE n
+                      WHEN 'title' THEN json_type(response, '$.title') = 'NULL'
+                      WHEN 'price' THEN json_type(response, '$.price') NOT IN ('DOUBLE','BIGINT','UBIGINT')
+                      WHEN 'in_stock' THEN json_type(response, '$.in_stock') <> 'BOOLEAN'
+                    END))
+                ELSE [] END AS mismatched
+              FROM keyed
+            ),
+            classified AS (
+              SELECT *,
+                CASE
+                  WHEN finish_reason IS NOT NULL AND finish_reason NOT IN ('stop','unknown') THEN 'truncated'
+                  WHEN NOT is_obj THEN 'invalid_json'
+                  WHEN weird THEN 'key_mismatch'
+                  WHEN len(missing) > 0 THEN 'missing_field'
+                  WHEN len(mismatched) > 0 THEN 'type_mismatch'
+                END AS error_kind,
+                list_filter(mismatched, n -> n = 'price') AS num_mismatched
+              FROM analyzed
+            )
+            SELECT doc_id,
+              error_kind IS NULL AS ok,
+              error_kind,
+              coalesce(array_to_string(received, ','), '') AS received_keys,
+              coalesce(array_to_string(missing, ','), '') AS missing_fields,
+              coalesce(array_to_string(mismatched, ','), '') AS mismatched_fields,
+              CASE
+                WHEN error_kind = 'invalid_json' THEN 'Model response is not a JSON object: ' || substr(response, 1, 300)
+                WHEN error_kind = 'key_mismatch' THEN 'Key mismatch. Expected: title, price, in_stock Received: ' || array_to_string(received, ', ')
+                WHEN error_kind = 'missing_field' THEN 'Missing fields: ' || array_to_string(missing, ', ')
+                WHEN error_kind = 'type_mismatch' AND len(num_mismatched) > 0 THEN
+                  'Type validation failed for: ' || array_to_string(mismatched, ', ')
+                  || '. Tip: fields (' || array_to_string(num_mismatched, ', ')
+                  || ') returned as strings but expected numbers.'
+                WHEN error_kind = 'type_mismatch' THEN 'Type validation failed for: ' || array_to_string(mismatched, ', ')
+                WHEN error_kind = 'truncated' THEN 'Finish reason: ' || finish_reason
+              END AS error_detail,
+              CASE WHEN is_obj AND json_type(response, '$.title') = 'VARCHAR'
+                   THEN json_extract_string(response, '$.title') END AS out_title,
+              CASE WHEN is_obj AND json_type(response, '$.price') IN ('DOUBLE','BIGINT','UBIGINT')
+                   THEN CAST(json_extract(response, '$.price') AS DOUBLE) END AS out_price,
+              CASE WHEN is_obj AND json_type(response, '$.in_stock') = 'BOOLEAN'
+                   THEN CAST(json_extract(response, '$.in_stock') AS BOOLEAN) END AS out_in_stock
+            FROM classified
         """,
     }

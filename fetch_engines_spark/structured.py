@@ -20,6 +20,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
 
@@ -89,6 +90,121 @@ def generate_object(prompt: str, schema: StructType) -> dict:  # pragma: no cove
     low, gpt-4.1 → temperature 0; StructuredContentEngine.ts:389-404).
     """
     raise NotImplementedError("LLM inference is not available in this environment")
+
+
+def validate_generated_objects(
+    responses: DataFrame,
+    schema: StructType,
+    response_col: str = "response",
+    finish_col: str | None = "finish_reason",
+) -> DataFrame:
+    """Batch analog of the reference's NoObjectGeneratedError analysis
+    (parity: StructuredContentEngine.ts:258-360): classify each model
+    response into typed error columns instead of a thrown exception, so a
+    future inference stage's failures are queryable at corpus scale.
+
+    Taxonomy (error_kind):
+    - ``invalid_json``   response is not a JSON object (reference: the
+      JSON.parse-fails branch → raw-text excerpt)
+    - ``key_mismatch``   keys have weird prefixes (leading dot, embedded
+      space) or are not in the schema (reference: hasWeirdKeys)
+    - ``missing_field``  an expected key is absent
+    - ``type_mismatch``  a key is present but fails schema typing, e.g.
+      number expected / string received (reference: the Zod
+      type-validation branch + its number-as-string tip)
+    - ``truncated``      finishReason signals an incomplete generation
+    - NULL               the object validates; typed columns are populated
+
+    Everything is native columns (from_json twice: once as
+    map<string,string> for key analysis, once with the caller schema for
+    typing) — no Python in the path, so it runs at 10^12-row scale."""
+    expected = [f.name for f in schema.fields]
+    numeric_fields = [
+        f.name for f in schema.fields if f.dataType.typeName() in ("double", "float", "long", "integer")
+    ]
+    out = responses.withColumn("_map", F.from_json(F.col(response_col), "map<string,string>"))
+    out = out.withColumn("_typed", F.from_json(F.col(response_col), schema))
+    # sorted: map key order is engine-internal, not JSON document order
+    received = F.array_sort(
+        F.coalesce(F.map_keys(F.col("_map")), F.array().cast("array<string>"))
+    )
+    weird = F.exists(
+        received,
+        lambda k: k.startswith(".") | k.contains(" ") | ~k.isin(*expected),
+    )
+    missing = F.filter(
+        F.array(*[F.lit(n) for n in expected]), lambda n: ~F.array_contains(received, n)
+    )
+    mismatched = F.filter(
+        F.array(*[F.lit(n) for n in expected]),
+        lambda n: F.array_contains(received, n)
+        & F.coalesce(
+            *[
+                F.when(n == fname, F.col(f"_typed.{fname}").isNull())
+                for fname in expected
+            ]
+        ),
+    )
+    finish = (
+        F.col(finish_col)
+        if finish_col and finish_col in responses.columns
+        else F.lit(None).cast("string")
+    )
+    error_kind = (
+        F.when(
+            finish.isNotNull() & ~finish.isin("stop", "unknown"), F.lit("truncated")
+        )
+        .when(F.col("_map").isNull(), F.lit("invalid_json"))
+        .when(weird, F.lit("key_mismatch"))
+        .when(F.size(missing) > 0, F.lit("missing_field"))
+        .when(F.size(mismatched) > 0, F.lit("type_mismatch"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    # number-as-string detection drives the reference's transform tip
+    numeric_mismatched = F.filter(
+        mismatched, lambda n: n.isin(*numeric_fields) if numeric_fields else F.lit(False)
+    )
+    detail = F.when(
+        error_kind == "invalid_json",
+        F.concat(F.lit("Model response is not a JSON object: "), F.substring(F.col(response_col), 1, 300)),
+    ).when(
+        error_kind == "key_mismatch",
+        F.concat(
+            F.lit("Key mismatch. Expected: "),
+            F.lit(", ".join(expected)),
+            F.lit(" Received: "),
+            F.concat_ws(", ", received),
+        ),
+    ).when(
+        error_kind == "missing_field",
+        F.concat(F.lit("Missing fields: "), F.concat_ws(", ", missing)),
+    ).when(
+        (error_kind == "type_mismatch") & (F.size(numeric_mismatched) > 0),
+        F.concat(
+            F.lit("Type validation failed for: "),
+            F.concat_ws(", ", mismatched),
+            F.lit(". Tip: fields ("),
+            F.concat_ws(", ", numeric_mismatched),
+            F.lit(") returned as strings but expected numbers."),
+        ),
+    ).when(
+        error_kind == "type_mismatch",
+        F.concat(F.lit("Type validation failed for: "), F.concat_ws(", ", mismatched)),
+    ).when(
+        error_kind == "truncated",
+        F.concat(F.lit("Finish reason: "), finish),
+    )
+    keep = [c for c in responses.columns if c not in ("_map", "_typed")]
+    return out.select(
+        *keep,
+        (error_kind.isNull()).alias("ok"),
+        error_kind.alias("error_kind"),
+        received.alias("received_keys"),
+        missing.alias("missing_fields"),
+        mismatched.alias("mismatched_fields"),
+        detail.alias("error_detail"),
+        *[F.col(f"_typed.{n}").alias(f"out_{n}") for n in expected],
+    )
 
 
 def prompts_for_documents(

@@ -176,6 +176,35 @@ def build_raw_content() -> None:
     )
 
 
+def build_llm_responses() -> None:
+    """O7 fixture: raw structured-extraction model responses covering the
+    reference's NoObjectGenerated failure taxonomy (valid object, non-JSON
+    prose, JSON array, dot/space-prefixed keys, unknown keys, missing
+    fields, number-as-string, bool-as-string, truncated generation)."""
+    rows = [
+        ("d0", '{"title": "Widget", "price": 19.99, "in_stock": true}', "stop"),
+        ("d1", "Sure! Here is the data you asked for: title=Widget", "stop"),
+        ("d2", "[1, 2, 3]", "stop"),
+        ("d3", '{".title": "Widget", "price ": 3.5, "in_stock": true}', "stop"),
+        ("d4", '{"title": "W", "price": 1.5, "in_stock": false, "color": "red"}', "stop"),
+        ("d5", '{"title": "W"}', "stop"),
+        ("d6", '{"title": "W", "price": "$19.99", "in_stock": true}', "stop"),
+        ("d7", '{"title": "W", "price": 2.0, "in_stock": "yes"}', "stop"),
+        ("d8", '{"title": "W", "price": 2.0, "in_st', "length"),
+        ("d9", '{"title": "Gadget", "price": 5, "in_stock": false}', None),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [r[0] for r in rows],
+                "response": [r[1] for r in rows],
+                "finish_reason": [r[2] for r in rows],
+            }
+        ),
+        os.path.join(OUT, "llm_responses.parquet"),
+    )
+
+
 def build_neardup_corpus() -> None:
     """Planted-duplicate corpus for dedup recall gating: 30 base texts,
     each with an exact copy, a near-copy (one word substituted per 12),
@@ -327,6 +356,7 @@ if __name__ == "__main__":
     build_expected()
     build_media()
     build_raw_content()
+    build_llm_responses()
     build_neardup_corpus()
     build_neardup_hi_corpus()
     build_adversarial_corpus()

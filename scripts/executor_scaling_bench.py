@@ -1,0 +1,154 @@
+"""Executor-scaling evidence (north_rule: N vs 4N *executors*): run E
+independent executor processes — each its own JVM (fresh SparkSession,
+local[cores]) with its own Python-worker pool — over E disjoint shards of
+the SAME corpus, all timed over a file-barrier-synchronized window.
+
+This is the closest single-box simulation of a multi-executor cluster:
+unlike local[8] vs local[32] in one JVM, each "executor" here has private
+JVM heap, GC, shuffle machinery, and Python workers; only the machine's
+cores/memory bus are shared (as they would NOT be on a real cluster, where
+4N executors bring 4N× the memory bandwidth — see BENCH/BASELINE.md).
+
+Usage: python scripts/executor_scaling_bench.py [n_docs] [cores_per_exec] [exec_counts...]
+Default: 256000 docs, 8 cores/executor, 1 vs 4 executors.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from fetch_engines_spark.extract import extract_spans
+from fetch_engines_spark.session import get_spark
+
+exec_id, n_execs, cores, corpus, barrier_dir = (
+    int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4], sys.argv[5]
+)
+spark = get_spark(app_name=f"exec-{{exec_id}}", master=f"local[{{cores}}]",
+                  shuffle_partitions=max(cores, 8))
+spark.sparkContext.setLogLevel("ERROR")
+
+# no heap persist: read from (page-cached) parquet like a real job would —
+# a deserialized in-heap cache makes the timed run GC-bound at high core
+# counts and measures the cache, not the engine
+shard = spark.read.parquet(corpus).filter(
+    F.pmod(F.xxhash64("doc_id"), F.lit(n_execs)) == exec_id
+)
+n = shard.count()
+
+# warmup: spin up Python workers / Arrow / codegen on every core
+extract_spans(shard.limit(cores * 512), num_partitions=cores,
+              keep_markdown=False).agg(F.count("*")).collect()
+
+# barrier: signal ready, wait for the parent's go-file
+open(os.path.join(barrier_dir, f"ready-{{exec_id}}"), "w").write("1")
+go = os.path.join(barrier_dir, "go")
+while not os.path.exists(go):
+    time.sleep(0.05)
+
+t0 = time.time()
+stats = (
+    extract_spans(shard, num_partitions=None, keep_markdown=False)
+    .agg(F.count("*").alias("n"),
+         F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errs"))
+    .collect()[0]
+)
+wall = time.time() - t0
+assert stats.n == n, (stats.n, n)
+print("RESULT " + json.dumps({{"exec_id": exec_id, "docs": n, "sec": round(wall, 3),
+                               "errors": int(stats.errs)}}))
+"""
+
+
+def build_corpus(n_docs: int) -> str:
+    """Materialize the bench corpus once (deterministic) for all levels."""
+    path = os.path.join(tempfile.gettempdir(), f"fes_exec_corpus_{n_docs}")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    sys.path.insert(0, REPO)
+    from bench import extraction_corpus
+    from fetch_engines_spark.session import get_spark
+
+    spark = get_spark(app_name="corpus-build", master="local[16]", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    extraction_corpus(spark, n_docs).repartition(64).write.mode("overwrite").parquet(path)
+    spark.stop()
+    return path
+
+
+def run_level(n_execs: int, cores: int, corpus: str) -> dict:
+    with tempfile.TemporaryDirectory() as barrier_dir:
+        code = _CHILD.format(repo=REPO)
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-c", code, str(i), str(n_execs), str(cores), corpus, barrier_dir],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.DEVNULL,
+                text=True,
+                cwd=REPO,
+            )
+            for i in range(n_execs)
+        ]
+        deadline = time.time() + 900
+        while time.time() < deadline:
+            ready = [f for f in os.listdir(barrier_dir) if f.startswith("ready-")]
+            if len(ready) == n_execs:
+                break
+            if any(p.poll() is not None for p in procs):
+                raise RuntimeError("an executor died before the barrier")
+            time.sleep(0.1)
+        t0 = time.time()
+        open(os.path.join(barrier_dir, "go"), "w").write("1")
+        results = []
+        for p in procs:
+            out, _ = p.communicate(timeout=1800)
+            for line in out.splitlines():
+                if line.startswith("RESULT "):
+                    results.append(json.loads(line[len("RESULT "):]))
+        window = time.time() - t0
+    total_docs = sum(r["docs"] for r in results)
+    errors = sum(r["errors"] for r in results)
+    # level time = slowest executor's in-child wall: every child starts at
+    # the shared go-file, so max(child wall) is the true makespan (the
+    # parent-side window additionally counts JVM teardown + IPC)
+    slowest = max(r["sec"] for r in results)
+    return {
+        "executors": n_execs,
+        "cores_per_executor": cores,
+        "docs": total_docs,
+        "slowest_exec_sec": slowest,
+        "window_sec": round(window, 3),
+        "docs_per_sec": round(total_docs / slowest, 1),
+        "errors": errors,
+    }
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 256_000
+    cores = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    counts = [int(x) for x in sys.argv[3:]] or [1, 4]
+    corpus = build_corpus(n_docs)
+    results = {c: run_level(c, cores, corpus) for c in counts}
+    report: dict = {"n_docs": n_docs, "levels": results}
+    pairs = [(a, b) for a in counts for b in counts if b == 4 * a]
+    report["scaling_efficiency"] = {
+        f"{a}x{cores} -> {b}x{cores} executors": round(
+            (results[b]["docs_per_sec"] / results[a]["docs_per_sec"]) / (b / a), 3
+        )
+        for a, b in pairs
+    }
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -80,7 +80,16 @@ def main() -> None:
         for n, m in pairs
     )
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # preserve everything from the first non-scaling section on — this
+    # writer owns only the header + scaling tables
+    baseline_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    tail = ""
+    if os.path.exists(baseline_path):
+        prev = open(baseline_path).read()
+        idx = prev.find("\n## ")
+        if idx != -1:
+            tail = prev[idx:]
+    with open(baseline_path, "w") as f:
         f.write(
             f"""# BENCH baseline — extraction throughput & scaling efficiency
 
@@ -101,12 +110,20 @@ it would be amortized over hours on a real corpus).
 |---|---|---|
 {eff_rows}
 
-Machine note: this sandbox is one 32-core Xeon VM; a pure-Python
-multiprocessing control (no Spark) shows the same per-core throughput
-fall-off from 8→32 workers (memory-bandwidth bound), so the 4→16 pair is
-the cleaner proxy for N→4N *executor* scaling, where executors are
-separate machines with their own memory bandwidth.  Both pairs are
-reported above.
+Round-2 scaling postmortem: round 1 attributed the 8→32 shortfall (0.736)
+to hardware memory bandwidth.  That was wrong — a pure-Python
+multiprocessing control of the converter itself scales at 0.89–1.0 from
+8→32 processes on this box.  The real costs were in the bench/Spark layer:
+(a) the input corpus was persisted deserialized in the JVM heap, turning
+the timed run into a GC scan storm at 32 task threads (fixed: the bench
+reads the corpus from parquet on tmpfs, like a real job reads storage);
+(b) the timed run unconditionally salted-repartitioned an input whose
+64-partition layout was already uniform — pure shuffle overhead, ~15% at
+local[32] (fixed: the timed run is layout-aware; salted_repartition
+remains in the warmup path and in tests for genuinely skewed inputs — at
+100 TB you control layout at write time rather than reshuffling every
+read).  See also scripts/executor_scaling_bench.py for the N vs 4N
+*executor* variant (separate JVMs + Python worker pools per executor).
 
 Correctness at this throughput: 100% span-sequence equality vs the golden
 fixture spans (driver CORRECTNESS gate `extract_spans_fixture`) and zero
@@ -115,6 +132,7 @@ per-document errors in all runs above.
 Reproduce: `python scripts/scaling_bench.py {n_docs} {' '.join(str(x) for x in levels)}`
 """
         )
+        f.write(tail)
     print(f"wrote BENCH/BASELINE.md ({effs})")
 
 

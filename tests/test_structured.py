@@ -64,3 +64,41 @@ def test_prompts_rejects_bad_schema_before_any_job(spark):
     df = spark.createDataFrame([("d1", "# One")], "doc_id string, markdown string")
     with pytest.raises(SchemaDescriptionError):
         prompts_for_documents(df, BAD)
+
+
+def test_validate_generated_objects_taxonomy(spark):
+    """Batch NoObjectGenerated analysis (parity:
+    StructuredContentEngine.ts:258-360): every failure class lands in the
+    right error_kind with queryable fields."""
+    from pyspark.sql.types import BooleanType, DoubleType, StringType, StructField, StructType
+
+    from fetch_engines_spark.structured import validate_generated_objects
+
+    schema = StructType(
+        [
+            StructField("title", StringType(), metadata={"description": "t"}),
+            StructField("price", DoubleType(), metadata={"description": "p"}),
+            StructField("in_stock", BooleanType(), metadata={"description": "s"}),
+        ]
+    )
+    rows = [
+        ("ok", '{"title": "W", "price": 1.5, "in_stock": true}', "stop"),
+        ("prose", "here you go!", "stop"),
+        ("weird", '{".title": "W", "price": 1.5, "in_stock": true}', "stop"),
+        ("missing", '{"title": "W"}', "stop"),
+        ("numstr", '{"title": "W", "price": "$1.50", "in_stock": true}', "stop"),
+        ("cut", '{"title": "W", "pri', "length"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, response string, finish_reason string")
+    got = {r.doc_id: r for r in validate_generated_objects(df, schema).collect()}
+
+    assert got["ok"].ok and got["ok"].error_kind is None
+    assert got["ok"].out_price == 1.5 and got["ok"].out_in_stock is True
+    assert got["prose"].error_kind == "invalid_json"
+    assert got["weird"].error_kind == "key_mismatch"
+    assert got["missing"].error_kind == "missing_field"
+    assert got["missing"].missing_fields == ["price", "in_stock"]
+    assert got["numstr"].error_kind == "type_mismatch"
+    assert got["numstr"].mismatched_fields == ["price"]
+    assert "expected numbers" in got["numstr"].error_detail  # the reference's tip
+    assert got["cut"].error_kind == "truncated"
