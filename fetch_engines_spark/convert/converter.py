@@ -20,7 +20,7 @@ from __future__ import annotations
 import re
 from urllib.parse import urljoin, urlparse
 
-from ..dom import Element, collect_matches, parse_html, subtree_stats
+from ..dom import Element, collect_first_matches, collect_matches, parse_html, subtree_stats
 from .serialize import to_markdown
 
 # --- constants (parity: markdown-converter.ts:27-113) -----------------------
@@ -461,19 +461,16 @@ def extract_forum_content_element(root: Element) -> Element:
     """C-E (parity: extractForumContentElement, markdown-converter.ts:790-872)."""
     temp = Element("div")
 
-    main_post = None
-    for s in FORUM_MAIN_POST_SELECTORS:
-        main_post = root.query_selector(s)
-        if main_post is not None:
-            break
+    firsts = collect_first_matches(
+        root, list(FORUM_MAIN_POST_SELECTORS) + list(FORUM_COMMENTS_CONTAINER_SELECTORS)
+    )
+    main_firsts = firsts[: len(FORUM_MAIN_POST_SELECTORS)]
+    comment_firsts = firsts[len(FORUM_MAIN_POST_SELECTORS) :]
+    main_post = next((el for el in main_firsts if el is not None), None)
     if main_post is not None:
         temp.append_child(main_post.clone())
 
-    comments = None
-    for s in FORUM_COMMENTS_CONTAINER_SELECTORS:
-        comments = root.query_selector(s)
-        if comments is not None:
-            break
+    comments = next((el for el in comment_firsts if el is not None), None)
     if comments is not None:
         cloned = comments.clone()
         for sel in FORUM_OBVIOUS_NON_CONTENT_SELECTORS:
@@ -498,8 +495,9 @@ def extract_forum_content_element(root: Element) -> Element:
 def ensure_primary_heading(content: Element, provided_title: str | None) -> None:
     """C-H (parity: ensurePrimaryHeading, markdown-converter.ts:410-442)."""
     title_norm = _norm(provided_title)
-    first_h1 = content.query_selector("h1")
-    first_heading = content.query_selector("h1, h2, h3, h4, h5, h6")
+    first_h1, first_heading = collect_first_matches(
+        content, ["h1", "h1, h2, h3, h4, h5, h6"]
+    )
     h1_text = _norm(first_h1.text_content if first_h1 is not None else "")
 
     if first_h1 is not None:
@@ -525,18 +523,22 @@ def ensure_primary_heading(content: Element, provided_title: str | None) -> None
 
 
 def elect_title(root: Element) -> str:
-    """P8 title election (parity: markdown-converter.ts:200-205)."""
-    for sel, attr in (
-        ("meta[property='og:title']", "content"),
-        ("meta[name='twitter:title']", "content"),
-        ("meta[name='DC.title']", "content"),
-    ):
-        el = root.query_selector(sel)
+    """P8 title election (parity: markdown-converter.ts:200-205).
+    One walk for all four candidate selectors (priority = list order)."""
+    og, tw, dc, t = collect_first_matches(
+        root,
+        [
+            "meta[property='og:title']",
+            "meta[name='twitter:title']",
+            "meta[name='DC.title']",
+            "title",
+        ],
+    )
+    for el in (og, tw, dc):
         if el is not None:
-            v = el.get_attribute(attr)
+            v = el.get_attribute("content")
             if v is not None:
                 return v
-    t = root.query_selector("title")
     if t is not None:
         return t.text_content
     return ""

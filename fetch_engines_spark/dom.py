@@ -177,10 +177,25 @@ class Element:
         return out
 
     def query_selector(self, selector: str) -> "Element | None":
+        # same inline walk + tag fast path as query_selector_all (the
+        # generator-based variant costs ~2x in the converter's hot path)
         sl = parse_selector_list(selector)
-        for el in self.iter_elements():
-            if sl.matches(el):
-                return el
+        tags = sl.tags
+        cx = sl.complex
+        stack: list[Element | TextNode] = list(reversed(self.children))
+        while stack:
+            n = stack.pop()
+            if isinstance(n, Element):
+                if n.tag in tags:
+                    return n
+                if cx:
+                    attrs = n.attrs
+                    for c, needs_attrs in cx:
+                        if needs_attrs and not attrs:
+                            continue
+                        if _matches_compound(n, c):
+                            return n
+                stack.extend(reversed(n.children))
         return None
 
     def matches(self, selector: str) -> bool:
@@ -533,6 +548,26 @@ def collect_matches(root: Element, selectors: list[str]) -> list[list[Element]]:
             for i, sl in enumerate(parsed):
                 if sl.matches(n):
                     out[i].append(n)
+            stack.extend(reversed(n.children))
+    return out
+
+
+def collect_first_matches(root: Element, selectors: list[str]) -> list["Element | None"]:
+    """One traversal, N selector lists → first document-order match per
+    selector (or None).  Equivalent to
+    ``[root.query_selector(s) for s in selectors]`` with early exit once
+    every selector has matched."""
+    parsed = [parse_selector_list(s) for s in selectors]
+    out: list[Element | None] = [None] * len(parsed)
+    remaining = len(parsed)
+    stack: list[Element | TextNode] = list(reversed(root.children))
+    while stack and remaining:
+        n = stack.pop()
+        if isinstance(n, Element):
+            for i, sl in enumerate(parsed):
+                if out[i] is None and sl.matches(n):
+                    out[i] = n
+                    remaining -= 1
             stack.extend(reversed(n.children))
     return out
 
