@@ -120,6 +120,7 @@ def run_extraction_job(
     num_partitions: int | None = None,
     keep_markdown: bool = False,
     table_format: str = "parquet",
+    max_content_length: int | None = None,
 ) -> dict:
     """Resumable extraction: bucket the corpus, anti-join completed buckets,
     process remaining buckets in waves, append outputs + ledger + metrics.
@@ -147,7 +148,12 @@ def run_extraction_job(
             ).write.mode("append").format(table_format).save(f"{root}/partition_ledger")
             processed += 1
             continue
-        out = extract_spans(chunk, num_partitions=num_partitions, keep_markdown=keep_markdown)
+        out = extract_spans(
+            chunk,
+            num_partitions=num_partitions,
+            keep_markdown=keep_markdown,
+            max_content_length=max_content_length,
+        )
         out = (
             out.withColumn("run_id", F.lit(run_id))
             .withColumn("bucket", F.lit(bucket))

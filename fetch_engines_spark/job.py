@@ -28,6 +28,12 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument("--partitions", type=int, default=None)
     p.add_argument("--keep-markdown", action="store_true")
+    p.add_argument(
+        "--max-content-length",
+        type=int,
+        default=None,
+        help="M13 truncation: cut markdown at a sentence boundary near this length",
+    )
     p.add_argument("--table-format", default="parquet", help="sink format (parquet, or iceberg when the runtime jar is present)")
     p.add_argument("--master", default=None)
     return p.parse_args(argv)
@@ -51,6 +57,7 @@ def main(argv: list[str] | None = None) -> int:
             num_partitions=args.partitions,
             keep_markdown=args.keep_markdown,
             table_format=args.table_format,
+            max_content_length=args.max_content_length,
         )
         print(json.dumps({"run_id": args.run_id, **summary}))
         return 0

@@ -38,12 +38,15 @@ spark = get_spark(app_name=f"exec-{{exec_id}}", master=f"local[{{cores}}]",
                   shuffle_partitions=max(cores, 8))
 spark.sparkContext.setLogLevel("ERROR")
 
-# no heap persist: read from (page-cached) parquet like a real job would —
-# a deserialized in-heap cache makes the timed run GC-bound at high core
-# counts and measures the cache, not the engine
-shard = spark.read.parquet(corpus).filter(
-    F.pmod(F.xxhash64("doc_id"), F.lit(n_execs)) == exec_id
-)
+# read ONLY this executor's input split (pre-sharded directories): a
+# filter over the full corpus would make every executor scan + Arrow-decode
+# all N shards and discard N-1 of them — work a real cluster never does.
+# No heap persist either: a deserialized in-heap cache makes the timed run
+# GC-bound at high core counts and measures the cache, not the engine.
+n_shards = int(sys.argv[6])
+per = n_shards // n_execs
+paths = [f"{{corpus}}/shard={{s}}" for s in range(exec_id * per, (exec_id + 1) * per)]
+shard = spark.read.parquet(*paths)
 n = shard.count()
 
 # warmup: spin up Python workers / Arrow / codegen on every core
@@ -56,49 +59,77 @@ go = os.path.join(barrier_dir, "go")
 while not os.path.exists(go):
     time.sleep(0.05)
 
-t0 = time.time()
-stats = (
-    extract_spans(shard, num_partitions=None, keep_markdown=False)
-    .agg(F.count("*").alias("n"),
-         F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errs"))
-    .collect()[0]
-)
-wall = time.time() - t0
-assert stats.n == n, (stats.n, n)
-print("RESULT " + json.dumps({{"exec_id": exec_id, "docs": n, "sec": round(wall, 3),
-                               "errors": int(stats.errs)}}))
+best, errs = None, 0
+for _ in range(3):  # best-of-3, same protocol as scripts/scaling_bench.py
+    t0 = time.time()
+    stats = (
+        extract_spans(shard, num_partitions=None, keep_markdown=False)
+        .agg(F.count("*").alias("n"),
+             F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errs"))
+        .collect()[0]
+    )
+    wall = time.time() - t0
+    assert stats.n == n, (stats.n, n)
+    errs = int(stats.errs)
+    if best is None or wall < best:
+        best = wall
+print("RESULT " + json.dumps({{"exec_id": exec_id, "docs": n, "sec": round(best, 3),
+                               "errors": errs}}))
 """
 
 
-def build_corpus(n_docs: int) -> str:
-    """Materialize the bench corpus once (deterministic) for all levels."""
-    path = os.path.join(tempfile.gettempdir(), f"fes_exec_corpus_{n_docs}")
+def build_corpus(n_docs: int, n_shards: int) -> str:
+    """Materialize the bench corpus once, pre-sharded into per-executor
+    input splits (directory partitions → partition pruning), exactly like
+    a cluster handing each executor its own splits."""
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    path = os.path.join(base, f"fes_exec_corpus_{n_docs}_{n_shards}")
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     sys.path.insert(0, REPO)
+    from pyspark.sql import functions as F
+
     from bench import extraction_corpus
     from fetch_engines_spark.session import get_spark
 
     spark = get_spark(app_name="corpus-build", master="local[16]", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
-    extraction_corpus(spark, n_docs).repartition(64).write.mode("overwrite").parquet(path)
+    (
+        extraction_corpus(spark, n_docs)
+        .withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)))
+        # round-robin repartition: every task holds rows of every shard, so
+        # each shard directory gets 32 files — repartitioning BY the 4-valued
+        # shard column would leave one giant file (= one read task) per shard
+        .repartition(32)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
     spark.stop()
     return path
 
 
-def run_level(n_execs: int, cores: int, corpus: str) -> dict:
+def run_level(n_execs: int, cores: int, corpus: str, n_shards: int) -> dict:
     with tempfile.TemporaryDirectory() as barrier_dir:
         code = _CHILD.format(repo=REPO)
-        procs = [
-            subprocess.Popen(
-                [sys.executable, "-c", code, str(i), str(n_execs), str(cores), corpus, barrier_dir],
-                stdout=subprocess.PIPE,
-                stderr=subprocess.DEVNULL,
-                text=True,
-                cwd=REPO,
+        # each executor is pinned to its own disjoint core slice — exactly
+        # the resource isolation a real cluster gives an executor
+        total = os.cpu_count() or (n_execs * cores)
+        procs = []
+        for i in range(n_execs):
+            cmd = [sys.executable, "-c", code, str(i), str(n_execs), str(cores), corpus, barrier_dir, str(n_shards)]
+            lo = i * cores
+            if lo + cores <= total:
+                cmd = ["taskset", "-c", f"{lo}-{lo + cores - 1}"] + cmd
+            procs.append(
+                subprocess.Popen(
+                    cmd,
+                    stdout=subprocess.PIPE,
+                    stderr=subprocess.DEVNULL,
+                    text=True,
+                    cwd=REPO,
+                )
             )
-            for i in range(n_execs)
-        ]
         deadline = time.time() + 900
         while time.time() < deadline:
             ready = [f for f in os.listdir(barrier_dir) if f.startswith("ready-")]
@@ -137,8 +168,10 @@ def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 256_000
     cores = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     counts = [int(x) for x in sys.argv[3:]] or [1, 4]
-    corpus = build_corpus(n_docs)
-    results = {c: run_level(c, cores, corpus) for c in counts}
+    n_shards = max(counts)
+    assert all(n_shards % c == 0 for c in counts), "executor counts must divide the max"
+    corpus = build_corpus(n_docs, n_shards)
+    results = {c: run_level(c, cores, corpus, n_shards) for c in counts}
     report: dict = {"n_docs": n_docs, "levels": results}
     pairs = [(a, b) for a in counts for b in counts if b == 4 * a]
     report["scaling_efficiency"] = {
