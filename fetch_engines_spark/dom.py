@@ -539,17 +539,29 @@ def collect_matches(root: Element, selectors: list[str]) -> list[list[Element]]:
 
     Equivalent to ``[root.query_selector_all(s) for s in selectors]``.
     """
-    parsed = [parse_selector_list(s) for s in selectors]
-    out: list[list[Element]] = [[] for _ in selectors]
+    # (tags, complex, out-list) triples with the match test inlined — the
+    # method-call-per-(element, selector) variant costs ~2x on forum pages
+    parsed = [
+        (sl.tags, sl.complex, []) for sl in (parse_selector_list(s) for s in selectors)
+    ]
     stack: list[Element | TextNode] = list(reversed(root.children))
     while stack:
         n = stack.pop()
         if isinstance(n, Element):
-            for i, sl in enumerate(parsed):
-                if sl.matches(n):
-                    out[i].append(n)
+            tag = n.tag
+            attrs = n.attrs
+            for tags, cx, bucket in parsed:
+                if tag in tags:
+                    bucket.append(n)
+                    continue
+                for c, needs_attrs in cx:
+                    if needs_attrs and not attrs:
+                        continue
+                    if _matches_compound(n, c):
+                        bucket.append(n)
+                        break
             stack.extend(reversed(n.children))
-    return out
+    return [bucket for _, _, bucket in parsed]
 
 
 def collect_first_matches(root: Element, selectors: list[str]) -> list["Element | None"]:
@@ -564,10 +576,22 @@ def collect_first_matches(root: Element, selectors: list[str]) -> list["Element 
     while stack and remaining:
         n = stack.pop()
         if isinstance(n, Element):
+            tag = n.tag
+            attrs = n.attrs
             for i, sl in enumerate(parsed):
-                if out[i] is None and sl.matches(n):
+                if out[i] is not None:
+                    continue
+                if tag in sl.tags:
                     out[i] = n
                     remaining -= 1
+                    continue
+                for c, needs_attrs in sl.complex:
+                    if needs_attrs and not attrs:
+                        continue
+                    if _matches_compound(n, c):
+                        out[i] = n
+                        remaining -= 1
+                        break
             stack.extend(reversed(n.children))
     return out
 
