@@ -121,6 +121,12 @@ def run_level(n_execs: int, cores: int, corpus: str, n_shards: int) -> dict:
             lo = i * cores
             if lo + cores <= total:
                 cmd = ["taskset", "-c", f"{lo}-{lo + cores - 1}"] + cmd
+            env = dict(os.environ)
+            # size the executor JVM's GC/JIT thread pools for ITS cores,
+            # not the machine's — exactly what a containerized executor gets
+            env["JAVA_TOOL_OPTIONS"] = (
+                env.get("JAVA_TOOL_OPTIONS", "") + f" -XX:ActiveProcessorCount={cores}"
+            ).strip()
             procs.append(
                 subprocess.Popen(
                     cmd,
@@ -128,6 +134,7 @@ def run_level(n_execs: int, cores: int, corpus: str, n_shards: int) -> dict:
                     stderr=subprocess.DEVNULL,
                     text=True,
                     cwd=REPO,
+                    env=env,
                 )
             )
         deadline = time.time() + 900
