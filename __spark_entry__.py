@@ -516,6 +516,52 @@ def _q_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidate_pairs(docs, num_hashes=6, band_size=1)
 
 
+def _q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-format parity: JSONL crawl-dump ingestion (schema-enforced,
+    corrupt lines routed to rejects — 2 planted in the fixture) must yield
+    the exact span values of the parquet path."""
+    _prep(spark)
+    from fetch_engines_spark.sources import read_documents_jsonl
+
+    docs, _rejects = read_documents_jsonl(
+        spark, os.path.join(FIXTURES_DIR, "documents_spans.jsonl")
+    )
+    return docs.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.offset").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+def _q_eval_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release eval gate as a driver query: LIVE extraction of the fixture
+    corpus evaluated against the eval-case matrix (has-markdown /
+    min-visible-length / required-keyword / no-error checks).  The oracle
+    twin computes the same checks over the GOLDEN markdown, so any live
+    drift (including a live extraction error) flips a check and fails."""
+    _prep(spark)
+    from fetch_engines_spark.evals import evaluate_cases
+    from fetch_engines_spark.extract import extract_spans
+
+    cases = _fixture(spark, "eval_cases")
+    docs = _fixture(spark, "documents_spans")
+    extracted = extract_spans(docs, keep_markdown=True)
+    return evaluate_cases(cases, extracted).select(
+        "doc_id",
+        "name",
+        "category",
+        "archetype",
+        "gate",
+        "has_markdown",
+        "min_length_ok",
+        "required_any_ok",
+        "no_error",
+        F.col("pass").alias("case_pass"),
+    )
+
+
 def _q_structured_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O7 NoObjectGenerated taxonomy as batch error columns (parity:
     StructuredContentEngine.ts:258-360): classify raw model responses
@@ -651,6 +697,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_extract": _q_streaming_extract,
         "media_ref_carry": _q_media_ref_carry,
         "structured_validation": _q_structured_validation,
+        "eval_gate": _q_eval_gate,
+        "jsonl_ingest": _q_jsonl_ingest,
     }
 
 
@@ -987,6 +1035,48 @@ def oracle_sql() -> dict[str, str]:
         "media_ref_carry": f"""
             SELECT doc_id, kind, media_ref FROM '{_EXPECTED_SPANS}'
             WHERE media_ref IS NOT NULL ORDER BY doc_id, media_ref
+        """,
+        "jsonl_ingest": f"""
+            SELECT doc_id, s."offset" AS "offset", s.kind, s.text, s.media_ref
+            FROM (
+              SELECT doc_id, unnest(spans) AS s
+              FROM read_json('{os.path.join(FIXTURES_DIR, "documents_spans.jsonl")}',
+                             format='newline_delimited', ignore_errors=true,
+                             columns={{'doc_id': 'VARCHAR', 'base_url': 'VARCHAR',
+                                      'canonical_url': 'VARCHAR',
+                                      'spans': 'STRUCT(kind VARCHAR, text VARCHAR, media_ref VARCHAR, "offset" INTEGER)[]'}})
+              WHERE doc_id IS NOT NULL
+            )
+        """,
+        "eval_gate": f"""
+            WITH ecases AS (SELECT * FROM '{os.path.join(FIXTURES_DIR, "eval_cases.parquet")}'),
+            joined AS (
+              SELECT c.*, coalesce(m.markdown, '') AS md
+              FROM ecases c LEFT JOIN '{_EXPECTED_MD}' m USING (doc_id)
+            ),
+            vis AS (
+              SELECT *, trim(regexp_replace(
+                regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                  md,
+                  '```[\\s\\S]*?```', ' ', 'g'),
+                  '`[^`]*`', ' ', 'g'),
+                  '!\\[[^\\]]*]\\([^)]*\\)', ' ', 'g'),
+                  '\\[([^\\]]*)\\]\\([^)]*\\)', '\\1', 'g'),
+                  '(?m)^#{{1,6}}\\s+', '', 'g'),
+                  '[*_~>-]', ' ', 'g'
+                ), '\\s+', ' ', 'g')) AS md_text
+              FROM joined
+            )
+            SELECT doc_id, name, category, archetype, gate,
+              md <> '' AS has_markdown,
+              length(md_text) >= min_text_length AS min_length_ok,
+              (required_any IS NULL OR len(required_any) = 0
+               OR len(list_filter(required_any, kw -> strpos(md, kw) > 0)) > 0) AS required_any_ok,
+              true AS no_error,
+              (md <> '' AND length(md_text) >= min_text_length
+               AND (required_any IS NULL OR len(required_any) = 0
+                    OR len(list_filter(required_any, kw -> strpos(md, kw) > 0)) > 0)) AS case_pass
+            FROM vis
         """,
         "structured_validation": f"""
             WITH r AS (SELECT * FROM '{os.path.join(FIXTURES_DIR, "llm_responses.parquet")}'),

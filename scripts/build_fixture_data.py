@@ -176,6 +176,52 @@ def build_raw_content() -> None:
     )
 
 
+def build_documents_jsonl() -> None:
+    """JSONL twin of documents_spans plus two corrupt lines (malformed
+    JSON; a record with no doc_id) to exercise reject routing."""
+    import json
+
+    rows = fixture_document_rows()
+    lines = [
+        json.dumps(
+            {
+                "doc_id": r["doc_id"],
+                "base_url": r["base_url"],
+                "canonical_url": r["canonical_url"],
+                "spans": r["spans"],
+            },
+            ensure_ascii=False,
+        )
+        for r in rows
+    ]
+    lines.insert(3, '{"doc_id": "BROKEN", "spans": [oops')  # malformed JSON
+    lines.append(json.dumps({"base_url": "https://x.example/", "spans": []}))  # no doc_id
+    with open(os.path.join(OUT, "documents_spans.jsonl"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def build_eval_cases() -> None:
+    """Release-gate eval matrix as a table (parity: the reference's
+    auto-render eval cases), so the gate itself is driver-oracle-checked."""
+    from fetch_engines_spark.evals import fixture_eval_cases
+
+    rows = fixture_eval_cases()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [r[0] for r in rows],
+                "name": [r[1] for r in rows],
+                "category": [r[2] for r in rows],
+                "archetype": [r[3] for r in rows],
+                "required_any": pa.array([r[4] for r in rows], pa.list_(pa.string())),
+                "min_text_length": pa.array([r[5] for r in rows], pa.int32()),
+                "gate": [r[6] for r in rows],
+            }
+        ),
+        os.path.join(OUT, "eval_cases.parquet"),
+    )
+
+
 def build_llm_responses() -> None:
     """O7 fixture: raw structured-extraction model responses covering the
     reference's NoObjectGenerated failure taxonomy (valid object, non-JSON
@@ -356,6 +402,8 @@ if __name__ == "__main__":
     build_expected()
     build_media()
     build_raw_content()
+    build_eval_cases()
+    build_documents_jsonl()
     build_llm_responses()
     build_neardup_corpus()
     build_neardup_hi_corpus()

@@ -182,3 +182,25 @@ def test_salted_repartition_spreads_hot_doc_id(spark):
         .count()
     )
     assert parts > 1
+
+
+def test_jsonl_ingest_routes_rejects(spark):
+    """JSONL source: valid docs equal the parquet rows; the 2 planted
+    corrupt lines (malformed JSON, record without doc_id) land in rejects."""
+    import os
+
+    from fetch_engines_spark.sources import read_documents_jsonl
+
+    fixtures = os.path.join(os.path.dirname(__file__), "..", "data", "fixtures")
+    docs, rejects = read_documents_jsonl(
+        spark, os.path.join(fixtures, "documents_spans.jsonl")
+    )
+    pq = spark.read.parquet(os.path.join(fixtures, "documents_spans.parquet"))
+    assert docs.count() == pq.count()
+    bad = rejects.collect()
+    assert len(bad) == 2
+    assert any("oops" in r.raw_line for r in bad)
+    # spans survive the JSON round-trip exactly
+    j = {r.doc_id: r.spans for r in docs.collect()}
+    p = {r.doc_id: r.spans for r in pq.collect()}
+    assert j == p
