@@ -383,6 +383,36 @@ def _q_streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "title", F.size("spans").alias("n_spans"), "markdown")
 
 
+def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: replay the planted-duplicate corpus as an
+    availableNow stream through state-backed dropDuplicates on the content
+    hash; the surviving distinct-hash set must equal batch DISTINCT."""
+    _prep(spark)
+    import tempfile
+
+    from fetch_engines_spark.streaming import dedup_documents_stream
+
+    base = tempfile.mkdtemp(prefix="fes_sdedup_q_")
+    docs = _fixture(spark, "neardup")
+    docs.write.mode("overwrite").parquet(f"{base}/in")
+    stream = (
+        spark.readStream.schema("doc_id string, text string, family string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{base}/in")
+    )
+    deduped = dedup_documents_stream(stream, text_from_spans=False).select("content_hash")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", f"{base}/out")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    return spark.read.parquet(f"{base}/out").select("content_hash")
+
+
 def _q_extract_markdown_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M13 truncation driver-gated: extraction with max_content_length=400
     (sentence-boundary cut + '... (truncated)' suffix) vs the committed
@@ -699,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "structured_validation": _q_structured_validation,
         "eval_gate": _q_eval_gate,
         "jsonl_ingest": _q_jsonl_ingest,
+        "streaming_dedup": _q_streaming_dedup,
     }
 
 
@@ -1035,6 +1066,10 @@ def oracle_sql() -> dict[str, str]:
         "media_ref_carry": f"""
             SELECT doc_id, kind, media_ref FROM '{_EXPECTED_SPANS}'
             WHERE media_ref IS NOT NULL ORDER BY doc_id, media_ref
+        """,
+        "streaming_dedup": f"""
+            SELECT DISTINCT md5(text) AS content_hash
+            FROM read_parquet('{os.path.join(FIXTURES_DIR, "neardup.parquet")}')
         """,
         "jsonl_ingest": f"""
             SELECT doc_id, s."offset" AS "offset", s.kind, s.text, s.media_ref

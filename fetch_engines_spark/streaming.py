@@ -177,3 +177,30 @@ def windowed_event_counts(
             "sum_value",
         )
     )
+
+
+def dedup_documents_stream(
+    documents_stream: DataFrame,
+    text_from_spans: bool = True,
+) -> DataFrame:
+    """Streaming exact dedup: content-hash dropDuplicates over the document
+    stream (state-backed across micro-batches — a re-crawled page seen in a
+    later batch is dropped, which batch dedup jobs can't do incrementally).
+
+    At corpus scale the dedup state must be bounded: pair with
+    ``withWatermark`` on an event-time column when one exists so old state
+    ages out; the fixture corpus replay is availableNow (finite), so the
+    unbounded variant is exact.  Output: one row per distinct content hash
+    (deterministic regardless of which duplicate micro-batch order wins).
+    """
+    if text_from_spans:
+        text = F.concat_ws(
+            "\x1f",
+            F.transform(
+                F.col("spans"), lambda s: F.coalesce(s["text"], F.lit(""))
+            ),
+        )
+    else:
+        text = F.col("text")
+    hashed = documents_stream.withColumn("content_hash", F.md5(text))
+    return hashed.dropDuplicates(["content_hash"])

@@ -65,3 +65,50 @@ def test_embedding_topk_broadcasts_queries(spark):
     df = entrymod.queries()["embedding_topk"](spark, SF)
     plan = plan_of(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_embedding_candidate_pairs_has_no_cartesian(spark):
+    """Multi-table LSH dedup must candidate via bucket equi-joins — never a
+    cross/nested-loop join over the corpus (the all-pairs anti-pattern that
+    cannot survive 10^9 vectors)."""
+    df = entrymod.queries()["dedup_embedding"](spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_fast_signatures_single_shuffle(spark):
+    """Production-parameter signatures+banding: all 128 permutations fold
+    into ONE map-side-combinable aggregation — exactly one shuffle over the
+    exploded shingles."""
+    from fetch_engines_spark.pipelines.dedup import minhash_lsh_buckets_fast
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(minhash_lsh_buckets_fast(docs, num_hashes=128, band_size=8))
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_min" in plan  # map-side combine before the shuffle
+
+
+def test_capped_pairs_no_python_and_no_cartesian(spark):
+    df = entrymod.queries()["dedup_minhash_capped"](spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    for marker in ("MapInArrow", "MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
+
+
+def test_structured_validation_is_native_columns(spark):
+    """The NoObjectGenerated taxonomy must be pure JVM columns (from_json
+    twice) — no Python stage."""
+    df = entrymod.queries()["structured_validation"](spark, SF)
+    plan = plan_of(df)
+    for marker in ("MapInArrow", "MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
+
+
+def test_jsonl_ingest_single_scan_no_inference(spark):
+    """Schema-enforced JSONL: one text scan + from_json — no sampling/
+    inference pass (a second full read at 100 TB)."""
+    df = entrymod.queries()["jsonl_ingest"](spark, SF)
+    plan = plan_of(df)
+    assert plan.count("FileScan") == 1, plan

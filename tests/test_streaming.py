@@ -147,3 +147,44 @@ def test_stateful_sessionize_applyinpandaswithstate(spark, tmp_path):
     s = got[0]
     assert s.user_id == 1 and s.n_events == 3
     assert (s.session_end - s.session_start).total_seconds() == 600
+
+
+def test_streaming_dedup_matches_batch_distinct(spark, tmp_path):
+    """State-backed streaming dropDuplicates across micro-batches: a dup
+    arriving in a LATER batch is dropped; survivors = batch DISTINCT."""
+    import pyspark.sql.functions as F
+
+    from fetch_engines_spark.streaming import dedup_documents_stream
+
+    rows1 = [("a", "same text", None), ("b", "other text", None)]
+    rows2 = [("c", "same text", None), ("d", "third text", None)]  # c dups a
+    schema = "doc_id string, text string, family string"
+    spark.createDataFrame(rows1, schema).write.parquet(str(tmp_path / "in" / "f1"))
+    spark.createDataFrame(rows2, schema).write.parquet(str(tmp_path / "in" / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(tmp_path / "in"))
+    )
+    q = (
+        dedup_documents_stream(stream, text_from_spans=False)
+        .select("content_hash")
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    got = {r.content_hash for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    want = {
+        r.h
+        for r in spark.createDataFrame(rows1 + rows2, schema)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .collect()
+    }
+    assert got == want and len(got) == 3
