@@ -87,3 +87,67 @@ def test_deeply_nested_html_does_not_crash():
     html = "<div>" * 3000 + "deep content here" + "</div>" * 3000
     md = conv.convert(html)
     assert isinstance(md, str)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _dup_corpus(draw):
+    words = "alpha beta gamma delta epsilon zeta eta theta".split()
+    n_base = draw(st.integers(2, 5))
+    docs = []
+    for i in range(n_base):
+        toks = draw(st.lists(st.sampled_from(words), min_size=6, max_size=18))
+        docs.append((f"d{i:02d}", " ".join(toks)))
+    # replicate one doc a draw-chosen number of times (the degenerate bucket)
+    n_rep = draw(st.integers(0, 6))
+    docs += [(f"r{j:02d}", docs[0][1]) for j in range(n_rep)]
+    return docs
+
+
+@given(_dup_corpus(), st.integers(2, 4))
+@settings(max_examples=8, deadline=None)
+def test_capped_pairs_are_subset_of_uncapped(spark, corpus, cap):
+    """Invariants of the skew guard, for any corpus and cap: (1) capped
+    candidate pairs never invent a pair the uncapped join wouldn't emit;
+    (2) every pair of byte-identical texts is still recovered (via star or
+    pairwise) as a connected component."""
+    from pyspark.sql import functions as F
+
+    from fetch_engines_spark.pipelines.dedup import minhash_candidate_pairs
+
+    pass  # spark is the session fixture
+    df = spark.createDataFrame(corpus, "doc_id string, text string")
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_candidate_pairs(df, num_hashes=4, band_size=2).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_candidate_pairs(
+            df, num_hashes=4, band_size=2, max_bucket_size=cap
+        ).collect()
+    }
+    assert capped <= uncapped
+
+    # identical-text docs stay connected through the group representative
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for doc_id, text in corpus:
+        groups[text].append(doc_id)
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            x = parent[x]
+        return x
+
+    for a, b in capped:
+        parent[find(a)] = find(b)
+    for text, ids in groups.items():
+        if len(ids) > 1:
+            roots = {find(i) for i in ids}
+            assert len(roots) == 1, (text, ids, capped)
