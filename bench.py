@@ -86,6 +86,20 @@ def extraction_corpus(spark, n_docs: int, skew_every: int = 500, skew_factor: in
     )
 
 
+def _fixture_fingerprint() -> str:
+    """Content key for the cached bench corpus: a stale /dev/shm corpus
+    must not survive a fixture-corpus change across rounds."""
+    import hashlib
+
+    from fetch_engines_spark.fixtures import FIXTURES
+
+    h = hashlib.md5()
+    for f in FIXTURES:
+        h.update(f.id.encode())
+        h.update(str(len(f.html)).encode())
+    return h.hexdigest()[:10]
+
+
 def run_extraction_bench(spark, n_docs: int, warmup: bool = True) -> dict:
     import tempfile
 
@@ -100,7 +114,9 @@ def run_extraction_bench(spark, n_docs: int, warmup: bool = True) -> dict:
     # efficiency) and benches nothing real — a production job reads from
     # storage, not from a pre-materialized cache.
     base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
-    corpus_path = os.path.join(base, f"fes_bench_corpus_{n_docs}")
+    corpus_path = os.path.join(
+        base, f"fes_bench_corpus_{n_docs}_{_fixture_fingerprint()}"
+    )
     if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
         extraction_corpus(spark, n_docs).repartition(64).write.mode("overwrite").parquet(
             corpus_path

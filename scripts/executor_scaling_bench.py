@@ -82,8 +82,13 @@ def build_corpus(n_docs: int, n_shards: int) -> str:
     """Materialize the bench corpus once, pre-sharded into per-executor
     input splits (directory partitions → partition pruning), exactly like
     a cluster handing each executor its own splits."""
+    sys.path.insert(0, REPO)
+    from bench import _fixture_fingerprint
+
     base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
-    path = os.path.join(base, f"fes_exec_corpus_{n_docs}_{n_shards}")
+    path = os.path.join(
+        base, f"fes_exec_corpus_{n_docs}_{n_shards}_{_fixture_fingerprint()}"
+    )
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     sys.path.insert(0, REPO)
