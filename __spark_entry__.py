@@ -383,6 +383,31 @@ def _q_streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "title", F.size("spans").alias("n_spans"), "markdown")
 
 
+def _q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF/layout parse (north_rule): text-PDF payloads → ordered spans in
+    the same span model as HTML extraction; the oracle is the generator's
+    record of what was placed on each page (writer and parser are
+    independent code paths)."""
+    _prep(spark)
+    from fetch_engines_spark.pdf import extract_pdf_spans
+
+    pdfs = _fixture(spark, "pdfs")
+    out = extract_pdf_spans(pdfs)
+    return out.select(
+        "doc_id",
+        "n_pages",
+        F.when(F.col("error").isNotNull(), F.lit("ERR_PDF")).alias("error_prefix"),
+        F.explode_outer("spans").alias("s"),
+    ).select(
+        "doc_id",
+        "n_pages",
+        "error_prefix",
+        F.col("s.offset").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+    )
+
+
 def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup: replay the planted-duplicate corpus as an
     availableNow stream through state-backed dropDuplicates on the content
@@ -730,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_gate": _q_eval_gate,
         "jsonl_ingest": _q_jsonl_ingest,
         "streaming_dedup": _q_streaming_dedup,
+        "pdf_extract": _q_pdf_extract,
     }
 
 
@@ -1066,6 +1092,15 @@ def oracle_sql() -> dict[str, str]:
         "media_ref_carry": f"""
             SELECT doc_id, kind, media_ref FROM '{_EXPECTED_SPANS}'
             WHERE media_ref IS NOT NULL ORDER BY doc_id, media_ref
+        """,
+        "pdf_extract": f"""
+            SELECT doc_id, exp_n_pages AS n_pages, exp_error_prefix AS error_prefix,
+                   s."offset" AS "offset", s.kind, s.text
+            FROM (
+              SELECT doc_id, exp_n_pages, exp_error_prefix,
+                     unnest(CASE WHEN len(exp_spans) = 0 THEN [NULL::STRUCT(kind VARCHAR, text VARCHAR, media_ref VARCHAR, "offset" INTEGER)] ELSE exp_spans END) AS s
+              FROM read_parquet('{os.path.join(FIXTURES_DIR, "pdfs.parquet")}')
+            )
         """,
         "streaming_dedup": f"""
             SELECT DISTINCT md5(text) AS content_hash

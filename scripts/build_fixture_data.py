@@ -176,6 +176,170 @@ def build_raw_content() -> None:
     )
 
 
+def _pdf_escape(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def _pdf_bytes(page_streams: list[bytes], compress: bool = False) -> bytes:
+    """Emit a minimal well-formed PDF around the given page content
+    streams (catalog → pages → page+content per page → font).  This is the
+    WRITER path — fetch_engines_spark/pdf.py parses it with independent
+    tokenizer/layout code."""
+    import zlib as _z
+
+    n = len(page_streams)
+    objs: list[bytes] = []
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode())
+    font_id = 3 + 2 * n
+    for i, stream in enumerate(page_streams):
+        page_id = 3 + 2 * i
+        content_id = page_id + 1
+        objs.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Contents {content_id} 0 R /Resources << /Font << /F1 {font_id} 0 R >> >> >>"
+            ).encode()
+        )
+        data = _z.compress(stream) if compress else stream
+        filt = b" /Filter /FlateDecode" if compress else b""
+        objs.append(
+            b"<< /Length %d%s >>\nstream\n%s\nendstream" % (len(data), filt, data)
+        )
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return bytes(out)
+
+
+def _pdf_line(size: float, x: float, y: float, text: str) -> bytes:
+    return f"BT /F1 {size} Tf {x} {y} Td ({_pdf_escape(text)}) Tj ET".encode("latin-1")
+
+
+def build_pdfs() -> None:
+    """PDF/layout-parse fixture (north_rule): writer-emitted PDFs with the
+    expected span structure recorded by the GENERATOR (kind/text/order are
+    what was placed on the page — independent of the parser under test)."""
+    span_type = pa.struct(
+        [("kind", pa.string()), ("text", pa.string()), ("media_ref", pa.string()), ("offset", pa.int32())]
+    )
+    rows = []  # (doc_id, payload, exp_spans, exp_n_pages, exp_err)
+
+    # p0: heading + 2-line paragraph (merges) + separate paragraph
+    s0 = b"\n".join(
+        [
+            _pdf_line(18, 72, 720, "Quarterly Report"),
+            _pdf_line(11, 72, 690, "Revenue grew in the third quarter"),
+            _pdf_line(11, 72, 676, "driven by subscription renewals."),
+            _pdf_line(11, 72, 600, "Outlook remains unchanged."),
+        ]
+    )
+    rows.append(
+        (
+            "p0",
+            _pdf_bytes([s0]),
+            [
+                ("heading", "Quarterly Report", None, 0),
+                ("text", "Revenue grew in the third quarter driven by subscription renewals.", None, 1),
+                ("text", "Outlook remains unchanged.", None, 2),
+            ],
+            1,
+            None,
+        )
+    )
+
+    # p1: two pages, ordered
+    s1a = b"\n".join([_pdf_line(18, 72, 720, "Page One Title"), _pdf_line(11, 72, 690, "First page body.")])
+    s1b = b"\n".join([_pdf_line(18, 72, 720, "Page Two Title"), _pdf_line(11, 72, 690, "Second page body.")])
+    rows.append(
+        (
+            "p1",
+            _pdf_bytes([s1a, s1b]),
+            [
+                ("heading", "Page One Title", None, 0),
+                ("text", "First page body.", None, 1),
+                ("heading", "Page Two Title", None, 2),
+                ("text", "Second page body.", None, 3),
+            ],
+            2,
+            None,
+        )
+    )
+
+    # p2: FlateDecode-compressed content stream
+    s2 = b"\n".join([_pdf_line(18, 72, 720, "Compressed Title"), _pdf_line(11, 72, 690, "Deflated body text.")])
+    rows.append(
+        (
+            "p2",
+            _pdf_bytes([s2], compress=True),
+            [
+                ("heading", "Compressed Title", None, 0),
+                ("text", "Deflated body text.", None, 1),
+            ],
+            1,
+            None,
+        )
+    )
+
+    # p3: TJ array + escaped parens + octal escapes (\101\102 = AB)
+    s3 = (
+        b"BT /F1 18 Tf 72 720 Td (Escapes \\(and\\) more) Tj ET\n"
+        b"BT /F1 11 Tf 72 690 Td [(Kerned ) (array ) (text \\101\\102)] TJ ET"
+    )
+    rows.append(
+        (
+            "p3",
+            _pdf_bytes([s3]),
+            [
+                ("heading", "Escapes (and) more", None, 0),
+                ("text", "Kerned array text AB", None, 1),
+            ],
+            1,
+            None,
+        )
+    )
+
+    # p4: Tm absolute positioning + two items on one baseline (x-ordered)
+    s4 = (
+        b"BT /F1 11 Tf 1 0 0 1 200 700 Tm (right half) Tj ET\n"
+        b"BT /F1 11 Tf 1 0 0 1 72 700 Tm (left half) Tj ET"
+    )
+    rows.append(
+        ("p4", _pdf_bytes([s4]), [("text", "left half right half", None, 0)], 1, None)
+    )
+
+    # p5: image-only page (no BT) -> error
+    rows.append(("p5", _pdf_bytes([b"q 612 0 0 792 0 0 cm /Im0 Do Q"]), [], 0, "ERR_PDF"))
+    # p6: not a PDF at all -> error
+    rows.append(("p6", b"GIF89a not a pdf", [], 0, "ERR_PDF"))
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [r[0] for r in rows],
+                "payload": pa.array([r[1] for r in rows], pa.binary()),
+                "exp_spans": pa.array([r[2] for r in rows], pa.list_(span_type)),
+                "exp_n_pages": pa.array([r[3] for r in rows], pa.int32()),
+                "exp_error_prefix": [r[4] for r in rows],
+            }
+        ),
+        os.path.join(OUT, "pdfs.parquet"),
+    )
+
+
 def build_documents_jsonl() -> None:
     """JSONL twin of documents_spans plus two corrupt lines (malformed
     JSON; a record with no doc_id) to exercise reject routing."""
@@ -401,6 +565,7 @@ if __name__ == "__main__":
     build_documents_spans()
     build_expected()
     build_media()
+    build_pdfs()
     build_raw_content()
     build_eval_cases()
     build_documents_jsonl()
