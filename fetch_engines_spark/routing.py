@@ -99,3 +99,18 @@ def route_documents(
             "route": route,
         }
     )
+
+
+def route_content_format(mime: Column) -> Column:
+    """Content-format routing for the extraction stage: which parser a
+    payload goes to.  'html' → the DOM extraction stage (extract.py),
+    'pdf' → the PDF/layout parser (pdf.py), 'text' → direct text (no DOM),
+    'binary' → multimodal passthrough by media_ref.  Native column — the
+    router is a partition-pruned filter at 100 TB, not a UDF."""
+    base = F.lower(F.trim(F.split(mime, ";").getItem(0)))
+    return (
+        F.when(base.isin("text/html", "application/xhtml+xml"), F.lit("html"))
+        .when(base == "application/pdf", F.lit("pdf"))
+        .when(X.is_text_mime(mime), F.lit("text"))
+        .otherwise(F.lit("binary"))
+    )

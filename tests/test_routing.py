@@ -88,3 +88,23 @@ def test_retry_only_transient(spark):
         "ERR_NAVIGATION_TIMEOUT": False,
         "ERR_HTTP_ERROR": False,
     }
+
+
+def test_route_content_format(spark):
+    from pyspark.sql import functions as F
+
+    from fetch_engines_spark.routing import route_content_format
+
+    rows = [
+        ("a", "text/html; charset=utf-8"),
+        ("b", "application/pdf"),
+        ("c", "application/json"),
+        ("d", "image/png"),
+        ("e", "application/xhtml+xml"),
+    ]
+    df = spark.createDataFrame(rows, "id string, mime string")
+    got = {
+        r.id: r.route
+        for r in df.select("id", route_content_format(F.col("mime")).alias("route")).collect()
+    }
+    assert got == {"a": "html", "b": "pdf", "c": "text", "d": "binary", "e": "html"}
