@@ -383,6 +383,68 @@ def _q_streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "title", F.size("spans").alias("n_spans"), "markdown")
 
 
+def _q_mixed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end format dispatch over a mixed crawl slice: the MIME router
+    (native column) splits the corpus; html rows run the DOM extraction
+    stage, pdf rows run the PDF/layout parser, text rows decode directly,
+    binary rows pass through — then the branches union back.  This is the
+    composed shape of the full engine on a real crawl: one scan, a
+    partition-prunable route filter per branch, one Python stage per
+    format that needs one."""
+    _prep(spark)
+    from fetch_engines_spark.classifiers import decode_if_text
+    from fetch_engines_spark.extract import extract_spans
+    from fetch_engines_spark.pdf import extract_pdf_spans
+    from fetch_engines_spark.routing import route_content_format
+
+    mixed = _fixture(spark, "mixed_content").withColumn(
+        "route", route_content_format(F.col("mime"))
+    )
+
+    html_docs = mixed.filter(F.col("route") == "html").select(
+        F.col("content_id").alias("doc_id"),
+        F.lit(None).cast("string").alias("base_url"),
+        F.lit(None).cast("string").alias("canonical_url"),
+        F.array(
+            F.struct(
+                F.lit("html").alias("kind"),
+                F.decode("payload", "UTF-8").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    html_out = extract_spans(html_docs, keep_markdown=False).select(
+        F.col("doc_id").alias("content_id"),
+        F.lit("html").alias("route"),
+        F.size("spans").cast("int").alias("n_spans"),
+        F.col("error").isNull().alias("ok"),
+    )
+    pdf_out = extract_pdf_spans(
+        mixed.filter(F.col("route") == "pdf").select(
+            F.col("content_id").alias("doc_id"), "payload"
+        )
+    ).select(
+        F.col("doc_id").alias("content_id"),
+        F.lit("pdf").alias("route"),
+        F.size("spans").cast("int").alias("n_spans"),
+        F.col("error").isNull().alias("ok"),
+    )
+    text_out = mixed.filter(F.col("route") == "text").select(
+        "content_id",
+        "route",
+        F.lit(0).cast("int").alias("n_spans"),
+        decode_if_text(F.col("payload"), F.col("mime")).isNotNull().alias("ok"),
+    )
+    bin_out = mixed.filter(F.col("route") == "binary").select(
+        "content_id",
+        "route",
+        F.lit(0).cast("int").alias("n_spans"),
+        (F.length("payload") > 0).alias("ok"),
+    )
+    return html_out.unionByName(pdf_out).unionByName(text_out).unionByName(bin_out)
+
+
 def _q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF/layout parse (north_rule): text-PDF payloads → ordered spans in
     the same span model as HTML extraction; the oracle is the generator's
@@ -756,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_ingest": _q_jsonl_ingest,
         "streaming_dedup": _q_streaming_dedup,
         "pdf_extract": _q_pdf_extract,
+        "mixed_extract": _q_mixed_extract,
     }
 
 
@@ -1092,6 +1155,10 @@ def oracle_sql() -> dict[str, str]:
         "media_ref_carry": f"""
             SELECT doc_id, kind, media_ref FROM '{_EXPECTED_SPANS}'
             WHERE media_ref IS NOT NULL ORDER BY doc_id, media_ref
+        """,
+        "mixed_extract": f"""
+            SELECT content_id, exp_route AS route, exp_n_spans AS n_spans, true AS ok
+            FROM read_parquet('{os.path.join(FIXTURES_DIR, "mixed_content.parquet")}')
         """,
         "pdf_extract": f"""
             SELECT doc_id, exp_n_pages AS n_pages, exp_error_prefix AS error_prefix,

@@ -340,6 +340,52 @@ def build_pdfs() -> None:
     )
 
 
+def build_mixed_content() -> None:
+    """Mixed-format crawl slice for the end-to-end dispatch query: HTML
+    pages, text-PDFs, a JSON text payload, and an opaque binary, with the
+    expected route and span count recorded per row."""
+    from fetch_engines_spark.fixtures import FIXTURES_BY_ID
+    from fetch_engines_spark.pdf import parse_pdf_spans  # count check below
+
+    rows = []  # (content_id, mime, payload, exp_route, exp_n_spans)
+    conv = MarkdownConverter()
+    for fid in ("F01", "F03", "F22"):
+        f = FIXTURES_BY_ID[fid]
+        content, _title = conv.preprocess(f.html, f.base_url)
+        md = content if isinstance(content, str) else to_markdown(content)
+        n_spans = len(markdown_to_spans(postprocess_markdown(md)))
+        rows.append(
+            (f"html-{fid}", "text/html; charset=utf-8", f.html.encode(), "html", n_spans)
+        )
+    # two text-PDFs (single-page and compressed), span counts per generator
+    s0 = b"\n".join(
+        [
+            _pdf_line(18, 72, 720, "Mixed Corpus Report"),
+            _pdf_line(11, 72, 690, "A pdf routed through the dispatcher."),
+        ]
+    )
+    pdf0 = _pdf_bytes([s0])
+    pdf1 = _pdf_bytes([s0], compress=True)
+    for i, payload in enumerate((pdf0, pdf1)):
+        assert len(parse_pdf_spans(payload)[0]) == 2
+        rows.append((f"pdf-{i}", "application/pdf", payload, "pdf", 2))
+    rows.append(("json-0", "application/json", b'{"k": [1, 2]}', "text", 0))
+    rows.append(("bin-0", "image/png", b"\x89PNG-fake", "binary", 0))
+
+    pq.write_table(
+        pa.table(
+            {
+                "content_id": [r[0] for r in rows],
+                "mime": [r[1] for r in rows],
+                "payload": pa.array([r[2] for r in rows], pa.binary()),
+                "exp_route": [r[3] for r in rows],
+                "exp_n_spans": pa.array([r[4] for r in rows], pa.int32()),
+            }
+        ),
+        os.path.join(OUT, "mixed_content.parquet"),
+    )
+
+
 def build_documents_jsonl() -> None:
     """JSONL twin of documents_spans plus two corrupt lines (malformed
     JSON; a record with no doc_id) to exercise reject routing."""
@@ -566,6 +612,7 @@ if __name__ == "__main__":
     build_expected()
     build_media()
     build_pdfs()
+    build_mixed_content()
     build_raw_content()
     build_eval_cases()
     build_documents_jsonl()
