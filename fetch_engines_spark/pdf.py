@@ -52,6 +52,7 @@ _STREAM_RX = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
 _TOKEN_RX = re.compile(
     rb"""
     (?P<str>\((?:\\.|[^\\()])*\))      # (string) with escapes
+  | (?P<hex><(?!<)[0-9A-Fa-f\s]*>)     # <hex string> (not a << dict >>)
   | (?P<num>-?\d+(?:\.\d+)?)           # number
   | (?P<name>/[^\s/\[\]()<>{}%]+)      # /Name
   | (?P<arr>\[|\])
@@ -121,8 +122,14 @@ def _text_items(stream: bytes) -> list[tuple[float, float, float, str]]:
     for m in _TOKEN_RX.finditer(stream):
         kind = m.lastgroup
         tok = m.group()
-        if kind == "str":
-            s = _decode_pdf_string(tok)
+        if kind in ("str", "hex"):
+            if kind == "str":
+                s = _decode_pdf_string(tok)
+            else:
+                h = re.sub(rb"\s", b"", tok[1:-1])
+                if len(h) % 2:
+                    h += b"0"  # PDF spec: odd-length hex pads with 0
+                s = bytes.fromhex(h.decode("ascii")).decode("latin-1")
             if in_array:
                 arr_parts.append(s)
             else:

@@ -64,3 +64,12 @@ def test_extract_pdf_spans_never_fails_stage(spark):
     assert errs["p0"] is None
     ok = {r.doc_id: r for r in out if r.error is None}
     assert [s["kind"] for s in ok["p0"].spans][0] == "heading"
+
+
+def test_hex_strings_decode():
+    import scripts.build_fixture_data as bfd
+
+    stream = b"BT /F1 11 Tf 72 700 Td <48656C6C 6F20 686 578> Tj ET"
+    spans, _, _ = parse_pdf_spans(bfd._pdf_bytes([stream]))
+    # "Hello hex" with the odd trailing nibble padded per the PDF spec
+    assert spans[0]["text"] == "Hello hex"
