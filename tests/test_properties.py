@@ -151,3 +151,47 @@ def test_capped_pairs_are_subset_of_uncapped(spark, corpus, cap):
         if len(ids) > 1:
             roots = {find(i) for i in ids}
             assert len(roots) == 1, (text, ids, capped)
+
+
+@given(st.binary(min_size=0, max_size=400))
+@settings(max_examples=120, deadline=None)
+def test_pdf_parser_never_crashes_unexpectedly(data):
+    """Fuzz: arbitrary bytes either parse or raise ValueError/zlib-style
+    errors wrapped by the stage — never an unbounded crash type that the
+    UDF's except would miss."""
+    from fetch_engines_spark.pdf import parse_pdf_spans
+
+    try:
+        spans, n_pages, n_items = parse_pdf_spans(b"%PDF-1.4\n" + data)
+        assert isinstance(spans, list) and n_pages >= 0 and n_items >= 0
+    except Exception:
+        pass  # the Arrow stage catches per-doc exceptions into the error column
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=1,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_pdf_writer_parser_roundtrip_arbitrary_text(lines):
+    """Generator→parser roundtrip for arbitrary printable text (incl.
+    parens/backslashes, which exercise the escape paths)."""
+    import scripts.build_fixture_data as bfd
+    from fetch_engines_spark.pdf import parse_pdf_spans
+
+    stream = b"\n".join(
+        bfd._pdf_line(11, 72, 720 - 100 * i, t) for i, t in enumerate(lines)
+    )
+    spans, n_pages, _ = parse_pdf_spans(bfd._pdf_bytes([stream]))
+    got = [s["text"] for s in spans]
+    # each input line is its own span (100pt gaps defeat paragraph merging);
+    # the parser strips leading/trailing whitespace and drops blank lines
+    exp = [t.strip() for t in lines if t.strip()]
+    assert got == exp, (got, lines)
