@@ -186,6 +186,16 @@ def _element_matches_boilerplate(el: Element) -> bool:
     return False
 
 
+def _is_attached(el: Element, root: Element) -> bool:
+    """True iff walking parents from ``el`` reaches ``root``."""
+    node = el.parent
+    while node is not None:
+        if node is root:
+            return True
+        node = node.parent
+    return False
+
+
 def _is_within_protected_main_content(el: Element) -> bool:
     return el.closest("main, article, [role='main'], [role='article']") is not None
 
@@ -230,14 +240,20 @@ def _has_high_link_density(el: Element, threshold: float) -> bool:
     return _has_high_link_density_stats(subtree_stats(el), threshold)
 
 
-def remove_high_link_density_elements(element: Element, threshold: float) -> None:
+_LINK_DENSITY_CANDIDATE_SELECTOR = (
+    "div, nav, ul, aside, section, .sidebar, .widget, .menu, [role='navigation'], [role='menubar']"
+)
+
+
+def remove_high_link_density_elements(
+    element: Element, threshold: float, candidates: list[Element] | None = None
+) -> None:
     """P7 global link-density prune (parity: markdown-converter.ts:554-605).
 
     Single stats walk per candidate (raw textContent lengths, non-nested
     link text) instead of repeated selector passes."""
-    candidates = element.query_selector_all(
-        "div, nav, ul, aside, section, .sidebar, .widget, .menu, [role='navigation'], [role='menubar']"
-    )
+    if candidates is None:
+        candidates = element.query_selector_all(_LINK_DENSITY_CANDIDATE_SELECTOR)
     for el in candidates:
         if _is_within_protected_main_content(el):
             continue
@@ -303,16 +319,20 @@ def remove_high_link_density_in_selected_content(content: Element) -> None:
             candidate.remove()
 
 
-def remove_svg_image_refs(root: Element) -> None:
+def remove_svg_image_refs(root: Element, els: list[Element] | None = None) -> None:
     """P5 (parity: markdown-converter.ts:256-262)."""
-    for el in root.query_selector_all("img[src]"):
+    if els is None:
+        els = root.query_selector_all("img[src]")
+    for el in els:
         if ".svg" in (el.get_attribute("src") or "").lower():
             el.remove()
 
 
-def remove_breadcrumbs(root: Element) -> None:
+def remove_breadcrumbs(root: Element, els: list[Element] | None = None) -> None:
     """P6 (parity: markdown-converter.ts:264-292)."""
-    for el in root.query_selector_all(",".join(_BREADCRUMB_SELECTORS)):
+    if els is None:
+        els = root.query_selector_all(",".join(_BREADCRUMB_SELECTORS))
+    for el in els:
         nav = el.closest("nav")
         (nav or el).remove()
 
@@ -323,7 +343,12 @@ def remove_content_subtree_boilerplate(content: Element) -> None:
         el.remove()
 
 
-def absolutize_relative_urls(root: Element, base_url: str | None) -> None:
+_ABSOLUTIZE_SELECTOR = "a[href], img[src], source[src], video[src], audio[src], track[src]"
+
+
+def absolutize_relative_urls(
+    root: Element, base_url: str | None, els: list[Element] | None = None
+) -> None:
     """P4 (parity: markdown-converter.ts:361-407)."""
     if not base_url:
         return
@@ -333,9 +358,9 @@ def absolutize_relative_urls(root: Element, base_url: str | None) -> None:
             return
     except ValueError:
         return
-    for el in root.query_selector_all(
-        "a[href], img[src], source[src], video[src], audio[src], track[src]"
-    ):
+    if els is None:
+        els = root.query_selector_all(_ABSOLUTIZE_SELECTOR)
+    for el in els:
         for attr in ("href", "src"):
             raw = el.get_attribute(attr)
             if raw:
@@ -673,13 +698,34 @@ class MarkdownConverter:
             html = cleanup_html(html)
             root = parse_html(html)
 
-            for el in root.query_selector_all(",".join(PREPROCESSING_REMOVE_SELECTORS)):
+            # P3–P7 candidates in ONE tree walk.  Application order is the
+            # reference's; the only timing delta vs per-pass collection is
+            # that later passes may see elements an earlier pass detached —
+            # unobservable for P4/P5/P6 (rewriting or re-removing a detached
+            # node never reaches the output; a detached node's closest()
+            # chain stays inside its detached subtree), and P7 re-snapshots
+            # attachment explicitly below, exactly reproducing a fresh
+            # post-P6 collection.
+            pre_els, abs_els, svg_els, bc_els, density_els = collect_matches(
+                root,
+                [
+                    ",".join(PREPROCESSING_REMOVE_SELECTORS),
+                    _ABSOLUTIZE_SELECTOR,
+                    "img[src]",
+                    ",".join(_BREADCRUMB_SELECTORS),
+                    _LINK_DENSITY_CANDIDATE_SELECTOR,
+                ],
+            )
+            for el in pre_els:
                 el.remove()
 
-            absolutize_relative_urls(root, base_url)
-            remove_svg_image_refs(root)
-            remove_breadcrumbs(root)
-            remove_high_link_density_elements(root, DEFAULT_LINK_DENSITY_THRESHOLD)
+            absolutize_relative_urls(root, base_url, els=abs_els)
+            remove_svg_image_refs(root, els=svg_els)
+            remove_breadcrumbs(root, els=bc_els)
+            attached = [el for el in density_els if _is_attached(el, root)]
+            remove_high_link_density_elements(
+                root, DEFAULT_LINK_DENSITY_THRESHOLD, candidates=attached
+            )
 
             best_title = elect_title(root)
             head = root.query_selector("head")

@@ -159,20 +159,14 @@ class Element:
         out: list[Element] = []
         stack: list[Element | TextNode] = list(reversed(self.children))
         tags = sl.tags
-        cx = sl.complex
+        complex_match = sl.matches if sl.has_complex else None
         while stack:
             n = stack.pop()
             if isinstance(n, Element):
                 if n.tag in tags:
                     out.append(n)
-                elif cx:
-                    attrs = n.attrs
-                    for c, needs_attrs in cx:
-                        if needs_attrs and not attrs:
-                            continue
-                        if _matches_compound(n, c):
-                            out.append(n)
-                            break
+                elif complex_match is not None and complex_match(n):
+                    out.append(n)
                 stack.extend(reversed(n.children))
         return out
 
@@ -181,20 +175,15 @@ class Element:
         # generator-based variant costs ~2x in the converter's hot path)
         sl = parse_selector_list(selector)
         tags = sl.tags
-        cx = sl.complex
+        complex_match = sl.matches if sl.has_complex else None
         stack: list[Element | TextNode] = list(reversed(self.children))
         while stack:
             n = stack.pop()
             if isinstance(n, Element):
                 if n.tag in tags:
                     return n
-                if cx:
-                    attrs = n.attrs
-                    for c, needs_attrs in cx:
-                        if needs_attrs and not attrs:
-                            continue
-                        if _matches_compound(n, c):
-                            return n
+                if complex_match is not None and complex_match(n):
+                    return n
                 stack.extend(reversed(n.children))
         return None
 
@@ -254,24 +243,73 @@ _selector_cache: dict[str, "SelectorList"] = {}
 
 
 class SelectorList:
-    """Parsed selector list with a tag-only fast path: compounds that are a
-    bare tag name collapse into a frozenset membership test."""
+    """Parsed selector list with keyed compound dispatch.
 
-    __slots__ = ("compounds", "tags", "complex")
+    Fast paths (all order-independent — membership only, so bucketing
+    compounds by their most selective key cannot change which elements
+    match):
+    - bare tag names collapse into a frozenset membership test;
+    - compounds WITH a tag are keyed by that tag (only tested against
+      elements of that tag);
+    - tagless compounds with a class predicate are keyed by one of their
+      class tokens (only tested when the element carries that token);
+    - tagless compounds with an id predicate are keyed by the id;
+    - the remainder (attr-only / :not-only) is a short linear scan with an
+      attrs-presence pre-screen.
+    Per element this is O(class tokens) instead of O(compounds) — the big
+    remove-selector lists go from dozens of compound tests per element to
+    (usually) zero.
+    """
+
+    __slots__ = (
+        "compounds",
+        "tags",
+        "tag_keyed",
+        "class_keyed",
+        "id_keyed",
+        "attr_keyed",
+        "rest",
+        "has_complex",
+    )
 
     def __init__(self, compounds: list):
         self.compounds = compounds
         self.tags = frozenset(
             tag for tag, preds in compounds if tag is not None and not preds
         )
-        # (compound, needs_attrs): a compound with any positive class/id/attr
-        # predicate can only match an element that has attributes at all —
-        # pre-screening on that skips most elements of a typical page.
-        self.complex = [
-            (c, any(p[0] in ("class", "id", "attr") for p in c[1]))
-            for c in compounds
-            if c[1] or c[0] is None
-        ]
+        tag_keyed: dict[str, list] = {}
+        class_keyed: dict[str, list] = {}
+        id_keyed: dict[str, list] = {}
+        attr_keyed: dict[str, list] = {}
+        rest: list = []
+        for c in compounds:
+            tag, preds = c
+            if tag is not None and not preds:
+                continue  # in self.tags
+            if tag is not None:
+                tag_keyed.setdefault(tag, []).append(c)
+                continue
+            cls_key = next((p[1] for p in preds if p[0] == "class"), None)
+            if cls_key is not None:
+                class_keyed.setdefault(cls_key, []).append(c)
+                continue
+            id_key = next((p[1] for p in preds if p[0] == "id"), None)
+            if id_key is not None:
+                id_keyed.setdefault(id_key, []).append(c)
+                continue
+            attr_key = next((p[1] for p in preds if p[0] == "attr"), None)
+            if attr_key is not None:
+                attr_keyed.setdefault(attr_key, []).append(c)
+            else:
+                rest.append(c)  # :not-only compounds (rare)
+        self.tag_keyed = tag_keyed
+        self.class_keyed = class_keyed
+        self.id_keyed = id_keyed
+        self.attr_keyed = attr_keyed
+        self.rest = rest
+        self.has_complex = bool(
+            tag_keyed or class_keyed or id_keyed or attr_keyed or rest
+        )
 
     def __iter__(self):
         return iter(self.compounds)
@@ -280,12 +318,32 @@ class SelectorList:
         return len(self.compounds)
 
     def matches(self, el: "Element") -> bool:
-        if el.tag in self.tags:
+        tag = el.tag
+        if tag in self.tags:
             return True
+        for c in self.tag_keyed.get(tag, _EMPTY_TOKENS):
+            if _matches_compound(el, c):
+                return True
         attrs = el.attrs
-        for c, needs_attrs in self.complex:
-            if needs_attrs and not attrs:
-                continue
+        if attrs:
+            class_keyed = self.class_keyed
+            if class_keyed and "class" in attrs:
+                for tok in el.class_tokens:
+                    for c in class_keyed.get(tok, _EMPTY_TOKENS):
+                        if _matches_compound(el, c):
+                            return True
+            id_keyed = self.id_keyed
+            if id_keyed and "id" in attrs:
+                for c in id_keyed.get(attrs["id"], _EMPTY_TOKENS):
+                    if _matches_compound(el, c):
+                        return True
+            attr_keyed = self.attr_keyed
+            if attr_keyed:
+                for name in attrs:
+                    for c in attr_keyed.get(name, _EMPTY_TOKENS):
+                        if _matches_compound(el, c):
+                            return True
+        for c in self.rest:
             if _matches_compound(el, c):
                 return True
         return False
@@ -534,34 +592,140 @@ def parse_html(html: str) -> Element:
 # --------------------------------------------------------------------------
 
 
+class _SelectorGroup:
+    """N selector lists compiled into ONE keyed dispatch structure.
+
+    Per element the walk does O(1) dict lookups + O(class tokens) work
+    regardless of how many selector lists (or compounds) the group holds —
+    the multi-pattern analog of SelectorList's keyed dispatch.  Every
+    entry carries the index of the selector list it belongs to.
+    """
+
+    __slots__ = (
+        "n",
+        "tag_buckets",
+        "tag_keyed",
+        "class_keyed",
+        "id_keyed",
+        "attr_keyed",
+        "rest",
+    )
+
+    def __init__(self, selectors: tuple[str, ...]):
+        self.n = len(selectors)
+        tag_buckets: dict[str, list[int]] = {}
+        tag_keyed: dict[str, list] = {}
+        class_keyed: dict[str, list] = {}
+        id_keyed: dict[str, list] = {}
+        attr_keyed: dict[str, list] = {}
+        rest: list = []
+        for i, s in enumerate(selectors):
+            for c in parse_selector_list(s).compounds:
+                tag, preds = c
+                if tag is not None and not preds:
+                    tag_buckets.setdefault(tag, []).append(i)
+                elif tag is not None:
+                    tag_keyed.setdefault(tag, []).append((i, c))
+                else:
+                    cls_key = next((p[1] for p in preds if p[0] == "class"), None)
+                    if cls_key is not None:
+                        class_keyed.setdefault(cls_key, []).append((i, c))
+                        continue
+                    id_key = next((p[1] for p in preds if p[0] == "id"), None)
+                    if id_key is not None:
+                        id_keyed.setdefault(id_key, []).append((i, c))
+                        continue
+                    attr_key = next((p[1] for p in preds if p[0] == "attr"), None)
+                    if attr_key is not None:
+                        attr_keyed.setdefault(attr_key, []).append((i, c))
+                    else:
+                        rest.append((i, c))  # :not-only compounds (rare)
+        self.tag_buckets = tag_buckets
+        self.tag_keyed = tag_keyed
+        self.class_keyed = class_keyed
+        self.id_keyed = id_keyed
+        self.attr_keyed = attr_keyed
+        self.rest = rest
+
+    def hits(self, el: Element) -> list[int]:
+        """Deduped indexes of the selector lists this element matches."""
+        tag = el.tag
+        base = self.tag_buckets.get(tag)
+        out: list[int] = list(base) if base else []
+        for i, c in self.tag_keyed.get(tag, _EMPTY_TOKENS):
+            if _matches_compound(el, c):
+                out.append(i)
+        attrs = el.attrs
+        if attrs:
+            class_keyed = self.class_keyed
+            if class_keyed and "class" in attrs:
+                for tok in el.class_tokens:
+                    for i, c in class_keyed.get(tok, _EMPTY_TOKENS):
+                        if _matches_compound(el, c):
+                            out.append(i)
+            id_keyed = self.id_keyed
+            if id_keyed and "id" in attrs:
+                for i, c in id_keyed.get(attrs["id"], _EMPTY_TOKENS):
+                    if _matches_compound(el, c):
+                        out.append(i)
+            attr_keyed = self.attr_keyed
+            if attr_keyed:
+                for name in attrs:
+                    for i, c in attr_keyed.get(name, _EMPTY_TOKENS):
+                        if _matches_compound(el, c):
+                            out.append(i)
+        for i, c in self.rest:
+            if _matches_compound(el, c):
+                out.append(i)
+        if len(out) > 1:
+            seen: set[int] = set()
+            out = [i for i in out if not (i in seen or seen.add(i))]
+        return out
+
+
+_group_cache: dict[tuple[str, ...], _SelectorGroup] = {}
+
+
+def _selector_group(selectors: tuple[str, ...]) -> _SelectorGroup:
+    g = _group_cache.get(selectors)
+    if g is None:
+        g = _SelectorGroup(selectors)
+        _group_cache[selectors] = g
+    return g
+
+
 def collect_matches(root: Element, selectors: list[str]) -> list[list[Element]]:
     """One traversal, N selector lists → N match lists in document order.
 
     Equivalent to ``[root.query_selector_all(s) for s in selectors]``.
     """
-    # (tags, complex, out-list) triples with the match test inlined — the
-    # method-call-per-(element, selector) variant costs ~2x on forum pages
-    parsed = [
-        (sl.tags, sl.complex, []) for sl in (parse_selector_list(s) for s in selectors)
-    ]
+    g = _selector_group(tuple(selectors))
+    buckets: list[list[Element]] = [[] for _ in range(g.n)]
+    tag_buckets = g.tag_buckets
+    tag_keyed = g.tag_keyed
+    has_attr_preds = bool(g.class_keyed or g.id_keyed or g.attr_keyed)
+    rest = g.rest
+    hits = g.hits
     stack: list[Element | TextNode] = list(reversed(root.children))
     while stack:
         n = stack.pop()
         if isinstance(n, Element):
             tag = n.tag
-            attrs = n.attrs
-            for tags, cx, bucket in parsed:
-                if tag in tags:
-                    bucket.append(n)
-                    continue
-                for c, needs_attrs in cx:
-                    if needs_attrs and not attrs:
-                        continue
-                    if _matches_compound(n, c):
-                        bucket.append(n)
-                        break
+            # fast paths: most elements hit nothing; pure tag hits with no
+            # complex compound in play skip the hits() call entirely
+            maybe_complex = (
+                tag in tag_keyed or (has_attr_preds and n.attrs) or rest
+            )
+            if maybe_complex:
+                for i in hits(n):
+                    buckets[i].append(n)
+            else:
+                base = tag_buckets.get(tag)
+                if base is not None:
+                    for i in base:
+                        buckets[i].append(n)
             stack.extend(reversed(n.children))
-    return [bucket for _, _, bucket in parsed]
+    return buckets
 
 
 def collect_first_matches(root: Element, selectors: list[str]) -> list["Element | None"]:
@@ -569,29 +733,31 @@ def collect_first_matches(root: Element, selectors: list[str]) -> list["Element 
     selector (or None).  Equivalent to
     ``[root.query_selector(s) for s in selectors]`` with early exit once
     every selector has matched."""
-    parsed = [parse_selector_list(s) for s in selectors]
-    out: list[Element | None] = [None] * len(parsed)
-    remaining = len(parsed)
+    g = _selector_group(tuple(selectors))
+    out: list[Element | None] = [None] * g.n
+    remaining = g.n
+    tag_buckets = g.tag_buckets
+    tag_keyed = g.tag_keyed
+    has_attr_preds = bool(g.class_keyed or g.id_keyed or g.attr_keyed)
+    rest = g.rest
+    hits = g.hits
     stack: list[Element | TextNode] = list(reversed(root.children))
     while stack and remaining:
         n = stack.pop()
         if isinstance(n, Element):
             tag = n.tag
-            attrs = n.attrs
-            for i, sl in enumerate(parsed):
-                if out[i] is not None:
-                    continue
-                if tag in sl.tags:
-                    out[i] = n
-                    remaining -= 1
-                    continue
-                for c, needs_attrs in sl.complex:
-                    if needs_attrs and not attrs:
-                        continue
-                    if _matches_compound(n, c):
+            if tag in tag_keyed or (has_attr_preds and n.attrs) or rest:
+                for i in hits(n):
+                    if out[i] is None:
                         out[i] = n
                         remaining -= 1
-                        break
+            else:
+                base = tag_buckets.get(tag)
+                if base is not None:
+                    for i in base:
+                        if out[i] is None:
+                            out[i] = n
+                            remaining -= 1
             stack.extend(reversed(n.children))
     return out
 
