@@ -774,6 +774,99 @@ def _q_media_ref_carry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (duplicate-word fraction,
+    most-frequent-bigram character share, duplicate-5-gram fraction) —
+    shuffle-free native HOFs per document."""
+    from fetch_engines_spark.pipelines.text import repetition_features
+
+    docs = _read(spark, sf_dir, "documents")
+    return repetition_features(docs)
+
+
+def _q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level (Lee et al.-style) cross-document duplication: the
+    fraction of each doc's 8-word windows that occur in other documents."""
+    from fetch_engines_spark.pipelines.dedup import duplicated_ngram_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return duplicated_ngram_stats(docs, n=8)
+
+
+def _synthetic_url(doc_id):
+    """Deterministic per-doc URL exercising every canonicalization rule
+    (mixed case, default and non-default ports, tracking params, unsorted
+    params, fragments, empty paths, two-level public suffixes).  The oracle
+    builds the identical string in SQL."""
+    return F.concat(
+        F.when(doc_id % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(doc_id % 3 == 0, F.lit("WWW.Example.CO.UK"))
+        .when(doc_id % 3 == 1, F.lit("blog.example.com:443"))
+        .otherwise(
+            F.concat(F.lit("cdn"), (doc_id % 5).cast("string"), F.lit(".Example.COM:80"))
+        ),
+        F.when(doc_id % 5 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("/Posts/"), doc_id.cast("string"))
+        ),
+        F.when(doc_id % 4 == 0, F.lit("?utm_source=feed&z=9&a=1&gclid=x"))
+        .when(doc_id % 4 == 1, F.lit("?b=2&a=1"))
+        .when(doc_id % 4 == 2, F.lit("?ref=hn"))
+        .otherwise(F.lit("")),
+        F.when(doc_id % 2 == 0, F.lit("#section-2")).otherwise(F.lit("")),
+    )
+
+
+_SYNTHETIC_URL_SQL = """
+  concat(
+    CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END, '://',
+    CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example.CO.UK'
+         WHEN doc_id % 3 = 1 THEN 'blog.example.com:443'
+         ELSE concat('cdn', CAST(doc_id % 5 AS VARCHAR), '.Example.COM:80') END,
+    CASE WHEN doc_id % 5 = 0 THEN '' ELSE concat('/Posts/', CAST(doc_id AS VARCHAR)) END,
+    CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&z=9&a=1&gclid=x'
+         WHEN doc_id % 4 = 1 THEN '?b=2&a=1'
+         WHEN doc_id % 4 = 2 THEN '?ref=hn'
+         ELSE '' END,
+    CASE WHEN doc_id % 2 = 0 THEN '#section-2' ELSE '' END
+  )
+"""
+
+
+def _q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + registered-domain extraction per document
+    (crawl-corpus URL dedup key)."""
+    from fetch_engines_spark.pipelines.urls import (
+        canonicalize_url,
+        registered_domain,
+        url_parts,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    with_url = docs.select(
+        "doc_id", _synthetic_url(F.col("doc_id")).alias("url")
+    )
+    parts = url_parts(F.col("url"))
+    return with_url.select(
+        "doc_id",
+        "url",
+        canonicalize_url(F.col("url")).alias("canonical_url"),
+        parts["host"].alias("host"),
+        registered_domain(parts["host"]).alias("domain"),
+    )
+
+
+def _q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain corpus aggregation over canonical URLs."""
+    from fetch_engines_spark.pipelines.urls import domain_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    with_url = docs.select(
+        "doc_id", "text", _synthetic_url(F.col("doc_id")).alias("url")
+    )
+    return domain_stats(with_url)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_spans_fixture": _q_extract_spans,
@@ -819,6 +912,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": _q_streaming_dedup,
         "pdf_extract": _q_pdf_extract,
         "mixed_extract": _q_mixed_extract,
+        "text_repetition": _q_text_repetition,
+        "dedup_substring": _q_dedup_substring,
+        "url_canonicalize": _q_url_canonicalize,
+        "url_domain_stats": _q_url_domain_stats,
     }
 
 
@@ -930,6 +1027,9 @@ def oracle_sql() -> dict[str, str]:
     from fetch_engines_spark.pipelines.dedup import EXACT_DUP_SQL, minhash_oracle_sql
     from fetch_engines_spark.pipelines.similarity import BRUTE_FORCE_TOPK_SQL
     from fetch_engines_spark.pipelines.text import LANG_ID_SQL, QUALITY_SQL
+    from fetch_engines_spark.pipelines.urls import REGISTERED_DOMAIN_SQL
+
+    REGISTERED_DOMAIN_SQL_HOST = REGISTERED_DOMAIN_SQL.format(h="host")
 
     return {
         "extract_spans_fixture": f'SELECT doc_id, "offset", kind, text, media_ref FROM \'{_EXPECTED_SPANS}\'',
@@ -1159,6 +1259,146 @@ def oracle_sql() -> dict[str, str]:
         "mixed_extract": f"""
             SELECT content_id, exp_route AS route, exp_n_spans AS n_spans, true AS ok
             FROM read_parquet('{os.path.join(FIXTURES_DIR, "mixed_content.parquet")}')
+        """,
+        "text_repetition": """
+            WITH base AS (
+              SELECT doc_id, text,
+                string_split(text, ' ') AS words,
+                length(text) AS n_chars
+              FROM documents
+            ),
+            feats AS (
+              SELECT doc_id, text, n_chars,
+                CAST(floor((len(words) - len(list_distinct(words))) * 10000
+                     / greatest(len(words), 1)) AS BIGINT) AS dup_word_bp,
+                list_transform(
+                  range(0, greatest(len(words) - 5, 0) + 1),
+                  i -> array_to_string(list_slice(words, i + 1, i + 5), ' ')
+                ) AS g5
+              FROM base
+            ),
+            g2 AS (
+              SELECT doc_id, unnest(list_transform(
+                range(0, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+                i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 2), ' ')
+              )) AS gram
+              FROM documents
+            ),
+            cnt AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY doc_id, gram),
+            best AS (
+              SELECT doc_id, gram, c,
+                row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
+              FROM cnt
+            )
+            SELECT f.doc_id,
+              f.dup_word_bp,
+              CAST(b.c AS BIGINT) AS top_bigram_count,
+              b.gram AS top_bigram,
+              CAST(floor(b.c * length(b.gram) * 10000 / greatest(f.n_chars, 1)) AS BIGINT) AS top_bigram_char_bp,
+              CAST(floor((len(f.g5) - len(list_distinct(f.g5))) * 10000
+                   / greatest(len(f.g5), 1)) AS BIGINT) AS dup_5gram_bp,
+              (f.dup_word_bp > 6300
+               OR (b.c > 1
+                   AND CAST(floor(b.c * length(b.gram) * 10000 / greatest(f.n_chars, 1)) AS BIGINT) > 2000)
+               OR CAST(floor((len(f.g5) - len(list_distinct(f.g5))) * 10000
+                    / greatest(len(f.g5), 1)) AS BIGINT) > 3000) AS repetition_flagged
+            FROM feats f JOIN best b ON f.doc_id = b.doc_id AND b.rn = 1
+        """,
+        "dedup_substring": """
+            WITH wins AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                list_transform(
+                  range(0, greatest(len(string_split(text, ' ')) - 8, 0) + 1),
+                  i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 8), ' ')
+                ), s -> md5(s)
+              ))) AS w
+              FROM documents
+            ),
+            freq AS (SELECT w, count(*) AS n_docs FROM wins GROUP BY w)
+            SELECT doc_id,
+              CAST(count(*) AS BIGINT) AS n_windows,
+              CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_windows,
+              CAST(floor(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) * 10000
+                   / greatest(count(*), 1)) AS BIGINT) AS shared_window_bp,
+              (sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) * 2 > count(*)) AS substring_dup
+            FROM wins JOIN freq USING (w)
+            GROUP BY doc_id
+        """,
+        "url_canonicalize": f"""
+            WITH base AS (SELECT doc_id, {_SYNTHETIC_URL_SQL} AS url FROM documents),
+            p1 AS (
+              SELECT *, regexp_replace(trim(url), '#.*', '') AS nofrag FROM base
+            ),
+            p2 AS (
+              SELECT *,
+                lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS after
+              FROM p1
+            ),
+            p3 AS (SELECT *, lower(regexp_extract(after, '^([^/?]*)', 1)) AS hostport FROM p2),
+            p4 AS (
+              SELECT *,
+                CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                     WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                     ELSE hostport END AS host,
+                regexp_extract(substr(after, length(hostport) + 1), '^([^?]*)', 1) AS path,
+                regexp_extract(substr(after, length(hostport) + 1), '\\?(.*)$', 1) AS query
+              FROM p3
+            ),
+            p5 AS (
+              SELECT *, array_to_string(list_sort(list_filter(string_split(query, '&'),
+                p -> p <> '' AND NOT regexp_matches(p, '^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|ref)='))),
+                '&') AS canon_query
+              FROM p4
+            )
+            SELECT doc_id, url,
+              concat(scheme, '://', host,
+                     CASE WHEN path = '' THEN '/' ELSE path END,
+                     CASE WHEN canon_query <> '' THEN '?' || canon_query ELSE '' END) AS canonical_url,
+              host,
+              {REGISTERED_DOMAIN_SQL_HOST} AS domain
+            FROM p5
+        """,
+        "url_domain_stats": f"""
+            WITH base AS (SELECT doc_id, text, {_SYNTHETIC_URL_SQL} AS url FROM documents),
+            p1 AS (
+              SELECT *, regexp_replace(trim(url), '#.*', '') AS nofrag FROM base
+            ),
+            p2 AS (
+              SELECT *,
+                lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS after
+              FROM p1
+            ),
+            p3 AS (SELECT *, lower(regexp_extract(after, '^([^/?]*)', 1)) AS hostport FROM p2),
+            p4 AS (
+              SELECT *,
+                CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                     WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                     ELSE hostport END AS host,
+                regexp_extract(substr(after, length(hostport) + 1), '^([^?]*)', 1) AS path,
+                regexp_extract(substr(after, length(hostport) + 1), '\\?(.*)$', 1) AS query
+              FROM p3
+            ),
+            p5 AS (
+              SELECT *, array_to_string(list_sort(list_filter(string_split(query, '&'),
+                p -> p <> '' AND NOT regexp_matches(p, '^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|ref)='))),
+                '&') AS canon_query
+              FROM p4
+            ),
+            canon AS (
+              SELECT doc_id, length(text) AS n_chars,
+                concat(scheme, '://', host,
+                       CASE WHEN path = '' THEN '/' ELSE path END,
+                       CASE WHEN canon_query <> '' THEN '?' || canon_query ELSE '' END) AS canonical_url,
+                {REGISTERED_DOMAIN_SQL_HOST} AS domain
+              FROM p5
+            )
+            SELECT domain,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_urls,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM canon GROUP BY domain
         """,
         "pdf_extract": f"""
             SELECT doc_id, exp_n_pages AS n_pages, exp_error_prefix AS error_prefix,

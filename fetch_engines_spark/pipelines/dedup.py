@@ -23,30 +23,20 @@ from pyspark.sql import functions as F
 def shingles(text_col, n: int = 3):
     """Word n-gram shingles as an array column (consecutive n-word windows).
 
-    Built by zipping n shifted views of the word array (n slices total per
-    document) rather than one slice per window — the per-window-slice
-    construction is O(words²) per document and measured 3.4× slower.
-    Output is identical: size-2 full windows for ≥n words, else the whole
-    text as a single (short) shingle, exactly matching the
+    Built by zipping n shifted views of the word array (n slices + n-1
+    elementwise zips per document) rather than one slice per window — the
+    per-window-slice construction is O(words²) per document and measured
+    3.4× slower.  Output: size-(n-1) full windows for ≥n words, else the
+    whole text as a single (short) shingle, exactly matching the
     ``list_transform(range(...), list_slice(...))`` oracle twin."""
-    if n != 3:  # the windowed-zip below is written for the 3-word shingle
-        w = F.split(text_col, " ")
-        idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0)))
-        return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)))
     w = F.split(text_col, " ")
-    k = F.size(w) - 2  # number of full 3-word windows
-    zipped = F.zip_with(
-        F.slice(w, 1, k),
-        F.zip_with(
-            F.slice(w, 2, k),
-            F.slice(w, 3, k),
-            lambda b, c: F.concat(b, F.lit(" "), c),
-        ),
-        lambda a, bc: F.concat(a, F.lit(" "), bc),
-    )
-    return F.when(F.size(w) >= 3, zipped).otherwise(
-        F.array(F.concat_ws(" ", w))
-    )
+    k = F.size(w) - (n - 1)  # number of full n-word windows
+    acc = F.slice(w, 1, k)
+    for j in range(2, n + 1):
+        acc = F.zip_with(
+            acc, F.slice(w, j, k), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return F.when(F.size(w) >= n, acc).otherwise(F.array(F.concat_ws(" ", w)))
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -283,6 +273,53 @@ def _pairs_from_buckets(b: DataFrame, max_bucket_size: int | None) -> DataFrame:
         .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     )
     return small_pairs.unionByName(star_pairs).distinct()
+
+
+def duplicated_ngram_stats(df: DataFrame, text_col: str = "text", n: int = 8) -> DataFrame:
+    """Substring-level dedup signal (the distributed shape of Lee et al.'s
+    "Deduplicating Training Data Makes Language Models Better" exact
+    substring matching): fingerprint every n-word window, count how many
+    documents each fingerprint appears in, and report per document the
+    fraction of its distinct windows that also occur in some other
+    document.
+
+    Scale shape (10^12 docs): windows are md5-fingerprinted and
+    deduplicated per document BEFORE the explode (array_distinct — no
+    dedup shuffle), then ONE map-side-combinable groupBy on the 16-byte
+    fingerprint counts document frequency, and ONE equi-join (co-partitioned
+    with the aggregation output by AQE) carries the counts back.  No
+    suffix array needed — window fingerprints approximate ≥n-word shared
+    substrings exactly (any shared substring of length ≥n shares all its
+    n-windows).
+    """
+    wins = df.select(
+        F.col("doc_id"),
+        F.explode(
+            F.array_distinct(
+                F.transform(shingles(F.col(text_col), n), lambda s: F.md5(s))
+            )
+        ).alias("w"),
+    )
+    freq = wins.groupBy("w").agg(F.count("*").alias("n_docs"))
+    return (
+        wins.join(freq, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias("n_shared_windows"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_shared_windows",
+            F.floor(
+                F.col("n_shared_windows") * 10000 / F.greatest(F.col("n_windows"), F.lit(1))
+            )
+            .cast("long")
+            .alias("shared_window_bp"),
+            (F.col("n_shared_windows") * 2 > F.col("n_windows")).alias("substring_dup"),
+        )
+    )
 
 
 def ngram_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text") -> DataFrame:

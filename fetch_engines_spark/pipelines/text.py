@@ -115,6 +115,94 @@ def winnowing_fingerprints(text: Column, k: int = 3, window: int = 4) -> Column:
     )
 
 
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals, entirely shuffle-free.
+
+    Per document (all native higher-order functions — at 10^12 docs these
+    run inside the scan stage with zero exchanges):
+    - ``dup_word_bp``: fraction of word occurrences that are repeats of an
+      earlier word, in basis points (Gopher's duplicate-line fraction
+      adapted to the word level for single-line corpora);
+    - ``top_bigram_char_bp``: characters covered by the most frequent word
+      bigram / total characters (Gopher §A1.1 "fraction of characters in
+      the most common n-gram");
+    - ``dup_5gram_bp``: fraction of 5-word windows that are duplicates of
+      an earlier window (Gopher's duplicate n-gram character fraction,
+      window-counted);
+    - ``repetition_flagged``: the composite Gopher-style gate.
+
+    The most-frequent-bigram search sorts the bigram array and finds the
+    longest run with a single ``aggregate`` fold (state = previous element,
+    current run, best run, best gram; ties break to the lexicographically
+    smaller gram because runs of a sorted array arrive in ascending order
+    and only a strictly longer run replaces the best).
+    """
+    from .dedup import shingles
+
+    t = F.col(text_col)
+    w = F.split(t, " ")
+    n_words = F.size(w)
+    n_chars = F.length(t)
+    dup_word_bp = F.floor(
+        (n_words - F.size(F.array_distinct(w))) * 10000 / F.greatest(n_words, F.lit(1))
+    )
+
+    g2_sorted = F.array_sort(shingles(t, 2))
+    best = F.aggregate(
+        g2_sorted,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best_run"),
+            F.lit("").alias("best_gram"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.when(
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+                > acc["best_run"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            )
+            .otherwise(acc["best_run"])
+            .alias("best_run"),
+            F.when(
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+                > acc["best_run"],
+                x,
+            )
+            .otherwise(acc["best_gram"])
+            .alias("best_gram"),
+        ),
+    )
+    top_bigram_char_bp = F.floor(
+        best["best_run"] * F.length(best["best_gram"]) * 10000 / F.greatest(n_chars, F.lit(1))
+    )
+
+    g5 = shingles(t, 5)
+    dup_5gram_bp = F.floor(
+        (F.size(g5) - F.size(F.array_distinct(g5))) * 10000 / F.greatest(F.size(g5), F.lit(1))
+    )
+
+    flagged = (
+        (dup_word_bp > 6300)  # Gopher: >63% duplicate words
+        # >20% of chars in one bigram — only when the bigram actually
+        # repeats (short docs trivially put >20% of chars in a single
+        # once-occurring bigram; that is length, not repetition)
+        | ((best["best_run"] > 1) & (top_bigram_char_bp > 2000))
+        | (dup_5gram_bp > 3000)
+    )
+    return df.select(
+        F.col("doc_id"),
+        dup_word_bp.cast("long").alias("dup_word_bp"),
+        best["best_run"].cast("long").alias("top_bigram_count"),
+        best["best_gram"].alias("top_bigram"),
+        top_bigram_char_bp.cast("long").alias("top_bigram_char_bp"),
+        dup_5gram_bp.cast("long").alias("dup_5gram_bp"),
+        flagged.alias("repetition_flagged"),
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Normalization fingerprint: md5 of the lowercased text with all
     non-alphanumerics removed — a cheap canonical-form document hash for

@@ -408,3 +408,88 @@ def test_fast_affine_minhash_matches_brute_python(spark):
     sa, sb = sh(a.strip()), sh(b.strip())
     true_j = len(sa & sb) / len(sa | sb)
     assert abs(est - true_j) < 0.15, (est, true_j)
+
+
+def test_repetition_features_hand_computed(spark):
+    from fetch_engines_spark.pipelines.text import repetition_features
+
+    rows = [
+        # "a b a b a b": 6 words, 2 distinct -> dup_word_bp = floor(4*10000/6) = 6666
+        # bigrams: [a b, b a, a b, b a, a b] -> top "a b" x3, len 3
+        # chars = 11 -> top_bigram_char_bp = floor(3*3*10000/11) = 8181
+        (1, "a b a b a b"),
+        # all distinct words, no repeated 5-grams
+        (2, "one two three four five six seven"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_features(df).collect()}
+    assert out[1].dup_word_bp == 6666
+    assert out[1].top_bigram == "a b"
+    assert out[1].top_bigram_count == 3
+    assert out[1].top_bigram_char_bp == 8181
+    assert out[1].repetition_flagged
+    assert out[2].dup_word_bp == 0
+    assert out[2].dup_5gram_bp == 0
+    assert not out[2].repetition_flagged
+    assert out[3].dup_word_bp == 0  # single empty token, no crash
+
+
+def test_repetition_top_bigram_tiebreak_is_lexicographic(spark):
+    from fetch_engines_spark.pipelines.text import repetition_features
+
+    # "z y z y x w x w": bigrams z y, y z, z y, y x, x w, w x, x w
+    # -> "x w" and "z y" both appear twice; lexicographically smaller wins
+    df = spark.createDataFrame([(1, "z y z y x w x w")], "doc_id long, text string")
+    row = repetition_features(df).collect()[0]
+    assert row.top_bigram_count == 2
+    assert row.top_bigram == "x w"
+
+
+def test_duplicated_ngram_stats_planted_substring(spark):
+    from fetch_engines_spark.pipelines.dedup import duplicated_ngram_stats
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # exactly 8 words
+    rows = [
+        (1, shared + " unique tail one for doc one only here now"),
+        (2, shared + " another completely different ending for the second doc"),
+        (3, "totally unrelated words that appear nowhere else in this corpus at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in duplicated_ngram_stats(df, n=8).collect()}
+    # docs 1 and 2 share exactly the one 8-word window `shared`
+    assert out[1].n_shared_windows == 1
+    assert out[2].n_shared_windows == 1
+    assert out[3].n_shared_windows == 0
+    assert not out[3].substring_dup
+    # a full copy is flagged
+    df2 = spark.createDataFrame([(1, rows[0][1]), (2, rows[0][1])], "doc_id long, text string")
+    out2 = {r.doc_id: r for r in duplicated_ngram_stats(df2, n=8).collect()}
+    assert out2[1].shared_window_bp == 10000 and out2[1].substring_dup
+
+
+def test_url_canonicalize_cases(spark):
+    from fetch_engines_spark.pipelines.urls import canonicalize_url, registered_domain, url_parts
+
+    cases = [
+        # (raw, canonical, domain)
+        ("HTTPS://WWW.Example.CO.UK:443/Path/One?utm_source=x&b=2&a=1#frag",
+         "https://www.example.co.uk/Path/One?a=1&b=2", "example.co.uk"),
+        ("http://Example.COM:80", "http://example.com/", "example.com"),
+        ("http://example.com:8080/p?gclid=1", "http://example.com:8080/p", "example.com"),
+        ("https://blog.example.com/?ref=hn&z=1", "https://blog.example.com/?z=1", "example.com"),
+        ("http://localhost/x", "http://localhost/x", "localhost"),
+        ("https://a.b.co.jp/y#z", "https://a.b.co.jp/y", "b.co.jp"),
+    ]
+    df = spark.createDataFrame([(i, c[0]) for i, c in enumerate(cases)], "i long, url string")
+    parts = url_parts(F.col("url"))
+    got = {
+        r.i: (r.canon, r.dom)
+        for r in df.select(
+            "i",
+            canonicalize_url(F.col("url")).alias("canon"),
+            registered_domain(parts["host"]).alias("dom"),
+        ).collect()
+    }
+    for i, (_, canon, dom) in enumerate(cases):
+        assert got[i] == (canon, dom), (i, got[i], canon, dom)

@@ -112,3 +112,35 @@ def test_jsonl_ingest_single_scan_no_inference(spark):
     df = entrymod.queries()["jsonl_ingest"](spark, SF)
     plan = plan_of(df)
     assert plan.count("FileScan") == 1, plan
+
+
+def test_repetition_features_is_shuffle_free_native(spark):
+    """Gopher repetition signals must run inside the scan stage: zero
+    exchanges, zero Python — pure higher-order functions per document."""
+    df = entrymod.queries()["text_repetition"](spark, SF)
+    plan = plan_of(df)
+    assert "Exchange" not in plan, plan
+    for marker in ("MapInArrow", "MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
+
+
+def test_dedup_substring_shape(spark):
+    """Substring dedup: per-doc distinct windows BEFORE the explode (no
+    dedup shuffle), one partial-agg'd count, one equi-join — and no
+    cartesian/python anywhere."""
+    df = entrymod.queries()["dedup_substring"](spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan  # map-side combine on the window freq
+    for marker in ("MapInArrow", "MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
+
+
+def test_url_queries_native_single_agg(spark):
+    """URL canonicalization is pure native columns; domain stats is one
+    map-side-combinable aggregation."""
+    plan = plan_of(entrymod.queries()["url_canonicalize"](spark, SF))
+    assert "Exchange" not in plan and "Python" not in plan, plan
+    plan2 = plan_of(entrymod.queries()["url_domain_stats"](spark, SF))
+    for marker in ("MapInArrow", "MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan2
