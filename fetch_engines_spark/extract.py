@@ -231,7 +231,11 @@ def _extract_arrow_batches(
     for batch in batches:
         cols = {name: batch.column(i) for i, name in enumerate(batch.schema.names)}
         doc_ids = cols["doc_id"].to_pylist()
-        spans_col = cols["spans"].to_pylist()
+        # html pre-assembled JVM-side (assemble_in_jvm): only the joined
+        # string crosses Arrow — the span structs never materialize as
+        # Python objects.  Fallback: assemble here from the spans column.
+        htmls = cols["html"].to_pylist() if "html" in cols else None
+        spans_col = cols["spans"].to_pylist() if htmls is None else None
         base_urls = cols["base_url"].to_pylist() if "base_url" in cols else [None] * len(doc_ids)
         source_urls = (
             cols["source_url"].to_pylist() if "source_url" in cols else [None] * len(doc_ids)
@@ -244,12 +248,15 @@ def _extract_arrow_batches(
             markdown = ""
             in_bytes = 0
             try:
-                spans_in = spans_col[i] or []
-                html = "".join(
-                    s["text"]
-                    for s in sorted(spans_in, key=lambda s: s["offset"])
-                    if s["kind"] == "html" and s["text"]
-                )
+                if htmls is not None:
+                    html = htmls[i] or ""
+                else:
+                    spans_in = spans_col[i] or []
+                    html = "".join(
+                        s["text"]
+                        for s in sorted(spans_in, key=lambda s: s["offset"])
+                        if s["kind"] == "html" and s["text"]
+                    )
                 in_bytes = len(html.encode("utf-8", "ignore"))
                 content, title = converter.preprocess(html, base_urls[i])
                 if isinstance(content, str):
@@ -313,12 +320,35 @@ def salted_repartition(df: DataFrame, num_partitions: int, salt_buckets: int = 1
     return salted.repartition(num_partitions, "doc_id", "_salt").drop("_salt")
 
 
+def html_assembly_expr(spans_col: str = "spans"):
+    """JVM-side document assembly: html-kind span texts joined in offset
+    order, entirely in native expressions.  Offsets are the span-order key
+    and unique per document by the data-model contract (TESTDATA/
+    FIXTURES); ties would fall back to engine sort order.  Keeping this
+    projection JVM-side means the list<struct> span column never crosses
+    the Arrow boundary — only the one joined string per document does
+    (kind/media_ref/offset bytes and per-span Python dicts are never
+    shipped or built)."""
+    filtered = F.filter(
+        F.col(spans_col),
+        lambda s: (s["kind"] == "html") & s["text"].isNotNull() & (s["text"] != ""),
+    )
+    ordered = F.array_sort(
+        filtered,
+        lambda l, r: F.when(l["offset"] < r["offset"], -1)
+        .when(l["offset"] > r["offset"], 1)
+        .otherwise(0),
+    )
+    return F.array_join(F.transform(ordered, lambda s: s["text"]), "")
+
+
 def extract_spans(
     documents: DataFrame,
     num_partitions: int | None = None,
     keep_markdown: bool = True,
     use_arrow: bool = True,
     max_content_length: int | None = None,
+    assemble_in_jvm: bool = True,
 ) -> DataFrame:
     """documents(doc_id, spans[, base_url, canonical_url, source_url]) →
     outputs(doc_id, title, spans, markdown, error, metrics cols).
@@ -326,12 +356,16 @@ def extract_spans(
     Defaults to the Arrow-native ``mapInArrow`` stage (measured ~15% faster
     than mapInPandas on this workload — no pandas materialization);
     ``use_arrow=False`` selects the mapInPandas variant.
+    ``assemble_in_jvm`` (default) performs the span→html document assembly
+    as a native projection so the span structs never cross into Python.
     """
     df = documents
     if num_partitions:
         df = salted_repartition(df, num_partitions)
     cols = [c for c in ("doc_id", "base_url", "canonical_url", "source_url", "spans") if c in df.columns]
     sel = df.select(*cols)
+    if use_arrow and assemble_in_jvm and hasattr(sel, "mapInArrow"):
+        sel = sel.withColumn("html", html_assembly_expr("spans")).drop("spans")
     if use_arrow and hasattr(sel, "mapInArrow"):
         import functools
 
