@@ -204,3 +204,44 @@ def test_jsonl_ingest_routes_rejects(spark):
     j = {r.doc_id: r.spans for r in docs.collect()}
     p = {r.doc_id: r.spans for r in pq.collect()}
     assert j == p
+
+
+def test_jvm_assembly_matches_python_assembly(spark):
+    """The native span→html assembly projection must produce byte-identical
+    extraction output to the in-Python assembly, including the edge shapes:
+    null spans, empty arrays, media-only docs, empty-text html spans, and
+    out-of-order offsets."""
+    from fetch_engines_spark.extract import INPUT_SCHEMA, extract_spans
+    from fetch_engines_spark.fixtures import fixture_document_rows
+
+    rows = fixture_document_rows() + [
+        {"doc_id": "x-null", "base_url": None, "canonical_url": None, "spans": None},
+        {"doc_id": "x-empty", "base_url": None, "canonical_url": None, "spans": []},
+        {
+            "doc_id": "x-media-only",
+            "base_url": None,
+            "canonical_url": None,
+            "spans": [{"kind": "image", "text": None, "media_ref": "m1", "offset": 0}],
+        },
+        {
+            "doc_id": "x-out-of-order",
+            "base_url": "https://e.com/",
+            "canonical_url": None,
+            "spans": [
+                {"kind": "html", "text": "</p>", "media_ref": None, "offset": 2},
+                {"kind": "html", "text": "", "media_ref": None, "offset": 1},
+                {"kind": "html", "text": "<p>hello world", "media_ref": None, "offset": 0},
+            ],
+        },
+    ]
+    docs = spark.createDataFrame(rows, INPUT_SCHEMA)
+    a = {
+        r.doc_id: (r.title, [tuple(s) for s in (r.spans or [])], r.error)
+        for r in extract_spans(docs, assemble_in_jvm=True).collect()
+    }
+    b = {
+        r.doc_id: (r.title, [tuple(s) for s in (r.spans or [])], r.error)
+        for r in extract_spans(docs, assemble_in_jvm=False).collect()
+    }
+    assert a == b
+    assert a["x-out-of-order"][1]  # content extracted from reordered spans
