@@ -120,20 +120,9 @@ salted-repartition path used for skewed inputs).
 |---|---|---|
 {eff_rows}
 
-Round-2 scaling postmortem: round 1 attributed the 8→32 shortfall (0.736)
-to hardware memory bandwidth.  That was wrong — a pure-Python
-multiprocessing control of the converter itself scales at 0.89–1.0 from
-8→32 processes on this box.  The real costs were in the bench/Spark layer:
-(a) the input corpus was persisted deserialized in the JVM heap, turning
-the timed run into a GC scan storm at 32 task threads (fixed: the bench
-reads the corpus from parquet on tmpfs, like a real job reads storage);
-(b) the timed run unconditionally salted-repartitioned an input whose
-64-partition layout was already uniform — pure shuffle overhead, ~15% at
-local[32] (fixed: the timed run is layout-aware; salted_repartition
-remains in the warmup path and in tests for genuinely skewed inputs — at
-100 TB you control layout at write time rather than reshuffling every
-read).  See also scripts/executor_scaling_bench.py for the N vs 4N
-*executor* variant (separate JVMs + Python worker pools per executor).
+Interpretation, controls, and the executor-level (cluster-faithful)
+variant live in the preserved sections below — this writer owns only the
+header and the two tables above.
 
 Correctness at this throughput: 100% span-sequence equality vs the golden
 fixture spans (driver CORRECTNESS gate `extract_spans_fixture`) and zero
