@@ -867,6 +867,22 @@ def _q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_stats(with_url)
 
 
+def _q_embedding_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (ADC scan over m=4 byte codes)."""
+    from fetch_engines_spark.pipelines.similarity import pq_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return pq_topk(emb, k=5, m=4, ks=8, query_ids=list(range(10)))
+
+
+def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide vocabulary top-100 (total + document frequency)."""
+    from fetch_engines_spark.pipelines.text import vocab_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    return vocab_topk(docs, k=100)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_spans_fixture": _q_extract_spans,
@@ -916,6 +932,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring": _q_dedup_substring,
         "url_canonicalize": _q_url_canonicalize,
         "url_domain_stats": _q_url_domain_stats,
+        "vocab_topk": _q_vocab_topk,
+        "embedding_topk_pq": _q_embedding_topk_pq,
     }
 
 
@@ -1026,7 +1044,11 @@ FROM shell JOIN soft ON shell.doc_id = soft.doc_id
 def oracle_sql() -> dict[str, str]:
     from fetch_engines_spark.pipelines.dedup import EXACT_DUP_SQL, minhash_oracle_sql
     from fetch_engines_spark.pipelines.similarity import BRUTE_FORCE_TOPK_SQL
-    from fetch_engines_spark.pipelines.text import LANG_ID_SQL, QUALITY_SQL
+    from fetch_engines_spark.pipelines.text import (
+        LANG_ID_SQL,
+        QUALITY_SQL,
+        VOCAB_TOPK_SQL,
+    )
     from fetch_engines_spark.pipelines.urls import REGISTERED_DOMAIN_SQL
 
     REGISTERED_DOMAIN_SQL_HOST = REGISTERED_DOMAIN_SQL.format(h="host")
@@ -1101,6 +1123,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id": LANG_ID_SQL,
         "text_quality": QUALITY_SQL,
+        "vocab_topk": VOCAB_TOPK_SQL.format(k=100),
         "doc_fingerprint": "SELECT doc_id, md5(lower(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))) AS fp FROM documents",
         "doc_winnowing": """
             WITH h AS (
@@ -1169,6 +1192,9 @@ def oracle_sql() -> dict[str, str]:
             "fetch_engines_spark.pipelines.similarity", fromlist=["x"]
         ).lsh_topk_sql(k=5, num_planes=3, dims=64, nq=10),
         "embedding_topk_ivf": __import__("fetch_engines_spark.pipelines.similarity", fromlist=["x"]).ivf_topk_sql(k=5, n_centroids=8, n_probe=2, nq=10),
+        "embedding_topk_pq": __import__(
+            "fetch_engines_spark.pipelines.similarity", fromlist=["x"]
+        ).pq_topk_sql(k=5, m=4, ks=8, dims=64, nq=10),
         "media_metadata": f"""
             SELECT media_id, exp_kind AS kind,
                    exp_width AS width, exp_height AS height,

@@ -311,6 +311,102 @@ def ivf_topk(
     )
 
 
+def _sub_l2sq(a, b, lo: int, width: int):
+    """Squared L2 distance of the 1-based [lo, lo+width) slice of two
+    vectors — left fold from 0.0 (same order as the DuckDB twin)."""
+    return F.aggregate(
+        F.zip_with(
+            F.slice(a, lo, width),
+            F.slice(b, lo, width),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    ks: int = 8,
+    dims: int = 64,
+    query_ids: list[int] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance (ADC).
+
+    The corpus is compressed to ``m`` one-byte codes per vector (nearest
+    sub-centroid per subspace, deterministic codebook = sub-slices of the
+    first ``ks`` vectors, ties to the lowest centroid id); queries score
+    candidates by summing per-subspace query→centroid distances.  Scale
+    story: at 10^12 vectors the corpus shrinks ~dims*4/m bytes → m bytes
+    per row (64× here), the codebook and the per-query distance tables are
+    broadcast, and scoring is m broadcast equi-joins + a sum — the corpus
+    itself never shuffles and never rematerializes float vectors.  Usually
+    composed with IVF cells (ivf_topk) for candidate pruning; this
+    operator is the ADC scan.
+    """
+    width = dims // m
+    cents = embeddings.filter(F.col(id_col) < ks).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
+    )
+
+    # per-(vector, centroid) sub-distances, then argmin per subspace via
+    # min(struct(dist, cent_id)) — struct ordering gives the deterministic
+    # lowest-id tiebreak
+    dists = (
+        embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+        .join(F.broadcast(cents))
+        .select(
+            "vid",
+            "cent_id",
+            *[
+                _sub_l2sq(F.col("vec"), F.col("cv"), j * width + 1, width).alias(f"d{j}")
+                for j in range(m)
+            ],
+        )
+    )
+    enc = dists.groupBy("vid").agg(
+        *[
+            F.min(F.struct(F.col(f"d{j}").alias("d"), F.col("cent_id").alias("c"))).alias(
+                f"m{j}"
+            )
+            for j in range(m)
+        ]
+    ).select("vid", *[F.col(f"m{j}.c").alias(f"code{j}") for j in range(m)])
+
+    q = dists.select("vid", "cent_id", *[F.col(f"d{j}") for j in range(m)])
+    if query_ids is not None:
+        q = q.filter(F.col("vid").isin(query_ids))
+
+    scored = enc
+    for j in range(m):
+        qd_j = q.select(
+            F.col("vid").alias("query_id"),
+            F.col("cent_id").alias(f"code{j}"),
+            F.col(f"d{j}").alias(f"adc{j}"),
+        )
+        on = ["query_id", f"code{j}"] if j > 0 else [f"code{j}"]
+        scored = scored.join(F.broadcast(qd_j), on)
+    adc = F.col("adc0")
+    for j in range(1, m):
+        adc = adc + F.col(f"adc{j}")
+    scored = scored.filter(F.col("query_id") != F.col("vid")).select(
+        "query_id",
+        F.col("vid").alias("neighbor_id"),
+        F.floor(adc * 10000).cast("long").alias("adc_bp"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_bp"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "adc_bp", "rnk")
+    )
+
+
 # --- DuckDB oracle twin -------------------------------------------------------
 
 def cosine_bp_sql(a: str, b: str) -> str:
@@ -439,4 +535,61 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, neighbor_id, cosine_bp, rnk FROM ranked WHERE rnk <= {k}
+"""
+
+
+def _sub_l2sq_sql(a: str, b: str, lo: int, width: int) -> str:
+    """DuckDB twin of _sub_l2sq: same slice, same left-to-right fold."""
+    return (
+        f"list_sum(list_transform(range(1, {width} + 1), "
+        f"i -> (CAST({a}[{lo} + i - 1] AS DOUBLE) - CAST({b}[{lo} + i - 1] AS DOUBLE)) "
+        f"* (CAST({a}[{lo} + i - 1] AS DOUBLE) - CAST({b}[{lo} + i - 1] AS DOUBLE))))"
+    )
+
+
+def pq_topk_sql(k: int = 5, m: int = 4, ks: int = 8, dims: int = 64, nq: int = 10) -> str:
+    """DuckDB twin of pq_topk: same codebook, same per-subspace argmin
+    (lowest-id tiebreak), same ADC sum order, same ranking."""
+    width = dims // m
+    d_exprs = ",\n    ".join(
+        _sub_l2sq_sql("e.embedding", "c.cv", j * width + 1, width) + f" AS d{j}"
+        for j in range(m)
+    )
+    enc_ctes = ",\n".join(
+        f"enc{j} AS (SELECT vid, cent_id AS code{j} FROM ("
+        f"SELECT vid, cent_id, row_number() OVER (PARTITION BY vid ORDER BY d{j} ASC, cent_id ASC) AS rn "
+        f"FROM dists) WHERE rn = 1)"
+        for j in range(m)
+    )
+    enc_join = " ".join(f"JOIN enc{j} USING (vid)" for j in range(1, m))
+    code_cols = ", ".join(f"code{j}" for j in range(m))
+    qd_joins = "\n  ".join(
+        f"JOIN qd q{j} ON q{j}.query_id = q0.query_id AND q{j}.cent_id = enc.code{j}"
+        for j in range(1, m)
+    )
+    adc = " + ".join(f"q{j}.d{j}" for j in range(m))
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < {ks}
+),
+dists AS (
+  SELECT e.vec_id AS vid, c.cent_id,
+    {d_exprs}
+  FROM embeddings e CROSS JOIN cents c
+),
+{enc_ctes},
+enc AS (SELECT enc0.vid, {code_cols} FROM enc0 {enc_join}),
+qd AS (SELECT vid AS query_id, cent_id, {", ".join(f"d{j}" for j in range(m))} FROM dists WHERE vid < {nq}),
+scored AS (
+  SELECT q0.query_id, enc.vid AS neighbor_id,
+    CAST(floor(({adc}) * 10000) AS BIGINT) AS adc_bp
+  FROM enc
+  JOIN qd q0 ON q0.cent_id = enc.code0
+  {qd_joins}
+  WHERE enc.vid <> q0.query_id
+)
+SELECT query_id, neighbor_id, adc_bp, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_bp ASC, neighbor_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= {k}
 """

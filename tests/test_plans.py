@@ -144,3 +144,14 @@ def test_url_queries_native_single_agg(spark):
     plan2 = plan_of(entrymod.queries()["url_domain_stats"](spark, SF))
     for marker in ("MapInArrow", "MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert marker not in plan2
+
+
+def test_pq_topk_broadcast_lookups_no_cartesian(spark):
+    """PQ ADC scoring must be broadcast equi-joins on the code columns —
+    the corpus never shuffles and there is no cartesian/python stage."""
+    df = entrymod.queries()["embedding_topk_pq"](spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    for marker in ("MapInArrow", "MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
+    assert "BroadcastHashJoin" in plan
