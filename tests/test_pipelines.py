@@ -526,3 +526,54 @@ def test_pq_topk_recall_vs_bruteforce(spark):
         for q in exact_sets
     ]
     assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_url_canonicalize_idempotent(spark):
+    """canonicalize(canonicalize(u)) == canonicalize(u) over a generated
+    URL corpus (random case, ports, params, fragments, junk)."""
+    import random
+
+    from fetch_engines_spark.pipelines.urls import canonicalize_url
+
+    rng = random.Random(11)
+    schemes = ["http", "HTTP", "https", "HTTPS", "ftp"]
+    hosts = ["Example.COM", "www.ex.CO.UK", "a.b.c.example.org", "localhost", "x.io:8080", "y.com:443", "z.net:80"]
+    paths = ["", "/", "/A/B", "/p%20q", "/trail/"]
+    queries = ["", "?a=1", "?b=2&a=1", "?utm_source=x", "?gclid=1&z=2", "?ref=hn&ref2=keep", "?a=1&a=0"]
+    frags = ["", "#x", "#a/b?c=1"]
+    urls = [
+        rng.choice(schemes) + "://" + rng.choice(hosts) + rng.choice(paths)
+        + rng.choice(queries) + rng.choice(frags)
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    bad = (
+        df.select(
+            canonicalize_url(F.col("url")).alias("c1"),
+        )
+        .select("c1", canonicalize_url(F.col("c1")).alias("c2"))
+        .filter("c1 != c2")
+    )
+    rows = bad.collect()
+    assert not rows, rows[:5]
+
+
+def test_repetition_and_substring_never_fail_on_junk(spark):
+    """Degenerate inputs (empty, single char, huge repeats, punctuation
+    soup) must produce rows, never stage failures."""
+    from fetch_engines_spark.pipelines.dedup import duplicated_ngram_stats
+    from fetch_engines_spark.pipelines.text import repetition_features
+
+    rows = [
+        (1, ""),
+        (2, " "),
+        (3, "a"),
+        (4, "a " * 500),
+        (5, "!!! ??? ... ;;; :::"),
+        (6, "one " + "two " * 200 + "three"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert repetition_features(df).count() == 6
+    assert duplicated_ngram_stats(df).count() == 6
+    flagged = {r.doc_id: r.repetition_flagged for r in repetition_features(df).collect()}
+    assert flagged[4] and flagged[6]  # pathological repeats are caught
