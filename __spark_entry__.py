@@ -875,6 +875,20 @@ def _q_embedding_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, k=5, m=4, ks=8, query_ids=list(range(10)))
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup clusters over the planted corpus: LSH candidate pairs →
+    connected components → keeper election (the pairs→clusters→keepers
+    tail of a production dedup pipeline)."""
+    from fetch_engines_spark.pipelines.dedup import (
+        connected_components,
+        minhash_candidate_pairs,
+    )
+
+    docs = _fixture(spark, "neardup")
+    pairs = minhash_candidate_pairs(docs, num_hashes=6, band_size=1)
+    return connected_components(pairs)
+
+
 def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide vocabulary top-100 (total + document frequency)."""
     from fetch_engines_spark.pipelines.text import vocab_topk
@@ -934,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_domain_stats": _q_url_domain_stats,
         "vocab_topk": _q_vocab_topk,
         "embedding_topk_pq": _q_embedding_topk_pq,
+        "dedup_clusters": _q_dedup_clusters,
     }
 
 
@@ -1168,6 +1183,17 @@ def oracle_sql() -> dict[str, str]:
             source=f"read_parquet('{os.path.join(FIXTURES_DIR, 'neardup.parquet')}')",
             num_hashes=6,
             band_size=1,
+        ),
+        "dedup_clusters": __import__(
+            "fetch_engines_spark.pipelines.dedup", fromlist=["x"]
+        ).connected_components_oracle_sql(
+            __import__(
+                "fetch_engines_spark.pipelines.dedup", fromlist=["x"]
+            ).candidate_pairs_oracle_sql(
+                source=f"read_parquet('{os.path.join(FIXTURES_DIR, 'neardup.parquet')}')",
+                num_hashes=6,
+                band_size=1,
+            )
         ),
         "dedup_minhash_prod": __import__(
             "fetch_engines_spark.pipelines.dedup", fromlist=["x"]

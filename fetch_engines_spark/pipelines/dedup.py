@@ -322,6 +322,87 @@ def duplicated_ngram_stats(df: DataFrame, text_col: str = "text", n: int = 8) ->
     )
 
 
+def connected_components(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b", max_iter: int = 25
+) -> DataFrame:
+    """Duplicate clusters: connected components over the candidate-pair
+    graph by iterative min-label propagation — the last stage of a dedup
+    pipeline (pairs → clusters → one keeper per cluster).
+
+    Each round every node takes the min of its own label and its
+    neighbors' labels; converges in O(graph diameter) rounds, which for
+    dup clusters (dense little cliques from LSH) is 2–3.  Scale notes:
+    each round is one self-equi-join + one map-side-combinable min — at
+    10^12 edges with long chain-shaped components you'd switch to the
+    large-star/small-star contraction (same join primitive, O(log n)
+    rounds); dup graphs are clique-like so plain propagation is the right
+    cost.  The per-round convergence check is a count of changed labels
+    (one scalar to the driver per round, standard for iterative
+    algorithms).  Returns (doc_id, component, is_keeper) where component
+    is the cluster's minimum doc_id and the keeper is that minimum.
+    """
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    edges = edges.distinct().cache()
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct().withColumn(
+            "label", F.col("node")
+        )
+    ).cache()
+    for _ in range(max_iter):
+        neigh_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels.node == neigh_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+        ).cache()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("component"),
+        (F.col("node") == F.col("label")).alias("is_keeper"),
+    )
+
+
+def connected_components_oracle_sql(pairs_sql: str) -> str:
+    """DuckDB twin: transitive closure by recursive CTE, component label =
+    min reachable node (UNION dedups rows, so the recursion terminates)."""
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.node
+)
+SELECT node AS doc_id, min(r) AS component, node = min(r) AS is_keeper
+FROM reach GROUP BY node
+"""
+
+
 def ngram_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs (verification
     stage after LSH): |A∩B| / |A∪B| over 3-word shingle sets, in basis

@@ -577,3 +577,18 @@ def test_repetition_and_substring_never_fail_on_junk(spark):
     assert duplicated_ngram_stats(df).count() == 6
     flagged = {r.doc_id: r.repetition_flagged for r in repetition_features(df).collect()}
     assert flagged[4] and flagged[6]  # pathological repeats are caught
+
+
+def test_connected_components_chain_and_clique(spark):
+    from fetch_engines_spark.pipelines.dedup import connected_components
+
+    # chain a-b-c-d (diameter 3, needs >1 propagation round) + clique x,y,z
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("c", "d"), ("x", "y"), ("y", "z"), ("x", "z")],
+        "doc_a string, doc_b string",
+    )
+    out = {r.doc_id: (r.component, r.is_keeper) for r in connected_components(pairs).collect()}
+    assert {out[n][0] for n in "abcd"} == {"a"}
+    assert {out[n][0] for n in "xyz"} == {"x"}
+    keepers = {n for n, (_, k) in out.items() if k}
+    assert keepers == {"a", "x"}
