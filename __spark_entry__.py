@@ -554,6 +554,41 @@ def _q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data curation chain in ONE plan: quality gate +
+    repetition gate + cross-doc substring-duplication gate (all three are
+    independent per-doc/corpus signals), then exact-dup keeper election,
+    then per-source corpus stats with surviving token counts."""
+    from fetch_engines_spark.pipelines.dedup import duplicated_ngram_stats
+    from fetch_engines_spark.pipelines.text import quality_features, repetition_features
+
+    docs = _read(spark, sf_dir, "documents")
+    q = quality_features(docs).select("doc_id", "quality_score", "n_tokens")
+    rep = repetition_features(docs).select("doc_id", "repetition_flagged")
+    sub = duplicated_ngram_stats(docs).select("doc_id", "shared_window_bp")
+    passed = (
+        docs.join(q, "doc_id")
+        .join(rep, "doc_id")
+        .join(sub, "doc_id")
+        .filter(
+            (F.col("quality_score") >= 4)
+            & (~F.col("repetition_flagged"))
+            & (F.col("shared_window_bp") < 5000)
+        )
+    )
+    keeper = (
+        passed.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = passed.join(keeper, "doc_id", "left_semi")
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_tokens").alias("kept_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
 def _q_resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpoint-resume shape: input anti-join completed ledger keys."""
     docs = _read(spark, sf_dir, "documents")
@@ -833,6 +868,73 @@ _SYNTHETIC_URL_SQL = """
 """
 
 
+_TEXT_REPETITION_SQL = """
+            WITH base AS (
+              SELECT doc_id, text,
+                string_split(text, ' ') AS words,
+                length(text) AS n_chars
+              FROM documents
+            ),
+            feats AS (
+              SELECT doc_id, text, n_chars,
+                CAST(floor((len(words) - len(list_distinct(words))) * 10000
+                     / greatest(len(words), 1)) AS BIGINT) AS dup_word_bp,
+                list_transform(
+                  range(0, greatest(len(words) - 5, 0) + 1),
+                  i -> array_to_string(list_slice(words, i + 1, i + 5), ' ')
+                ) AS g5
+              FROM base
+            ),
+            g2 AS (
+              SELECT doc_id, unnest(list_transform(
+                range(0, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+                i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 2), ' ')
+              )) AS gram
+              FROM documents
+            ),
+            cnt AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY doc_id, gram),
+            best AS (
+              SELECT doc_id, gram, c,
+                row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
+              FROM cnt
+            )
+            SELECT f.doc_id,
+              f.dup_word_bp,
+              CAST(b.c AS BIGINT) AS top_bigram_count,
+              b.gram AS top_bigram,
+              CAST(floor(b.c * length(b.gram) * 10000 / greatest(f.n_chars, 1)) AS BIGINT) AS top_bigram_char_bp,
+              CAST(floor((len(f.g5) - len(list_distinct(f.g5))) * 10000
+                   / greatest(len(f.g5), 1)) AS BIGINT) AS dup_5gram_bp,
+              (f.dup_word_bp > 6300
+               OR (b.c > 1
+                   AND CAST(floor(b.c * length(b.gram) * 10000 / greatest(f.n_chars, 1)) AS BIGINT) > 2000)
+               OR CAST(floor((len(f.g5) - len(list_distinct(f.g5))) * 10000
+                    / greatest(len(f.g5), 1)) AS BIGINT) > 3000) AS repetition_flagged
+            FROM feats f JOIN best b ON f.doc_id = b.doc_id AND b.rn = 1
+"""
+
+_DEDUP_SUBSTRING_SQL = """
+            WITH wins AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                list_transform(
+                  range(0, greatest(len(string_split(text, ' ')) - 8, 0) + 1),
+                  i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 8), ' ')
+                ), s -> md5(s)
+              ))) AS w
+              FROM documents
+            ),
+            freq AS (SELECT w, count(*) AS n_docs FROM wins GROUP BY w)
+            SELECT doc_id,
+              CAST(count(*) AS BIGINT) AS n_windows,
+              CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_windows,
+              CAST(floor(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) * 10000
+                   / greatest(count(*), 1)) AS BIGINT) AS shared_window_bp,
+              (sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) * 2 > count(*)) AS substring_dup
+            FROM wins JOIN freq USING (w)
+            GROUP BY doc_id
+"""
+
+
 def _q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + registered-domain extraction per document
     (crawl-corpus URL dedup key)."""
@@ -949,6 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _q_vocab_topk,
         "embedding_topk_pq": _q_embedding_topk_pq,
         "dedup_clusters": _q_dedup_clusters,
+        "corpus_curation_full": _q_corpus_curation_full,
     }
 
 
@@ -1312,69 +1415,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT content_id, exp_route AS route, exp_n_spans AS n_spans, true AS ok
             FROM read_parquet('{os.path.join(FIXTURES_DIR, "mixed_content.parquet")}')
         """,
-        "text_repetition": """
-            WITH base AS (
-              SELECT doc_id, text,
-                string_split(text, ' ') AS words,
-                length(text) AS n_chars
-              FROM documents
+        "text_repetition": _TEXT_REPETITION_SQL,
+        "dedup_substring": _DEDUP_SUBSTRING_SQL,
+        "corpus_curation_full": f"""
+            WITH q AS ({QUALITY_SQL}),
+            rep AS ({_TEXT_REPETITION_SQL}),
+            sub AS ({_DEDUP_SUBSTRING_SQL}),
+            passed AS (
+              SELECT d.doc_id, d.text, d.source, q.n_tokens
+              FROM documents d
+              JOIN q ON d.doc_id = q.doc_id
+              JOIN rep ON d.doc_id = rep.doc_id
+              JOIN sub ON d.doc_id = sub.doc_id
+              WHERE q.quality_score >= 4
+                AND NOT rep.repetition_flagged
+                AND sub.shared_window_bp < 5000
             ),
-            feats AS (
-              SELECT doc_id, text, n_chars,
-                CAST(floor((len(words) - len(list_distinct(words))) * 10000
-                     / greatest(len(words), 1)) AS BIGINT) AS dup_word_bp,
-                list_transform(
-                  range(0, greatest(len(words) - 5, 0) + 1),
-                  i -> array_to_string(list_slice(words, i + 1, i + 5), ' ')
-                ) AS g5
-              FROM base
-            ),
-            g2 AS (
-              SELECT doc_id, unnest(list_transform(
-                range(0, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
-                i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 2), ' ')
-              )) AS gram
-              FROM documents
-            ),
-            cnt AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY doc_id, gram),
-            best AS (
-              SELECT doc_id, gram, c,
-                row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
-              FROM cnt
+            keeper AS (
+              SELECT min(doc_id) AS doc_id FROM passed GROUP BY md5(text)
             )
-            SELECT f.doc_id,
-              f.dup_word_bp,
-              CAST(b.c AS BIGINT) AS top_bigram_count,
-              b.gram AS top_bigram,
-              CAST(floor(b.c * length(b.gram) * 10000 / greatest(f.n_chars, 1)) AS BIGINT) AS top_bigram_char_bp,
-              CAST(floor((len(f.g5) - len(list_distinct(f.g5))) * 10000
-                   / greatest(len(f.g5), 1)) AS BIGINT) AS dup_5gram_bp,
-              (f.dup_word_bp > 6300
-               OR (b.c > 1
-                   AND CAST(floor(b.c * length(b.gram) * 10000 / greatest(f.n_chars, 1)) AS BIGINT) > 2000)
-               OR CAST(floor((len(f.g5) - len(list_distinct(f.g5))) * 10000
-                    / greatest(len(f.g5), 1)) AS BIGINT) > 3000) AS repetition_flagged
-            FROM feats f JOIN best b ON f.doc_id = b.doc_id AND b.rn = 1
-        """,
-        "dedup_substring": """
-            WITH wins AS (
-              SELECT doc_id, unnest(list_distinct(list_transform(
-                list_transform(
-                  range(0, greatest(len(string_split(text, ' ')) - 8, 0) + 1),
-                  i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 8), ' ')
-                ), s -> md5(s)
-              ))) AS w
-              FROM documents
-            ),
-            freq AS (SELECT w, count(*) AS n_docs FROM wins GROUP BY w)
-            SELECT doc_id,
-              CAST(count(*) AS BIGINT) AS n_windows,
-              CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_windows,
-              CAST(floor(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) * 10000
-                   / greatest(count(*), 1)) AS BIGINT) AS shared_window_bp,
-              (sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) * 2 > count(*)) AS substring_dup
-            FROM wins JOIN freq USING (w)
-            GROUP BY doc_id
+            SELECT p.source,
+              CAST(count(*) AS BIGINT) AS n_kept,
+              CAST(sum(p.n_tokens) AS BIGINT) AS kept_tokens,
+              min(p.doc_id) AS min_doc_id
+            FROM passed p JOIN keeper k ON p.doc_id = k.doc_id
+            GROUP BY p.source
         """,
         "url_canonicalize": f"""
             WITH base AS (SELECT doc_id, {_SYNTHETIC_URL_SQL} AS url FROM documents),
