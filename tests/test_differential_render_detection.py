@@ -113,7 +113,9 @@ def _lcg_pages(n: int = 300, seed: int = 0xC0FFEE) -> list[str]:
 
 
 def test_classifiers_match_reference_implementation(spark):
-    pages = _variants() + _lcg_pages()
+    # two independent PRNG streams: 1123 pages total against the
+    # reference's own compiled implementation, exact on every field
+    pages = _variants() + _lcg_pages() + _lcg_pages(n=700, seed=0xBEEF42)
     ref = json.loads(
         subprocess.run(
             [node, "--input-type=module", "-e", _NODE_SCRIPT],
