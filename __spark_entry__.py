@@ -991,6 +991,27 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+def _q_sample_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% corpus sample (hash-threshold filter — stable
+    across runs, engines, and task retries, unlike DataFrame.sample)."""
+    from fetch_engines_spark.pipelines.text import sample_by_hash
+
+    docs = _read(spark, sf_dir, "documents")
+    return sample_by_hash(docs, rate_bp=1000).select("doc_id", "source", "n_chars")
+
+
+def _q_doc_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation over the golden markdown corpus (the
+    punctuation-rich table) — the row shape for sentence-level dedup and
+    sequence packing."""
+    from fetch_engines_spark.pipelines.text import doc_sentences
+
+    md = _fixture(spark, "expected_markdown").select(
+        "doc_id", F.col("markdown").alias("text")
+    )
+    return doc_sentences(md)
+
+
 def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide vocabulary top-100 (total + document frequency)."""
     from fetch_engines_spark.pipelines.text import vocab_topk
@@ -1052,6 +1073,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_pq": _q_embedding_topk_pq,
         "dedup_clusters": _q_dedup_clusters,
         "corpus_curation_full": _q_corpus_curation_full,
+        "sample_by_hash": _q_sample_by_hash,
+        "doc_sentences": _q_doc_sentences,
     }
 
 
@@ -1242,6 +1265,16 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": LANG_ID_SQL,
         "text_quality": QUALITY_SQL,
         "vocab_topk": VOCAB_TOPK_SQL.format(k=100),
+        "sample_by_hash": "SELECT doc_id, source, n_chars FROM ("
+        + __import__("fetch_engines_spark.pipelines.text", fromlist=["x"]).sample_by_hash_sql(
+            rate_bp=1000
+        )
+        + ")",
+        "doc_sentences": __import__(
+            "fetch_engines_spark.pipelines.text", fromlist=["x"]
+        ).doc_sentences_sql(
+            source=f"(SELECT doc_id, markdown AS text FROM read_parquet('{_EXPECTED_MD}'))"
+        ),
         "doc_fingerprint": "SELECT doc_id, md5(lower(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))) AS fp FROM documents",
         "doc_winnowing": """
             WITH h AS (

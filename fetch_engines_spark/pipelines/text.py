@@ -243,6 +243,70 @@ LIMIT {k}
 """
 
 
+def sample_by_hash(df: DataFrame, rate_bp: int, key_col: str = "doc_id") -> DataFrame:
+    """Deterministic, engine-portable corpus sampling: keep a row iff the
+    first 8 hex digits of md5(key) fall under rate_bp/10000 of the 32-bit
+    space.  Unlike ``DataFrame.sample`` this is reproducible across runs,
+    engines, partitionings, AND re-executions of a failed stage (Spark's
+    sample re-draws on task retry — silently non-deterministic lineage);
+    it is also a pure filter, so it pushes into the scan and composes with
+    partition pruning."""
+    threshold = (rate_bp * (1 << 32)) // 10000
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    return df.filter(h < threshold)
+
+
+def sample_by_hash_sql(rate_bp: int, key_col: str = "doc_id", source: str = "documents") -> str:
+    threshold = (rate_bp * (1 << 32)) // 10000
+    return (
+        f"SELECT * FROM {source} WHERE "
+        f"CAST('0x' || substr(md5(CAST({key_col} AS VARCHAR)), 1, 8) AS BIGINT) < {threshold}"
+    )
+
+
+# Sentence boundary: after . ! or ? followed by whitespace.  Implemented
+# as a capture-group replace inserting a \x01 marker, then a plain split —
+# lookbehind is unsupported by RE2, so this is the construction both
+# engines execute identically.  Deliberately simple (no abbreviation
+# model) but deterministic; the point is the *shape* — sentence-level
+# rows for packing/dedup come from one replace+split+posexplode, no
+# Python.
+_SENT_MARK_RX = r"([.!?])\s+"
+
+
+def doc_sentences(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Sentence segmentation to (doc_id, sent_idx, sentence, n_chars) rows
+    — the row shape for sentence-level dedup and sequence packing."""
+    marked = F.regexp_replace(F.col(text_col), _SENT_MARK_RX, "$1\u0001")
+    sents = F.split(marked, "\u0001")
+    out = df.select(
+        F.col("doc_id"), F.posexplode(sents).alias("sent_idx", "sentence")
+    ).filter(F.col("sentence") != "")
+    return out.select(
+        "doc_id", "sent_idx", "sentence", F.length("sentence").alias("n_chars")
+    )
+
+
+def doc_sentences_sql(source: str = "documents", text_col: str = "text") -> str:
+    return rf"""
+WITH arr AS (
+  SELECT doc_id,
+    string_split(regexp_replace({text_col}, '([.!?])\s+', '\1' || chr(1), 'g'), chr(1)) AS sents
+  FROM {source}
+),
+s AS (
+  SELECT doc_id, unnest(sents) AS sentence,
+         generate_subscripts(sents, 1) - 1 AS sent_idx
+  FROM arr
+)
+SELECT doc_id, CAST(sent_idx AS INTEGER) AS sent_idx, sentence,
+       CAST(length(sentence) AS INTEGER) AS n_chars
+FROM s WHERE sentence <> ''
+"""
+
+
 def fingerprint(text: Column) -> Column:
     """Normalization fingerprint: md5 of the lowercased text with all
     non-alphanumerics removed — a cheap canonical-form document hash for

@@ -592,3 +592,34 @@ def test_connected_components_chain_and_clique(spark):
     assert {out[n][0] for n in "xyz"} == {"x"}
     keepers = {n for n, (_, k) in out.items() if k}
     assert keepers == {"a", "x"}
+
+
+def test_sample_by_hash_deterministic_and_monotone(spark):
+    from fetch_engines_spark.pipelines.text import sample_by_hash
+
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(2000)], "doc_id long, text string")
+    s10a = {r.doc_id for r in sample_by_hash(docs, 1000).collect()}
+    s10b = {r.doc_id for r in sample_by_hash(docs, 1000).collect()}
+    s20 = {r.doc_id for r in sample_by_hash(docs, 2000).collect()}
+    assert s10a == s10b  # reproducible
+    assert s10a <= s20  # nested samples: raising the rate only adds rows
+    assert 120 <= len(s10a) <= 280  # ~10% of 2000 within binomial bounds
+    assert 280 <= len(s20) <= 520
+
+
+def test_doc_sentences_segmentation(spark):
+    from fetch_engines_spark.pipelines.text import doc_sentences
+
+    df = spark.createDataFrame(
+        [(1, "First sentence. Second one! Third? Trailing without end"), (2, "")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r.doc_id, r.sent_idx, r.sentence) for r in doc_sentences(df).collect()
+    )
+    assert rows == [
+        (1, 0, "First sentence."),
+        (1, 1, "Second one!"),
+        (1, 2, "Third?"),
+        (1, 3, "Trailing without end"),
+    ]
