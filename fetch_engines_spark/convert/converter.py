@@ -409,22 +409,28 @@ def find_semantic_main_content(root: Element) -> Element | None:
 def detect_forum_page(root: Element) -> bool:
     """C-A (parity: detectForumPage, markdown-converter.ts:637-692)."""
 
-    all_sels = list(FORUM_COMMENT_SELECTORS) + list(FORUM_THREAD_SELECTORS) + list(FORUM_VOTE_SELECTORS)
+    all_sels = (
+        list(FORUM_COMMENT_SELECTORS)
+        + list(FORUM_THREAD_SELECTORS)
+        + list(FORUM_VOTE_SELECTORS)
+        # canonical-URL sources folded into the same walk (first match in
+        # document order == query_selector)
+        + ["link[rel='canonical']", "meta[property='og:url']"]
+    )
     matches = collect_matches(root, all_sels)
     nc, nt = len(FORUM_COMMENT_SELECTORS), len(FORUM_THREAD_SELECTORS)
+    nv = len(FORUM_VOTE_SELECTORS)
     comment_count = sum(len(m) for m in matches[:nc])
     thread_count = sum(len(m) for m in matches[nc : nc + nt])
-    vote_count = sum(len(m) for m in matches[nc + nt :])
+    vote_count = sum(len(m) for m in matches[nc + nt : nc + nt + nv])
 
     is_known_forum_host = False
     canonical = None
-    link = root.query_selector("link[rel='canonical']")
-    if link is not None:
-        canonical = link.get_attribute("href")
-    if not canonical:
-        og = root.query_selector("meta[property='og:url']")
-        if og is not None:
-            canonical = og.get_attribute("content")
+    links, ogs = matches[nc + nt + nv], matches[nc + nt + nv + 1]
+    if links:
+        canonical = links[0].get_attribute("href")
+    if not canonical and ogs:
+        canonical = ogs[0].get_attribute("content")
     if canonical:
         try:
             hostname = (urlparse(urljoin("http://example.com", canonical)).hostname or "").lower()
