@@ -340,11 +340,30 @@ def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fetch_engines_spark.pipelines.similarity import lsh_topk
+    """Multi-table LSH ANN top-k at the SCALE configuration: 8 tables x 16
+    planes (65,536 buckets/table) — candidates per query ~ L*N/2^16, which
+    survives 10^9 vectors, unlike the retired single-table 3-plane demo
+    (candidates ~ N/8).  Recall vs brute force is gated in
+    tests/test_pipelines.py::test_lsh_topk_multi_recall_vs_bruteforce."""
+    from fetch_engines_spark.pipelines.similarity import lsh_topk_multi
 
     emb = _read(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, k=5, num_planes=3, dims=64, query_ids=list(range(10))).withColumnRenamed(
-        "rank", "rnk"
+    return lsh_topk_multi(
+        emb, k=5, num_tables=8, planes_per_table=16, dims=64, query_ids=list(range(10))
+    )
+
+
+def _q_embedding_topk_lsh_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same scale-config multi-table LSH over the planted near-dup
+    corpus, where ANN retrieval is non-vacuous at test scale: each query's
+    exact twin (identical vector — collides in every table) and ~0.97-cosine
+    near twin must surface.  Complements embedding_topk_lsh, whose random
+    sf corpus correctly yields almost no 16-bit bucket collisions."""
+    from fetch_engines_spark.pipelines.similarity import lsh_topk_multi
+
+    emb = _fixture(spark, "neardup_embeddings")
+    return lsh_topk_multi(
+        emb, k=5, num_tables=8, planes_per_table=16, dims=64, query_ids=list(range(12))
     )
 
 
@@ -653,6 +672,22 @@ def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _fixture(spark, "neardup_embeddings")
     return embedding_candidate_pairs(
         emb, num_tables=8, planes_per_table=8, dims=64, threshold_bp=9500
+    )
+
+
+def _q_dedup_embedding_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs under the degenerate-bucket skew guard, on
+    an adversarial corpus with 300 identical + 60 zero vectors (every one
+    lands in ONE bucket of EVERY LSH table).  max_bucket_size=50 routes
+    those buckets to the linear signature-star path: the hot block yields
+    299 pairs, not C(300,2)=44,850; quadratic-stage absence is asserted in
+    tests/test_pipelines.py::test_embedding_capped_no_quadratic_bucket."""
+    from fetch_engines_spark.pipelines.similarity import embedding_candidate_pairs
+
+    emb = _fixture(spark, "skewed_embeddings")
+    return embedding_candidate_pairs(
+        emb, num_tables=8, planes_per_table=8, dims=64, threshold_bp=9500,
+        max_bucket_size=50,
     )
 
 
@@ -1047,12 +1082,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_simhash,
         "embedding_topk": _q_embedding_topk,
         "embedding_topk_lsh": _q_embedding_topk_lsh,
+        "embedding_topk_lsh_planted": _q_embedding_topk_lsh_planted,
         "embedding_topk_ivf": _q_embedding_topk_ivf,
         "media_metadata": _q_media_metadata,
         "media_frame_sample": _q_frame_sample,
         "routing_decisions": _q_routing,
         "mime_split": _q_mime_split,
         "dedup_embedding": _q_dedup_embedding,
+        "dedup_embedding_capped": _q_dedup_embedding_capped,
         "corpus_curation": _q_corpus_curation,
         "resume_anti_join": _q_resume_anti_join,
         "span_order_window": _q_span_order_window,
@@ -1352,7 +1389,13 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk": BRUTE_FORCE_TOPK_SQL.format(nq=10, k=5),
         "embedding_topk_lsh": __import__(
             "fetch_engines_spark.pipelines.similarity", fromlist=["x"]
-        ).lsh_topk_sql(k=5, num_planes=3, dims=64, nq=10),
+        ).lsh_topk_multi_sql(k=5, num_tables=8, planes_per_table=16, dims=64, nq=10),
+        "embedding_topk_lsh_planted": __import__(
+            "fetch_engines_spark.pipelines.similarity", fromlist=["x"]
+        ).lsh_topk_multi_sql(
+            k=5, num_tables=8, planes_per_table=16, dims=64, nq=12,
+            source=f"read_parquet('{os.path.join(FIXTURES_DIR, 'neardup_embeddings.parquet')}')",
+        ),
         "embedding_topk_ivf": __import__("fetch_engines_spark.pipelines.similarity", fromlist=["x"]).ivf_topk_sql(k=5, n_centroids=8, n_probe=2, nq=10),
         "embedding_topk_pq": __import__(
             "fetch_engines_spark.pipelines.similarity", fromlist=["x"]
@@ -1394,6 +1437,16 @@ def oracle_sql() -> dict[str, str]:
             planes_per_table=8,
             dims=64,
             threshold_bp=9500,
+        ),
+        "dedup_embedding_capped": __import__(
+            "fetch_engines_spark.pipelines.similarity", fromlist=["x"]
+        ).embedding_pairs_capped_oracle_sql(
+            source=f"read_parquet('{os.path.join(FIXTURES_DIR, 'skewed_embeddings.parquet')}')",
+            num_tables=8,
+            planes_per_table=8,
+            dims=64,
+            threshold_bp=9500,
+            max_bucket_size=50,
         ),
         "corpus_curation": r"""
             WITH q AS (

@@ -323,7 +323,11 @@ def duplicated_ngram_stats(df: DataFrame, text_col: str = "text", n: int = 8) ->
 
 
 def connected_components(
-    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b", max_iter: int = 25
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+    strict: bool = True,
 ) -> DataFrame:
     """Duplicate clusters: connected components over the candidate-pair
     graph by iterative min-label propagation — the last stage of a dedup
@@ -340,6 +344,19 @@ def connected_components(
     (one scalar to the driver per round, standard for iterative
     algorithms).  Returns (doc_id, component, is_keeper) where component
     is the cluster's minimum doc_id and the keeper is that minimum.
+
+    Convergence is enforced, not assumed: if labels are still changing
+    when ``max_iter`` is exhausted (a chain-shaped component with
+    diameter > max_iter), ``strict=True`` (default) raises rather than
+    silently returning wrong components; ``strict=False`` logs a warning
+    and returns the truncated labels (for exploratory use only).
+
+    Each iteration's labels are localCheckpoint-materialized: the logical
+    plan stays constant-depth instead of growing per round (a 40-round
+    chain OOMs the planner with plain cache()), and superseded label
+    blocks are released by the context cleaner as their references drop.
+    Only the small (node, label) result remains in executor storage after
+    return — the fix for the round-2 cache-leak advisory.
     """
     edges = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
@@ -349,7 +366,8 @@ def connected_components(
         edges.select(F.col("src").alias("node")).distinct().withColumn(
             "label", F.col("node")
         )
-    ).cache()
+    ).localCheckpoint(eager=True)
+    changed = 0
     for _ in range(max_iter):
         neigh_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -364,23 +382,39 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
             )
-        ).cache()
+        ).localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
-    return labels.select(
+    if changed != 0:
+        if strict:
+            edges.unpersist()
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} iterations "
+                f"({changed} labels still changing); the graph has a component of "
+                f"diameter > {max_iter} — raise max_iter or use the "
+                "large-star/small-star contraction for chain-shaped graphs"
+            )
+        import warnings
+
+        warnings.warn(
+            f"connected_components: max_iter={max_iter} exhausted with {changed} "
+            "labels still changing; returned components are TRUNCATED (over-split)",
+            stacklevel=2,
+        )
+    result = labels.select(
         F.col("node").alias("doc_id"),
         F.col("label").alias("component"),
         (F.col("node") == F.col("label")).alias("is_keeper"),
     )
+    edges.unpersist()
+    return result
 
 
 def connected_components_oracle_sql(pairs_sql: str) -> str:

@@ -179,6 +179,80 @@ def lsh_topk(
     )
 
 
+def lsh_topk_multi(
+    embeddings: DataFrame,
+    k: int = 5,
+    num_tables: int = 8,
+    planes_per_table: int = 16,
+    dims: int = 64,
+    query_ids: list[int] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table hyperplane-LSH top-k — the scale configuration of ANN
+    retrieval (supersedes the single-table ``lsh_topk`` flagship, whose
+    3-plane/8-bucket demo config scans ~N/8 candidates per query).
+
+    ``num_tables`` independent tables each bucket on ``planes_per_table``
+    sign bits from a disjoint hyperplane family; a corpus vector is a
+    candidate if it collides with the query in ANY table.  Recall for
+    per-plane agreement p is 1-(1-p^b)^L (b=16, L=8 → 0.92 at cosine
+    0.97), while candidates per query stay ~L * N / 2^b — at 10^9 vectors
+    and b=16 that is ~12k candidates, not N/8.  Shuffle shape: the
+    queries (with their L buckets) broadcast; the corpus streams through
+    L equi-joins expressed as one stacked (table_id, bucket) join; the
+    candidate set (not the corpus) is what gets distinct-ed and scored.
+    Recall is gated vs brute force in
+    tests/test_pipelines.py::test_lsh_topk_multi_recall_vs_bruteforce.
+    """
+    wide = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        *[
+            lsh_bucket_expr(
+                F.col(vec_col), planes_per_table, dims, plane_offset=t * planes_per_table
+            ).alias(f"t{t}")
+            for t in range(num_tables)
+        ],
+    )
+    stack_expr = "stack({n}, {args}) as (table_id, bucket)".format(
+        n=num_tables, args=", ".join(f"{t}, t{t}" for t in range(num_tables))
+    )
+    tabled = wide.select("vid", F.expr(stack_expr))
+    q_tabled = wide.select(
+        F.col("vid").alias("query_id"), F.expr(stack_expr)
+    )
+    q_vecs = embeddings.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    if query_ids is not None:
+        q_tabled = q_tabled.filter(F.col("query_id").isin(query_ids))
+        q_vecs = q_vecs.filter(F.col("query_id").isin(query_ids))
+    candidates = (
+        F.broadcast(q_tabled)
+        .join(tabled, ["table_id", "bucket"])
+        .filter(F.col("query_id") != F.col("vid"))
+        .select("query_id", F.col("vid").alias("neighbor_id"))
+        .distinct()
+    )
+    nb = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        candidates.join(F.broadcast(q_vecs), "query_id")
+        .join(nb, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_bp(F.col("qv"), F.col("cv")).alias("cosine_bp"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_bp"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine_bp", "rnk")
+    )
+
+
 def embedding_candidate_pairs(
     embeddings: DataFrame,
     num_tables: int = 8,
@@ -187,6 +261,7 @@ def embedding_candidate_pairs(
     threshold_bp: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate candidate pairs via multi-table hyperplane
     LSH, with an exact-cosine verify stage.
@@ -199,6 +274,17 @@ def embedding_candidate_pairs(
     (~20+) and keep num_tables for recall — bucket count, not table count,
     is what bounds the join.  Shuffle cost: one explode x L, one equi-join
     on (table_id, bucket) — never all-pairs.
+
+    ``max_bucket_size`` is the degenerate-bucket skew guard (same design
+    as minhash ``_pairs_from_buckets``): zero/constant/boilerplate
+    vectors all land in the SAME bucket of EVERY table, which without a
+    cap makes the in-bucket self-join quadratic on one key.  Buckets
+    above the cap route to a linear star path keyed by the full
+    all-table bucket signature (identical vectors share every bucket, so
+    one rep per signature captures them with n-1 pairs); signature-
+    distinct strangers inside a giant bucket are dropped there — a
+    documented recall tradeoff, recoverable via the other tables.
+    Worst-case pairwise work per bucket is then cap², data-independent.
     """
     b = embeddings.select(
         F.col(id_col).alias("vid"),
@@ -209,22 +295,57 @@ def embedding_candidate_pairs(
             for t in range(num_tables)
         ],
     )
+    sig_cols = (
+        [
+            F.md5(
+                F.concat_ws("|", *[F.col(f"t{t}").cast("string") for t in range(num_tables)])
+            ).alias("sig_key")
+        ]
+        if max_bucket_size is not None
+        else []
+    )
     stack_expr = "stack({n}, {args}) as (table_id, bucket)".format(
         n=num_tables, args=", ".join(f"{t}, t{t}" for t in range(num_tables))
     )
-    tabled = b.select("vid", F.expr(stack_expr))
-    left = tabled.alias("l")
-    right = tabled.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.table_id") == F.col("r.table_id"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.vid") < F.col("r.vid")),
+    tabled = b.select("vid", *sig_cols, F.expr(stack_expr))
+    if max_bucket_size is None:
+        left = tabled.alias("l")
+        right = tabled.alias("r")
+        pairs = (
+            left.join(
+                right,
+                (F.col("l.table_id") == F.col("r.table_id"))
+                & (F.col("l.bucket") == F.col("r.bucket"))
+                & (F.col("l.vid") < F.col("r.vid")),
+            )
+            .select(F.col("l.vid").alias("vec_a"), F.col("r.vid").alias("vec_b"))
+            .distinct()
         )
-        .select(F.col("l.vid").alias("vec_a"), F.col("r.vid").alias("vec_b"))
-        .distinct()
-    )
+    else:
+        sized = tabled.withColumn(
+            "bucket_n", F.count("*").over(Window.partitionBy("table_id", "bucket"))
+        )
+        small = sized.filter(F.col("bucket_n") <= max_bucket_size)
+        small_pairs = (
+            small.alias("l")
+            .join(
+                small.alias("r"),
+                (F.col("l.table_id") == F.col("r.table_id"))
+                & (F.col("l.bucket") == F.col("r.bucket"))
+                & (F.col("l.vid") < F.col("r.vid")),
+            )
+            .select(F.col("l.vid").alias("vec_a"), F.col("r.vid").alias("vec_b"))
+        )
+        big = sized.filter(F.col("bucket_n") > max_bucket_size)
+        reps = big.groupBy("table_id", "bucket", "sig_key").agg(
+            F.min("vid").alias("rep")
+        )
+        star_pairs = (
+            big.join(reps, ["table_id", "bucket", "sig_key"])
+            .filter(F.col("vid") != F.col("rep"))
+            .select(F.col("rep").alias("vec_a"), F.col("vid").alias("vec_b"))
+        )
+        pairs = small_pairs.unionByName(star_pairs).distinct()
     ea = embeddings.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
     eb = embeddings.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
     verified = (
@@ -465,6 +586,126 @@ pairs AS (
   SELECT DISTINCT l.vid AS vec_a, r.vid AS vec_b
   FROM tabled l JOIN tabled r
     ON l.table_id = r.table_id AND l.bucket = r.bucket AND l.vid < r.vid
+),
+verified AS (
+  SELECT p.vec_a, p.vec_b, {cosine_bp_sql('a.embedding', 'b.embedding')} AS cosine_bp
+  FROM pairs p
+  JOIN {source} a ON p.vec_a = a.vec_id
+  JOIN {source} b ON p.vec_b = b.vec_id
+)
+SELECT vec_a, vec_b, cosine_bp FROM verified {thresh}
+"""
+
+
+def lsh_topk_multi_sql(
+    k: int = 5,
+    num_tables: int = 8,
+    planes_per_table: int = 16,
+    dims: int = 64,
+    nq: int = 10,
+    source: str = "embeddings",
+) -> str:
+    """DuckDB twin of lsh_topk_multi: same disjoint plane families, same
+    any-table candidate union, same cosine_bp scoring and ranking."""
+    bucket_cols = ",\n    ".join(
+        lsh_bucket_sql("embedding", planes_per_table, dims, plane_offset=t * planes_per_table)
+        + f" AS t{t}"
+        for t in range(num_tables)
+    )
+    tabled = "\nUNION ALL\n".join(
+        f"SELECT vid, {t} AS table_id, t{t} AS bucket FROM wide"
+        for t in range(num_tables)
+    )
+    return f"""
+WITH wide AS (
+  SELECT vec_id AS vid,
+    {bucket_cols}
+  FROM {source}
+),
+tabled AS (
+  {tabled}
+),
+q AS (SELECT vid AS query_id, table_id, bucket FROM tabled WHERE vid < {nq}),
+cand AS (
+  SELECT DISTINCT q.query_id, c.vid AS neighbor_id
+  FROM q JOIN tabled c ON q.table_id = c.table_id AND q.bucket = c.bucket
+  WHERE c.vid <> q.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         {cosine_bp_sql('a.embedding', 'b.embedding')} AS cosine_bp
+  FROM cand
+  JOIN {source} a ON cand.query_id = a.vec_id
+  JOIN {source} b ON cand.neighbor_id = b.vec_id
+)
+SELECT query_id, neighbor_id, cosine_bp, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_bp DESC, neighbor_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= {k}
+"""
+
+
+def embedding_pairs_capped_oracle_sql(
+    source: str,
+    num_tables: int = 8,
+    planes_per_table: int = 8,
+    dims: int = 64,
+    threshold_bp: int | None = None,
+    max_bucket_size: int = 50,
+) -> str:
+    """DuckDB twin of embedding_candidate_pairs(max_bucket_size=...): same
+    window sizing, same signature-star routing for degenerate buckets."""
+    bucket_cols = ",\n    ".join(
+        lsh_bucket_sql("embedding", planes_per_table, dims, plane_offset=t * planes_per_table)
+        + f" AS t{t}"
+        for t in range(num_tables)
+    )
+    sig = (
+        "md5(concat_ws('|', "
+        + ", ".join(f"CAST(t{t} AS VARCHAR)" for t in range(num_tables))
+        + "))"
+    )
+    tabled = "\nUNION ALL\n".join(
+        f"SELECT vid, sig_key, {t} AS table_id, t{t} AS bucket FROM wide"
+        for t in range(num_tables)
+    )
+    t_cols = ", ".join(f"t{t}" for t in range(num_tables))
+    thresh = f"WHERE cosine_bp >= {threshold_bp}" if threshold_bp is not None else ""
+    return f"""
+WITH base AS (
+  SELECT vec_id AS vid,
+    {bucket_cols}
+  FROM {source}
+),
+wide AS (
+  SELECT vid, {sig} AS sig_key, {t_cols} FROM base
+),
+tabled AS (
+  {tabled}
+),
+sized AS (
+  SELECT *, count(*) OVER (PARTITION BY table_id, bucket) AS bucket_n FROM tabled
+),
+small AS (SELECT * FROM sized WHERE bucket_n <= {max_bucket_size}),
+small_pairs AS (
+  SELECT l.vid AS vec_a, r.vid AS vec_b
+  FROM small l JOIN small r
+    ON l.table_id = r.table_id AND l.bucket = r.bucket AND l.vid < r.vid
+),
+big AS (SELECT * FROM sized WHERE bucket_n > {max_bucket_size}),
+reps AS (
+  SELECT table_id, bucket, sig_key, min(vid) AS rep
+  FROM big GROUP BY table_id, bucket, sig_key
+),
+star_pairs AS (
+  SELECT r.rep AS vec_a, g.vid AS vec_b
+  FROM big g JOIN reps r USING (table_id, bucket, sig_key)
+  WHERE g.vid <> r.rep
+),
+pairs AS (
+  SELECT DISTINCT vec_a, vec_b FROM (
+    SELECT * FROM small_pairs UNION ALL SELECT * FROM star_pairs
+  )
 ),
 verified AS (
   SELECT p.vec_a, p.vec_b, {cosine_bp_sql('a.embedding', 'b.embedding')} AS cosine_bp

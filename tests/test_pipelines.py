@@ -287,6 +287,110 @@ def test_embedding_dedup_recall(spark):
         assert (r.vec_a, r.vec_b) in found_pairs
 
 
+def test_lsh_topk_multi_recall_vs_bruteforce(spark):
+    """Recall gate for the scale-config ANN flagship (8 tables x 16
+    planes): on the planted corpus, every query's exact twin (identical
+    vector — collides in all tables by construction) must be retrieved,
+    and mean top-2 recall vs brute force must clear 0.85 (theory: near
+    twin at ~0.97 cosine collides with prob 1-(1-p^16)^8 ~ 0.92)."""
+    import os
+
+    from fetch_engines_spark.pipelines.similarity import brute_force_topk, lsh_topk_multi
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "data", "fixtures", "neardup_embeddings.parquet"
+    )
+    emb = spark.read.parquet(path)
+    base_ids = [r.vec_id for r in emb.filter("role = 'base'").select("vec_id").collect()]
+    assert len(base_ids) == 40
+
+    bf = brute_force_topk(emb, k=2, query_ids=base_ids)
+    truth = {}
+    for r in bf.collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    ann = lsh_topk_multi(
+        emb, k=2, num_tables=8, planes_per_table=16, dims=64, query_ids=base_ids
+    )
+    got = {}
+    for r in ann.collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    # exact twin is always vec_id = base + 1 (cosine 10000): recall 1.0
+    for q in base_ids:
+        assert q + 1 in got.get(q, set()), f"exact twin of {q} missed"
+    recalls = [len(got.get(q, set()) & truth[q]) / len(truth[q]) for q in base_ids]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.85, f"mean top-2 recall {mean_recall:.3f}"
+
+
+def test_embedding_capped_no_quadratic_bucket(spark):
+    """Degenerate-bucket guard: 300 identical vectors (one bucket in EVERY
+    table) must come out of the capped candidate stage as a 299-pair star,
+    not a 44,850-pair clique, and the planted families must still be
+    recovered."""
+    import os
+
+    from fetch_engines_spark.pipelines.similarity import embedding_candidate_pairs
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "data", "fixtures", "skewed_embeddings.parquet"
+    )
+    emb = spark.read.parquet(path)
+
+    # candidate stage (no threshold): bounded pair count proves no n² bucket
+    cand = embedding_candidate_pairs(
+        emb, num_tables=8, planes_per_table=8, dims=64, max_bucket_size=50
+    )
+    n_cand = cand.count()
+    assert n_cand < 5000, f"{n_cand} candidate pairs — quadratic bucket leaked through"
+
+    verified = embedding_candidate_pairs(
+        emb, num_tables=8, planes_per_table=8, dims=64,
+        threshold_bp=9500, max_bucket_size=50,
+    ).collect()
+    pairs = {(r.vec_a, r.vec_b) for r in verified}
+
+    hot_ids = sorted(r.vec_id for r in emb.filter("role = 'hot'").select("vec_id").collect())
+    hot_pairs = {p for p in pairs if p[0] in set(hot_ids) or p[1] in set(hot_ids)}
+    # star shape: rep (min hot id) paired with each of the other 299
+    assert hot_pairs == {(hot_ids[0], v) for v in hot_ids[1:]}
+    # zero vectors: cosine 0 — filtered by the verify threshold
+    zero_ids = {r.vec_id for r in emb.filter("role = 'zero'").select("vec_id").collect()}
+    assert not any(a in zero_ids or b in zero_ids for a, b in pairs)
+    # planted families still recovered (small buckets unaffected by the cap)
+    fam_pairs = {p for p in pairs - hot_pairs}
+    assert len(fam_pairs) >= int(120 * 0.95), f"only {len(fam_pairs)} planted pairs"
+
+
+def test_connected_components_nonconvergence_detected(spark):
+    """A chain of diameter > max_iter must not silently over-split:
+    strict mode raises, non-strict warns and returns truncated labels."""
+    import warnings
+
+    import pytest
+
+    from fetch_engines_spark.pipelines.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["doc_a", "doc_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=3)
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = connected_components(chain, max_iter=3, strict=False)
+        rows = out.collect()
+    assert any("TRUNCATED" in str(x.message) for x in w)
+    assert len(rows) == 13
+
+    # raising max_iter past the diameter converges to the exact answer
+    ok = connected_components(chain, max_iter=20)
+    labels = {r.doc_id: r.component for r in ok.collect()}
+    assert set(labels.values()) == {0}
+
+
 def test_lsh_tables_are_genuinely_distinct():
     """Regression for the period-7 hyperplane bug: distinct plane indices
     must give distinct weight vectors (the old formula made planes p and
