@@ -866,13 +866,18 @@ def _q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _synthetic_url(doc_id):
     """Deterministic per-doc URL exercising every canonicalization rule
     (mixed case, default and non-default ports, tracking params, unsorted
-    params, fragments, empty paths, two-level public suffixes).  The oracle
-    builds the identical string in SQL."""
+    params, fragments, empty paths, two-level public suffixes, userinfo,
+    IPv4/bracketed-IPv6 hosts).  The oracle builds the identical string in
+    SQL."""
     return F.concat(
         F.when(doc_id % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http")),
         F.lit("://"),
-        F.when(doc_id % 3 == 0, F.lit("WWW.Example.CO.UK"))
-        .when(doc_id % 3 == 1, F.lit("blog.example.com:443"))
+        F.when(doc_id % 7 == 0, F.lit("WWW.Example.CO.UK"))
+        .when(doc_id % 7 == 1, F.lit("blog.example.com:443"))
+        .when(doc_id % 7 == 3, F.lit("User:Pa55@Shop.Example.COM.AU"))
+        .when(doc_id % 7 == 4, F.lit("[2001:DB8::1]:8080"))
+        .when(doc_id % 7 == 5, F.lit("192.168.10.42:80"))
+        .when(doc_id % 7 == 6, F.lit("News.Example.Co.JP:8443"))
         .otherwise(
             F.concat(F.lit("cdn"), (doc_id % 5).cast("string"), F.lit(".Example.COM:80"))
         ),
@@ -890,8 +895,12 @@ def _synthetic_url(doc_id):
 _SYNTHETIC_URL_SQL = """
   concat(
     CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END, '://',
-    CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example.CO.UK'
-         WHEN doc_id % 3 = 1 THEN 'blog.example.com:443'
+    CASE WHEN doc_id % 7 = 0 THEN 'WWW.Example.CO.UK'
+         WHEN doc_id % 7 = 1 THEN 'blog.example.com:443'
+         WHEN doc_id % 7 = 3 THEN 'User:Pa55@Shop.Example.COM.AU'
+         WHEN doc_id % 7 = 4 THEN '[2001:DB8::1]:8080'
+         WHEN doc_id % 7 = 5 THEN '192.168.10.42:80'
+         WHEN doc_id % 7 = 6 THEN 'News.Example.Co.JP:8443'
          ELSE concat('cdn', CAST(doc_id % 5 AS VARCHAR), '.Example.COM:80') END,
     CASE WHEN doc_id % 5 = 0 THEN '' ELSE concat('/Posts/', CAST(doc_id AS VARCHAR)) END,
     CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&z=9&a=1&gclid=x'
@@ -1227,9 +1236,9 @@ def oracle_sql() -> dict[str, str]:
         QUALITY_SQL,
         VOCAB_TOPK_SQL,
     )
-    from fetch_engines_spark.pipelines.urls import REGISTERED_DOMAIN_SQL
+    from fetch_engines_spark.pipelines.urls import registered_domain_sql
 
-    REGISTERED_DOMAIN_SQL_HOST = REGISTERED_DOMAIN_SQL.format(h="host")
+    REGISTERED_DOMAIN_SQL_HOST = registered_domain_sql("host")
 
     return {
         "extract_spans_fixture": f'SELECT doc_id, "offset", kind, text, media_ref FROM \'{_EXPECTED_SPANS}\'',
@@ -1541,9 +1550,11 @@ def oracle_sql() -> dict[str, str]:
             p3 AS (SELECT *, lower(regexp_extract(after, '^([^/?]*)', 1)) AS hostport FROM p2),
             p4 AS (
               SELECT *,
-                CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
-                     WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
-                     ELSE hostport END AS host,
+                CASE WHEN scheme = 'http'
+                     THEN regexp_replace(regexp_replace(hostport, '^[^@]*@', ''), ':80$', '')
+                     WHEN scheme = 'https'
+                     THEN regexp_replace(regexp_replace(hostport, '^[^@]*@', ''), ':443$', '')
+                     ELSE regexp_replace(hostport, '^[^@]*@', '') END AS host,
                 regexp_extract(substr(after, length(hostport) + 1), '^([^?]*)', 1) AS path,
                 regexp_extract(substr(after, length(hostport) + 1), '\\?(.*)$', 1) AS query
               FROM p3
@@ -1576,9 +1587,11 @@ def oracle_sql() -> dict[str, str]:
             p3 AS (SELECT *, lower(regexp_extract(after, '^([^/?]*)', 1)) AS hostport FROM p2),
             p4 AS (
               SELECT *,
-                CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
-                     WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
-                     ELSE hostport END AS host,
+                CASE WHEN scheme = 'http'
+                     THEN regexp_replace(regexp_replace(hostport, '^[^@]*@', ''), ':80$', '')
+                     WHEN scheme = 'https'
+                     THEN regexp_replace(regexp_replace(hostport, '^[^@]*@', ''), ':443$', '')
+                     ELSE regexp_replace(hostport, '^[^@]*@', '') END AS host,
                 regexp_extract(substr(after, length(hostport) + 1), '^([^?]*)', 1) AS path,
                 regexp_extract(substr(after, length(hostport) + 1), '\\?(.*)$', 1) AS query
               FROM p3

@@ -252,9 +252,14 @@ def _extract_arrow_batches(
                     html = htmls[i] or ""
                 else:
                     spans_in = spans_col[i] or []
+                    # null offsets order last, stable — the same explicit
+                    # rule as html_assembly_expr's JVM comparator
                     html = "".join(
                         s["text"]
-                        for s in sorted(spans_in, key=lambda s: s["offset"])
+                        for s in sorted(
+                            spans_in,
+                            key=lambda s: (s["offset"] is None, s["offset"] or 0),
+                        )
                         if s["kind"] == "html" and s["text"]
                     )
                 in_bytes = len(html.encode("utf-8", "ignore"))
@@ -328,14 +333,21 @@ def html_assembly_expr(spans_col: str = "spans"):
     projection JVM-side means the list<struct> span column never crosses
     the Arrow boundary — only the one joined string per document does
     (kind/media_ref/offset bytes and per-span Python dicts are never
-    shipped or built)."""
+    shipped or built).
+
+    Null offsets (contract-violating but tolerated) order LAST, stable
+    among themselves — the same explicit rule as the Python fallback
+    assembly, so assemble_in_jvm=True/False agree on every input."""
     filtered = F.filter(
         F.col(spans_col),
         lambda s: (s["kind"] == "html") & s["text"].isNotNull() & (s["text"] != ""),
     )
     ordered = F.array_sort(
         filtered,
-        lambda l, r: F.when(l["offset"] < r["offset"], -1)
+        lambda l, r: F.when(l["offset"].isNull() & r["offset"].isNull(), 0)
+        .when(l["offset"].isNull(), 1)
+        .when(r["offset"].isNull(), -1)
+        .when(l["offset"] < r["offset"], -1)
         .when(l["offset"] > r["offset"], 1)
         .otherwise(0),
     )

@@ -12,10 +12,17 @@ oracle twins.
 Canonical form (the common crawl-dedup normalization set):
 - drop the fragment;
 - lowercase scheme and host (path/query case is significant, keep it);
+- strip userinfo (user:pass@ never participates in dedup keys);
 - strip the scheme-default port (http:80 / https:443);
 - drop tracking query parameters (utm_*, gclid, fbclid, msclkid, ref);
 - sort surviving query parameters (param order is not semantic);
 - empty path becomes "/".
+
+IP-literal hosts (dotted-quad IPv4, bracketed IPv6) are atomic for
+registered-domain purposes — they are returned whole, never label-split.
+Known exclusions: percent-encoded hosts are not decoded, and IDN hosts
+are not punycoded (both engines agree byte-for-byte on such inputs, they
+are just not normalized further).
 """
 
 from __future__ import annotations
@@ -25,20 +32,77 @@ from pyspark.sql import functions as F
 
 _SCHEME_RX = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 _TRACKING_RX = r"^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|ref)="
+_USERINFO_RX = r"^[^@]*@"
+# dotted-quad IPv4 or bracketed IPv6: atomic, never label-split
+_IP_LITERAL_RX = r"^(\[[0-9a-fA-F:.]*\]|\d{1,3}(\.\d{1,3}){3})$"
 
-# Two-level public suffixes where the registered domain needs three labels
-# (a tiny deterministic subset of the public-suffix list; same literal set
-# in the oracle twin).
+# Two-level public suffixes where the registered domain needs three labels.
+# A deterministic literal subset of the public-suffix list covering the
+# ~150 highest-traffic ccTLD second-level registries; the oracle twin's IN
+# list is GENERATED from this same tuple, so the two engines cannot drift.
 TWO_LEVEL_SUFFIXES = (
-    "co.uk",
-    "org.uk",
-    "ac.uk",
-    "co.jp",
-    "co.in",
-    "co.nz",
-    "co.za",
-    "com.au",
-    "com.br",
+    # .uk
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk",
+    "plc.uk", "sch.uk",
+    # .jp
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp",
+    "gr.jp", "lg.jp",
+    # .au
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    # .nz
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "geek.nz", "gen.nz",
+    "school.nz",
+    # .za
+    "co.za", "org.za", "net.za", "gov.za", "ac.za", "web.za",
+    # .br
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "art.br",
+    # .in
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in", "ac.in",
+    "edu.in", "res.in", "gov.in",
+    # .cn
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    # .tw
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw",
+    # .hk
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+    # .sg
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg", "per.sg",
+    # .my
+    "com.my", "net.my", "org.my", "edu.my", "gov.my",
+    # .mx
+    "com.mx", "net.mx", "org.mx", "edu.mx", "gob.mx",
+    # .ar
+    "com.ar", "net.ar", "org.ar", "edu.ar", "gob.ar",
+    # .co
+    "com.co", "net.co", "org.co", "edu.co", "gov.co",
+    # .pe
+    "com.pe", "net.pe", "org.pe", "edu.pe", "gob.pe",
+    # .ve
+    "com.ve", "net.ve", "org.ve", "co.ve",
+    # .tr
+    "com.tr", "net.tr", "org.tr", "edu.tr", "gov.tr",
+    # .pl
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl",
+    # .ru / .ua
+    "com.ru", "net.ru", "org.ru", "ac.ru",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
+    # .kr
+    "co.kr", "ne.kr", "or.kr", "re.kr", "go.kr", "ac.kr", "pe.kr",
+    # .id
+    "co.id", "net.id", "or.id", "web.id", "ac.id", "sch.id", "go.id",
+    # .th
+    "co.th", "net.th", "or.th", "ac.th", "go.th", "in.th",
+    # .vn
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn",
+    # .ph
+    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph",
+    # .eg / .sa / .il
+    "com.eg", "net.eg", "org.eg", "edu.eg", "gov.eg",
+    "com.sa", "net.sa", "org.sa", "edu.sa", "gov.sa",
+    "co.il", "net.il", "org.il", "ac.il", "gov.il", "muni.il",
+    # .ng / .ke
+    "com.ng", "net.ng", "org.ng", "edu.ng", "gov.ng",
+    "co.ke", "or.ke", "ne.ke", "ac.ke", "go.ke",
 )
 
 
@@ -48,10 +112,12 @@ def url_parts(url: Column) -> dict[str, Column]:
     u = F.regexp_replace(F.trim(url), r"#.*", "")  # fragment off first
     scheme = F.lower(F.regexp_extract(u, _SCHEME_RX, 1))
     after = F.regexp_replace(u, _SCHEME_RX, "")
-    hostport = F.lower(F.regexp_extract(after, r"^([^/?]*)", 1))
-    pathq = F.substring(after, F.length(hostport) + 1, F.lit(1 << 30))
+    # raw (pre-userinfo-strip) authority — its length anchors the path slice
+    hostport_raw = F.lower(F.regexp_extract(after, r"^([^/?]*)", 1))
+    pathq = F.substring(after, F.length(hostport_raw) + 1, F.lit(1 << 30))
     path = F.regexp_extract(pathq, r"^([^?]*)", 1)
     query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    hostport = F.regexp_replace(hostport_raw, _USERINFO_RX, "")
     host = (
         F.when((scheme == "http"), F.regexp_replace(hostport, r":80$", ""))
         .when((scheme == "https"), F.regexp_replace(hostport, r":443$", ""))
@@ -84,14 +150,17 @@ def canonicalize_url(url: Column) -> Column:
 
 def registered_domain(host: Column) -> Column:
     """eTLD+1-style registered domain: last two host labels, or three when
-    the last two form a known two-level public suffix."""
+    the last two form a known two-level public suffix.  IP-literal hosts
+    (dotted-quad IPv4, bracketed IPv6) are returned whole — label-splitting
+    an address would collide distinct IPs onto one key."""
     bare = F.regexp_replace(host, r":\d+$", "")
     labels = F.split(bare, r"\.")
     n = F.size(labels)
     last2 = F.concat_ws(".", F.slice(labels, F.greatest(n - 1, F.lit(1)), 2))
     last3 = F.concat_ws(".", F.slice(labels, F.greatest(n - 2, F.lit(1)), 3))
     return (
-        F.when((n >= 3) & last2.isin(*TWO_LEVEL_SUFFIXES), last3)
+        F.when(bare.rlike(_IP_LITERAL_RX), bare)
+        .when((n >= 3) & last2.isin(*TWO_LEVEL_SUFFIXES), last3)
         .when(n >= 2, last2)
         .otherwise(bare)
     )
@@ -145,9 +214,11 @@ def canonicalize_url_sql(u: str) -> str:
           '&') AS canon_query
       FROM (
         SELECT *,
-          CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
-               WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
-               ELSE hostport END AS host,
+          CASE WHEN scheme = 'http'
+               THEN regexp_replace(regexp_replace(hostport, '^[^@]*@', ''), ':80$', '')
+               WHEN scheme = 'https'
+               THEN regexp_replace(regexp_replace(hostport, '^[^@]*@', ''), ':443$', '')
+               ELSE regexp_replace(hostport, '^[^@]*@', '') END AS host,
           regexp_extract(substr(after, length(hostport) + 1), '^([^?]*)', 1) AS path,
           regexp_extract(substr(after, length(hostport) + 1), '\\?(.*)$', 1) AS query
         FROM (SELECT {parts})
@@ -156,20 +227,24 @@ def canonicalize_url_sql(u: str) -> str:
     """
 
 
-REGISTERED_DOMAIN_SQL = """
+def registered_domain_sql(h: str) -> str:
+    """DuckDB twin of registered_domain over host expression ``h``: same
+    IP-literal guard, same label slices, and an IN list generated from the
+    SAME TWO_LEVEL_SUFFIXES tuple as the Spark expression."""
+    bare = f"regexp_replace({h}, ':\\d+$', '')"
+    labels = f"string_split({bare}, '.')"
+    n = f"len({labels})"
+    last2 = f"array_to_string(list_slice({labels}, {n} - 1, {n}), '.')"
+    last3 = f"array_to_string(list_slice({labels}, {n} - 2, {n}), '.')"
+    suffixes = ",".join(f"'{s}'" for s in TWO_LEVEL_SUFFIXES)
+    ip_rx = r"^(\[[0-9a-fA-F:.]*\]|\d{1,3}(\.\d{1,3}){3})$"
+    return f"""
   CASE
-    WHEN len(string_split(regexp_replace({h}, ':\\d+$', ''), '.')) >= 3
-         AND array_to_string(list_slice(string_split(regexp_replace({h}, ':\\d+$', ''), '.'),
-             len(string_split(regexp_replace({h}, ':\\d+$', ''), '.')) - 1,
-             len(string_split(regexp_replace({h}, ':\\d+$', ''), '.'))), '.')
-           IN ('co.uk','org.uk','ac.uk','co.jp','co.in','co.nz','co.za','com.au','com.br')
-    THEN array_to_string(list_slice(string_split(regexp_replace({h}, ':\\d+$', ''), '.'),
-             len(string_split(regexp_replace({h}, ':\\d+$', ''), '.')) - 2,
-             len(string_split(regexp_replace({h}, ':\\d+$', ''), '.'))), '.')
-    WHEN len(string_split(regexp_replace({h}, ':\\d+$', ''), '.')) >= 2
-    THEN array_to_string(list_slice(string_split(regexp_replace({h}, ':\\d+$', ''), '.'),
-             len(string_split(regexp_replace({h}, ':\\d+$', ''), '.')) - 1,
-             len(string_split(regexp_replace({h}, ':\\d+$', ''), '.'))), '.')
-    ELSE regexp_replace({h}, ':\\d+$', '')
+    WHEN regexp_matches({bare}, '{ip_rx}') THEN {bare}
+    WHEN {n} >= 3 AND {last2} IN ({suffixes})
+    THEN {last3}
+    WHEN {n} >= 2
+    THEN {last2}
+    ELSE {bare}
   END
 """

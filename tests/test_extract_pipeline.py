@@ -209,8 +209,9 @@ def test_jsonl_ingest_routes_rejects(spark):
 def test_jvm_assembly_matches_python_assembly(spark):
     """The native span→html assembly projection must produce byte-identical
     extraction output to the in-Python assembly, including the edge shapes:
-    null spans, empty arrays, media-only docs, empty-text html spans, and
-    out-of-order offsets."""
+    null spans, empty arrays, media-only docs, empty-text html spans,
+    out-of-order offsets, and null offsets (which order last, stably, in
+    both paths rather than raising in one and tying in the other)."""
     from fetch_engines_spark.extract import INPUT_SCHEMA, extract_spans
     from fetch_engines_spark.fixtures import fixture_document_rows
 
@@ -233,6 +234,15 @@ def test_jvm_assembly_matches_python_assembly(spark):
                 {"kind": "html", "text": "<p>hello world", "media_ref": None, "offset": 0},
             ],
         },
+        {
+            "doc_id": "x-null-offset",
+            "base_url": "https://e.com/",
+            "canonical_url": None,
+            "spans": [
+                {"kind": "html", "text": " tail</p>", "media_ref": None, "offset": None},
+                {"kind": "html", "text": "<p>head", "media_ref": None, "offset": 0},
+            ],
+        },
     ]
     docs = spark.createDataFrame(rows, INPUT_SCHEMA)
     a = {
@@ -245,3 +255,5 @@ def test_jvm_assembly_matches_python_assembly(spark):
     }
     assert a == b
     assert a["x-out-of-order"][1]  # content extracted from reordered spans
+    assert a["x-null-offset"][2] is None  # tolerated, not an ERR_EXTRACTION row
+    assert "head" in " ".join(s[1] or "" for s in a["x-null-offset"][1])
