@@ -551,6 +551,20 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(extract_media_metadata(media), every_n=10)
 
 
+def _q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode over the PNG fixture corpus: stdlib inflate +
+    scanline unfilter (all five PNG filter types) → per-image pixel sums,
+    verified against the generator's record of the raw pixel array (the
+    writer filtered+deflated; the decoder must invert both)."""
+    from fetch_engines_spark.pipelines.multimodal import png_pixel_stats
+
+    pngs = _fixture(spark, "pngs")
+    return png_pixel_stats(pngs).select(
+        "media_id", "width", "height", "channels", "pixel_sum",
+        F.substring(F.col("error"), 1, 7).alias("error_prefix"),
+    )
+
+
 def _q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation: quality gate → exact-dup removal (keep min
     doc_id) → per-source kept counts.  The composed shape of a
@@ -1095,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_ivf": _q_embedding_topk_ivf,
         "media_metadata": _q_media_metadata,
         "media_frame_sample": _q_frame_sample,
+        "media_pixel_stats": _q_media_pixel_stats,
         "routing_decisions": _q_routing,
         "mime_split": _q_mime_split,
         "dedup_embedding": _q_dedup_embedding,
@@ -1419,6 +1434,12 @@ def oracle_sql() -> dict[str, str]:
         "media_frame_sample": f"""
             SELECT media_id, unnest(range(0, exp_n_frames, 10)) AS frame_idx
             FROM '{_MEDIA}' WHERE exp_kind = 'video'
+        """,
+        "media_pixel_stats": f"""
+            SELECT media_id, exp_width AS width, exp_height AS height,
+                   exp_channels AS channels, exp_pixel_sum AS pixel_sum,
+                   exp_error_prefix AS error_prefix
+            FROM read_parquet('{os.path.join(FIXTURES_DIR, "pngs.parquet")}')
         """,
         "routing_decisions": _ROUTING_SQL,
         "mime_split": f"""

@@ -9,6 +9,17 @@ spans, and a line whose font size is >=1.3x the document's median becomes a
 heading span — so PDF documents land in the SAME ordered span model
 (kind, text, media_ref, offset) as HTML extraction.
 
+Document structure: pages come from the real page tree (catalog → /Pages →
+/Kids walk, cycle-guarded), so physical object order in the file is
+irrelevant; documents without a walkable tree fall back to
+content-stream-in-object-order.  Text decoding: fonts carrying a
+/ToUnicode CMap (bfchar/bfrange, 1- or 2-byte codes) decode through it —
+non-Latin text-PDFs (Cyrillic, Greek, CJK identity encodings) extract
+correctly; fonts without one decode latin-1.  Remaining subset limits:
+bfrange array destinations map single BMP chars, predefined (non-embedded)
+CMaps by name are not bundled, and xref/linearization tables are ignored
+(object scan instead).
+
 The reference rejects non-HTML content types outright
 (reference: src/FetchEngine.ts:120-123); routing application/pdf payloads
 here is the engine's extension, named by the north rule.  Image-only,
@@ -67,8 +78,9 @@ _ESCAPES = {
 }
 
 
-def _decode_pdf_string(raw: bytes) -> str:
-    """(string) body → text, handling backslash escapes and octal codes."""
+def _unescape_pdf_string(raw: bytes) -> bytes:
+    """(string) body → raw bytes, resolving backslash escapes and octal
+    codes (text decoding happens later, per the active font)."""
     out = bytearray()
     i = 0
     body = raw[1:-1]
@@ -89,12 +101,163 @@ def _decode_pdf_string(raw: bytes) -> str:
             continue
         out += c
         i += 1
-    return out.decode("latin-1")
+    return bytes(out)
+
+
+def _decode_pdf_string(raw: bytes) -> str:
+    """(string) body → text via latin-1 (the no-CMap decoding)."""
+    return _unescape_pdf_string(raw).decode("latin-1")
+
+
+# --- document structure (object map, page tree, fonts) -----------------------
+
+_OBJN_RX = re.compile(rb"(\d+)\s+0\s+obj\b(.*?)endobj", re.S)
+
+
+def _objects(data: bytes) -> dict[int, bytes]:
+    """Object number → body, by linear scan (xref tables are ignored; a
+    scan tolerates the broken xrefs common in crawled PDFs)."""
+    return {int(m.group(1)): m.group(2) for m in _OBJN_RX.finditer(data)}
+
+
+def _stream_data(body: bytes) -> bytes | None:
+    """Decoded stream payload of an object body (FlateDecode if named)."""
+    sm = _STREAM_RX.search(body)
+    if not sm:
+        return None
+    raw = sm.group(1)
+    if b"/FlateDecode" in body[: sm.start()]:
+        raw = zlib.decompress(raw)
+    return raw
+
+
+def _ref(body: bytes, key: bytes) -> int | None:
+    m = re.search(rb"/" + key + rb"\s+(\d+)\s+0\s+R", body)
+    return int(m.group(1)) if m else None
+
+
+def _contents_refs(body: bytes) -> list[int]:
+    m = re.search(rb"/Contents\s*\[(.*?)\]", body, re.S)
+    if m:
+        return [int(x) for x in re.findall(rb"(\d+)\s+0\s+R", m.group(1))]
+    r = _ref(body, b"Contents")
+    return [r] if r is not None else []
+
+
+def _parse_cmap(data: bytes) -> tuple[int, dict[int, str]]:
+    """/ToUnicode CMap stream → (code byte-length, code→text map).
+
+    Supports codespacerange (1- or 2-byte codes), bfchar (multi-char
+    UTF-16BE destinations), and bfrange with scalar-increment or array
+    destinations (array entries: single BMP chars)."""
+    code_len = 1
+    m = re.search(rb"begincodespacerange\s*<([0-9A-Fa-f]+)>", data)
+    if m:
+        code_len = max(1, len(m.group(1)) // 2)
+    mapping: dict[int, str] = {}
+    for seg in re.findall(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        for src, dst in re.findall(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", seg):
+            mapping[int(src, 16)] = bytes.fromhex(dst.decode("ascii")).decode(
+                "utf-16-be", "replace"
+            )
+    for seg in re.findall(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        for lo, hi, dst in re.findall(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(\[[^\]]*\]|<[0-9A-Fa-f]+>)",
+            seg,
+            re.S,
+        ):
+            lo_i, hi_i = int(lo, 16), int(hi, 16)
+            if dst.startswith(b"["):
+                dsts = re.findall(rb"<([0-9A-Fa-f]+)>", dst)
+                for off, d in enumerate(dsts):
+                    if lo_i + off <= hi_i:
+                        mapping[lo_i + off] = bytes.fromhex(d.decode("ascii")).decode(
+                            "utf-16-be", "replace"
+                        )
+            else:
+                base = int(dst[1:-1], 16)
+                for c in range(lo_i, min(hi_i, lo_i + 65535) + 1):
+                    v = base + (c - lo_i)
+                    mapping[c] = chr(v) if v <= 0x10FFFF else "�"
+    return code_len, mapping
+
+
+def _page_fonts(page_body: bytes, objs: dict[int, bytes]) -> dict[str, tuple[int, dict[int, str]]]:
+    """Font name → ToUnicode CMap for a page's /Resources/Font dict
+    (inline or by reference).  Fonts without /ToUnicode are omitted and
+    decode latin-1."""
+    res = page_body
+    r = _ref(page_body, b"Resources")
+    if r is not None and r in objs:
+        res = objs[r]
+    r = _ref(res, b"Font")
+    if r is not None and r in objs:
+        font_dict = objs[r]
+    else:
+        fm = re.search(rb"/Font\s*<<(.*?)>>", res, re.S)
+        font_dict = fm.group(1) if fm else b""
+    fonts: dict[str, tuple[int, dict[int, str]]] = {}
+    for name, ref in re.findall(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+0\s+R", font_dict):
+        fobj = objs.get(int(ref))
+        if fobj is None:
+            continue
+        tu = _ref(fobj, b"ToUnicode")
+        if tu is None or tu not in objs:
+            continue
+        stream = _stream_data(objs[tu])
+        if stream:
+            fonts[name.decode("latin-1")] = _parse_cmap(stream)
+    return fonts
+
+
+def _page_tree_streams(
+    objs: dict[int, bytes],
+) -> list[tuple[bytes, dict[str, tuple[int, dict[int, str]]]]] | None:
+    """Pages in PAGE-TREE order as (joined content stream, fonts) — or
+    None when there is no walkable catalog/page tree (caller falls back
+    to object order)."""
+    catalog = next(
+        (b for b in objs.values() if re.search(rb"/Type\s*/Catalog\b", b)), None
+    )
+    if catalog is None:
+        return None
+    root = _ref(catalog, b"Pages")
+    if root is None:
+        return None
+    pages: list[int] = []
+    seen: set[int] = set()
+    stack = [root]
+    while stack:  # DFS, cycle-guarded; Kids order is the page order
+        ref = stack.pop()
+        if ref in seen or ref not in objs or len(seen) > 100_000:
+            continue
+        seen.add(ref)
+        body = objs[ref]
+        m = re.search(rb"/Kids\s*\[(.*?)\]", body, re.S)
+        if m:
+            kids = [int(x) for x in re.findall(rb"(\d+)\s+0\s+R", m.group(1))]
+            stack.extend(reversed(kids))
+        elif re.search(rb"/Type\s*/Page\b", body):
+            pages.append(ref)
+    if not pages:
+        return None
+    out = []
+    for p in pages:
+        body = objs[p]
+        streams = [
+            s
+            for r in _contents_refs(body)
+            if r in objs
+            for s in [_stream_data(objs[r])]
+            if s is not None
+        ]
+        out.append((b"\n".join(streams), _page_fonts(body, objs)))
+    return out
 
 
 def _content_streams(data: bytes) -> list[bytes]:
-    """Decoded content streams in object order (the page order of the
-    simple-PDF subset this parser targets)."""
+    """Fallback page model for catalog-less object soup: decoded
+    text-bearing content streams in object order."""
     streams = []
     for m in _OBJ_RX.finditer(data):
         body = m.group(1)
@@ -110,32 +273,52 @@ def _content_streams(data: bytes) -> list[bytes]:
     return streams
 
 
-def _text_items(stream: bytes) -> list[tuple[float, float, float, str]]:
+def _map_string(raw: bytes, font: tuple[int, dict[int, str]] | None) -> str:
+    """Decode a text-show string through the active font's CMap (grouped
+    into code units), or latin-1 when the font has none."""
+    if font is None:
+        return raw.decode("latin-1")
+    code_len, mapping = font
+    out = []
+    for i in range(0, len(raw), code_len):
+        code = int.from_bytes(raw[i : i + code_len], "big")
+        out.append(mapping.get(code, chr(code) if code < 256 else "�"))
+    return "".join(out)
+
+
+def _text_items(
+    stream: bytes,
+    fonts: dict[str, tuple[int, dict[int, str]]] | None = None,
+) -> list[tuple[float, float, float, str]]:
     """(x, y, font_size, text) per text-showing operator."""
     items: list[tuple[float, float, float, str]] = []
     nums: list[float] = []
-    strs: list[str] = []
+    strs: list[bytes] = []
+    names: list[bytes] = []
     in_array = False
-    arr_parts: list[str] = []
+    arr_parts: list[bytes] = []
     size = 11.0
     x = y = 0.0
+    cur_font: tuple[int, dict[int, str]] | None = None
     for m in _TOKEN_RX.finditer(stream):
         kind = m.lastgroup
         tok = m.group()
         if kind in ("str", "hex"):
             if kind == "str":
-                s = _decode_pdf_string(tok)
+                s = _unescape_pdf_string(tok)
             else:
                 h = re.sub(rb"\s", b"", tok[1:-1])
                 if len(h) % 2:
                     h += b"0"  # PDF spec: odd-length hex pads with 0
-                s = bytes.fromhex(h.decode("ascii")).decode("latin-1")
+                s = bytes.fromhex(h.decode("ascii"))
             if in_array:
                 arr_parts.append(s)
             else:
                 strs.append(s)
         elif kind == "num":
             nums.append(float(tok))
+        elif kind == "name":
+            names.append(tok[1:])
         elif kind == "arr":
             if tok == b"[":
                 in_array = True
@@ -148,18 +331,23 @@ def _text_items(stream: bytes) -> list[tuple[float, float, float, str]]:
                 x = y = 0.0
             elif op == b"Tf" and nums:
                 size = nums[-1]
+                if fonts and names:
+                    cur_font = fonts.get(names[-1].decode("latin-1"))
             elif op in (b"Td", b"TD") and len(nums) >= 2:
                 x += nums[-2]
                 y += nums[-1]
             elif op == b"Tm" and len(nums) >= 6:
                 x, y = nums[-2], nums[-1]
             elif op == b"Tj" and strs:
-                items.append((x, y, size, strs[-1]))
+                items.append((x, y, size, _map_string(strs[-1], cur_font)))
             elif op == b"TJ" and arr_parts:
-                items.append((x, y, size, "".join(arr_parts)))
+                items.append(
+                    (x, y, size, "".join(_map_string(p, cur_font) for p in arr_parts))
+                )
                 arr_parts = []
             nums = []
             strs = []
+            names = []
     return items
 
 
@@ -175,8 +363,15 @@ def parse_pdf_spans(data: bytes) -> tuple[list[dict], int, int]:
         raise ValueError("not a PDF (missing %PDF- header)")
     if b"/Encrypt" in data:
         raise ValueError("encrypted PDF not supported")
-    pages = _content_streams(data)
-    all_items = [(_p, it) for _p, s in enumerate(pages) for it in _text_items(s)]
+    paged = _page_tree_streams(_objects(data))
+    if paged is None:  # catalog-less object soup: object-order fallback
+        paged = [(s, {}) for s in _content_streams(data)]
+    else:
+        paged = [(s, f) for s, f in paged if b"BT" in s]
+    pages = [s for s, _ in paged]
+    all_items = [
+        (_p, it) for _p, (s, fonts) in enumerate(paged) for it in _text_items(s, fonts)
+    ]
     if not all_items:
         if not pages:
             raise ValueError("no content streams (image-only or unsupported PDF)")

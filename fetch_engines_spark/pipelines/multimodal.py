@@ -78,11 +78,146 @@ def decode_header(payload: bytes) -> dict:
 
 
 def decode_real_codec(payload: bytes) -> dict:  # pragma: no cover - stub
-    """Real image/audio decode (PIL/ffmpeg) — unavailable in this container.
+    """Real audio/video decode (ffmpeg) — unavailable in this container.
 
     STUB: wire the actual codec here when the cluster image ships one.
+    PNG images do NOT go through this stub: ``decode_png`` below is a real
+    pure-stdlib pixel decoder (zlib inflate + scanline unfiltering).
     """
     raise NotImplementedError("codec libraries not available in this environment")
+
+
+# --- real PNG pixel decode (stdlib-only) -------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+A, RGBA
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> dict:
+    """PNG bytes → {width, height, channels, pixels: bytes} with nothing
+    but the stdlib: IHDR parse, IDAT concat + zlib inflate, per-scanline
+    unfiltering (None/Sub/Up/Average/Paeth).  Subset: 8-bit depth,
+    non-interlaced, color types 0/2/4/6 (no palette).  Raises ValueError
+    on anything else — the Spark stage maps that to an error row."""
+    import struct as _s
+    import zlib as _z
+
+    if payload is None or not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG (bad signature)")
+    pos = len(_PNG_SIG)
+    width = height = bit_depth = color_type = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = _s.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated chunk")
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = _s.unpack(
+                ">IIBBBBB", data
+            )
+            if bit_depth != 8:
+                raise ValueError(f"unsupported bit depth {bit_depth}")
+            if color_type not in _PNG_CHANNELS:
+                raise ValueError(f"unsupported color type {color_type}")
+            if interlace != 0:
+                raise ValueError("interlaced PNG not supported")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + data + crc (crc not verified)
+    if width is None:
+        raise ValueError("missing IHDR")
+    if not idat:
+        raise ValueError("missing IDAT")
+    raw = _z.decompress(bytes(idat))
+    ch = _PNG_CHANNELS[color_type]
+    stride = width * ch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("scanline data size mismatch")
+    out = bytearray(height * stride)
+    prev_off = -1
+    for row in range(height):
+        f = raw[row * (stride + 1)]
+        line = raw[row * (stride + 1) + 1 : (row + 1) * (stride + 1)]
+        off = row * stride
+        if f == 0:
+            out[off : off + stride] = line
+        elif f == 1:  # Sub
+            for i in range(stride):
+                a = out[off + i - ch] if i >= ch else 0
+                out[off + i] = (line[i] + a) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                b = out[prev_off + i] if row else 0
+                out[off + i] = (line[i] + b) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = out[off + i - ch] if i >= ch else 0
+                b = out[prev_off + i] if row else 0
+                out[off + i] = (line[i] + (a + b) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = out[off + i - ch] if i >= ch else 0
+                b = out[prev_off + i] if row else 0
+                c = out[prev_off + i - ch] if (row and i >= ch) else 0
+                out[off + i] = (line[i] + _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"unknown filter type {f}")
+        prev_off = off
+    return {"width": width, "height": height, "channels": ch, "pixels": bytes(out)}
+
+
+PNG_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("pixel_sum", LongType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def _png_stats_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in PNG_STATS_SCHEMA.names}
+        for row in pdf.itertuples(index=False):
+            width = height = channels = pixel_sum = None
+            err = None
+            try:
+                img = decode_png(bytes(row.payload) if row.payload is not None else None)
+                width, height, channels = img["width"], img["height"], img["channels"]
+                pixel_sum = sum(img["pixels"])
+            except Exception as exc:
+                err = f"ERR_PNG: {type(exc).__name__}: {exc}"[:200]
+            out["media_id"].append(row.media_id)
+            out["width"].append(width)
+            out["height"].append(height)
+            out["channels"].append(channels)
+            out["pixel_sum"].append(pixel_sum)
+            out["error"].append(err)
+        yield pd.DataFrame(out)
+
+
+def png_pixel_stats(media: DataFrame) -> DataFrame:
+    """media(media_id, payload:binary) → per-image pixel statistics from
+    the REAL decode path (inflate + unfilter + sum over raw pixel bytes);
+    one Arrow-batched stage, never-fail contract."""
+    return media.select("media_id", "payload").mapInPandas(
+        _png_stats_batches, schema=PNG_STATS_SCHEMA
+    )
 
 
 def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

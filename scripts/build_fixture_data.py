@@ -180,11 +180,15 @@ def _pdf_escape(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
-def _pdf_bytes(page_streams: list[bytes], compress: bool = False) -> bytes:
+def _pdf_bytes(
+    page_streams: list[bytes], compress: bool = False, order: list[int] | None = None
+) -> bytes:
     """Emit a minimal well-formed PDF around the given page content
     streams (catalog → pages → page+content per page → font).  This is the
     WRITER path — fetch_engines_spark/pdf.py parses it with independent
-    tokenizer/layout code."""
+    tokenizer/layout code.  ``order`` permutes the PHYSICAL emission order
+    of the objects (ids unchanged, xref correct) — a page-tree-aware
+    parser must be indifferent to it."""
     import zlib as _z
 
     n = len(page_streams)
@@ -208,12 +212,15 @@ def _pdf_bytes(page_streams: list[bytes], compress: bool = False) -> bytes:
             b"<< /Length %d%s >>\nstream\n%s\nendstream" % (len(data), filt, data)
         )
     objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    return _assemble_pdf(objs, order)
 
+
+def _assemble_pdf(objs: list[bytes], order: list[int] | None = None) -> bytes:
     out = bytearray(b"%PDF-1.4\n")
-    offsets = []
-    for i, body in enumerate(objs, start=1):
-        offsets.append(len(out))
-        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    offsets = [0] * len(objs)
+    for idx in order if order is not None else range(len(objs)):
+        offsets[idx] = len(out)
+        out += b"%d 0 obj\n" % (idx + 1) + objs[idx] + b"\nendobj\n"
     xref_at = len(out)
     out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
     for off in offsets:
@@ -223,6 +230,55 @@ def _pdf_bytes(page_streams: list[bytes], compress: bool = False) -> bytes:
         % (len(objs) + 1, xref_at)
     )
     return bytes(out)
+
+
+def _pdf_bytes_unicode(pages: list[list[tuple[float, float, float, str]]]) -> bytes:
+    """Writer for non-Latin text-PDFs: a 2-byte-code font with a /ToUnicode
+    CMap (bfchar per distinct char); page text is shown as hex strings of
+    the 2-byte codes — nothing latin-1-decodable appears in the content
+    stream, so extraction correctness proves the CMap path."""
+    chars: dict[str, int] = {}
+    for page in pages:
+        for _sz, _x, _y, text in page:
+            for ch in text:
+                chars.setdefault(ch, len(chars) + 1)
+    bfchars = "\n".join(
+        f"<{code:04X}> <{ord(ch):04X}>" for ch, code in sorted(chars.items(), key=lambda kv: kv[1])
+    )
+    cmap = (
+        "/CIDInit /ProcSet findresource begin\n"
+        "begincmap\n"
+        "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        f"{len(chars)} beginbfchar\n{bfchars}\nendbfchar\n"
+        "endcmap\nend\n"
+    ).encode("ascii")
+
+    n = len(pages)
+    objs: list[bytes] = []
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode())
+    font_id = 3 + 2 * n
+    cmap_id = font_id + 1
+    for i, page in enumerate(pages):
+        content_id = 3 + 2 * i + 1
+        lines = []
+        for sz, x, y, text in page:
+            hexstr = "".join(f"{chars[ch]:04X}" for ch in text)
+            lines.append(f"BT /FU {sz} Tf {x} {y} Td <{hexstr}> Tj ET".encode("ascii"))
+        stream = b"\n".join(lines)
+        objs.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Contents {content_id} 0 R /Resources << /Font << /FU {font_id} 0 R >> >> >>"
+            ).encode()
+        )
+        objs.append(b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream))
+    objs.append(
+        f"<< /Type /Font /Subtype /Type0 /BaseFont /Synthetic-CID /ToUnicode {cmap_id} 0 R >>".encode()
+    )
+    objs.append(b"<< /Length %d >>\nstream\n%s\nendstream" % (len(cmap), cmap))
+    return _assemble_pdf(objs)
 
 
 def _pdf_line(size: float, x: float, y: float, text: str) -> bytes:
@@ -325,6 +381,49 @@ def build_pdfs() -> None:
     rows.append(("p5", _pdf_bytes([b"q 612 0 0 792 0 0 cm /Im0 Do Q"]), [], 0, "ERR_PDF"))
     # p6: not a PDF at all -> error
     rows.append(("p6", b"GIF89a not a pdf", [], 0, "ERR_PDF"))
+
+    # p7: physically SCRAMBLED object order (content of page 2 first, catalog
+    # last) — logical page-tree order must still win
+    s7a = b"\n".join([_pdf_line(18, 72, 720, "Scrambled One"), _pdf_line(11, 72, 690, "First logical page.")])
+    s7b = b"\n".join([_pdf_line(18, 72, 720, "Scrambled Two"), _pdf_line(11, 72, 690, "Second logical page.")])
+    # ids: 1 catalog, 2 pages, 3 page1, 4 content1, 5 page2, 6 content2, 7 font
+    rows.append(
+        (
+            "p7",
+            _pdf_bytes([s7a, s7b], order=[5, 3, 6, 4, 1, 2, 0]),
+            [
+                ("heading", "Scrambled One", None, 0),
+                ("text", "First logical page.", None, 1),
+                ("heading", "Scrambled Two", None, 2),
+                ("text", "Second logical page.", None, 3),
+            ],
+            2,
+            None,
+        )
+    )
+
+    # p8: non-Latin text via 2-byte codes + /ToUnicode CMap (no latin-1
+    # decodable bytes in the content stream at all)
+    p8_pages = [
+        [
+            (18.0, 72.0, 720.0, "Отчёт за квартал"),
+            (11.0, 72.0, 690.0, "Выручка выросла в третьем квартале."),
+            (11.0, 72.0, 600.0, "Πρόβλεψη αμετάβλητη."),
+        ]
+    ]
+    rows.append(
+        (
+            "p8",
+            _pdf_bytes_unicode(p8_pages),
+            [
+                ("heading", "Отчёт за квартал", None, 0),
+                ("text", "Выручка выросла в третьем квартале.", None, 1),
+                ("text", "Πρόβλεψη αμετάβλητη.", None, 2),
+            ],
+            1,
+            None,
+        )
+    )
 
     pq.write_table(
         pa.table(
@@ -605,6 +704,107 @@ def build_neardup_embeddings() -> None:
     )
 
 
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct as _s
+    import zlib as _z
+
+    return _s.pack(">I", len(data)) + ctype + data + _s.pack(
+        ">I", _z.crc32(ctype + data) & 0xFFFFFFFF
+    )
+
+
+def _png_bytes(width: int, height: int, color_type: int, pixels: bytes, row_filters: list[int]) -> bytes:
+    """PNG WRITER (independent of the decoder under test): applies the
+    given per-row filter types (0=None 1=Sub 2=Up 3=Average 4=Paeth) to
+    the raw pixel rows, deflates, and wraps in signature+IHDR+IDAT+IEND."""
+    import struct as _s
+    import zlib as _z
+
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    stride = width * ch
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    raw = bytearray()
+    for r in range(height):
+        f = row_filters[r % len(row_filters)]
+        cur = pixels[r * stride : (r + 1) * stride]
+        prev = pixels[(r - 1) * stride : r * stride] if r else bytes(stride)
+        raw.append(f)
+        for i in range(stride):
+            a = cur[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if f == 0:
+                raw.append(cur[i])
+            elif f == 1:
+                raw.append((cur[i] - a) & 0xFF)
+            elif f == 2:
+                raw.append((cur[i] - b) & 0xFF)
+            elif f == 3:
+                raw.append((cur[i] - (a + b) // 2) & 0xFF)
+            elif f == 4:
+                raw.append((cur[i] - paeth(a, b, c)) & 0xFF)
+            else:
+                raise ValueError(f)
+    ihdr = _s.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def build_pngs() -> None:
+    """Real-PNG decode fixture: generator-written PNGs (every filter type,
+    gray/RGB/RGBA) with the expected width/height/channels/pixel_sum
+    recorded from the RAW pixel array before filtering+deflate — the
+    decoder under test must invert both to reproduce them."""
+    rows = []  # (media_id, payload, exp_w, exp_h, exp_ch, exp_sum, exp_err)
+
+    def gradient(w, h, ch, seed):
+        return bytes(((x * 7 + y * 13 + c * 29 + seed * 31) % 256)
+                     for y in range(h) for x in range(w) for c in range(ch))
+
+    cases = [
+        ("png-none", 16, 12, 2, 3, [0]),
+        ("png-sub", 16, 12, 2, 5, [1]),
+        ("png-up", 16, 12, 2, 7, [2]),
+        ("png-avg", 16, 12, 2, 11, [3]),
+        ("png-paeth", 16, 12, 2, 13, [4]),
+        ("png-mixed", 24, 17, 2, 17, [0, 1, 2, 3, 4]),
+        ("png-gray", 9, 9, 0, 19, [1, 4]),
+        ("png-rgba", 8, 6, 6, 23, [2, 3]),
+    ]
+    for mid, w, h, ct, seed, filters in cases:
+        ch = {0: 1, 2: 3, 6: 4}[ct]
+        px = gradient(w, h, ch, seed)
+        rows.append((mid, _png_bytes(w, h, ct, px, filters), w, h, ch, sum(px), None))
+    rows.append(("png-truncated", rows[0][1][:40], None, None, None, None, "ERR_PNG"))
+    rows.append(("png-not-a-png", b"JFIF not a png", None, None, None, None, "ERR_PNG"))
+
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": [r[0] for r in rows],
+                "payload": pa.array([r[1] for r in rows], pa.binary()),
+                "exp_width": pa.array([r[2] for r in rows], pa.int32()),
+                "exp_height": pa.array([r[3] for r in rows], pa.int32()),
+                "exp_channels": pa.array([r[4] for r in rows], pa.int32()),
+                "exp_pixel_sum": pa.array([r[5] for r in rows], pa.int64()),
+                "exp_error_prefix": [r[6] for r in rows],
+            }
+        ),
+        os.path.join(OUT, "pngs.parquet"),
+    )
+
+
 def build_skewed_embeddings() -> None:
     """Adversarial embedding corpus for the LSH bucket-cap guard: the
     neardup_embeddings layout (40 planted families + noise) PLUS two
@@ -671,4 +871,5 @@ if __name__ == "__main__":
     build_adversarial_corpus()
     build_neardup_embeddings()
     build_skewed_embeddings()
+    build_pngs()
     print(f"wrote fixture data to {OUT}")

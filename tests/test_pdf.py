@@ -58,7 +58,7 @@ def test_extract_pdf_spans_never_fails_stage(spark):
 
     pdfs = spark.read.parquet(os.path.join(FIXTURES, "pdfs.parquet"))
     out = extract_pdf_spans(pdfs).collect()
-    assert len(out) == 7
+    assert len(out) == 9
     errs = {r.doc_id: r.error for r in out}
     assert errs["p6"] and errs["p6"].startswith("ERR_PDF")
     assert errs["p0"] is None
@@ -73,3 +73,74 @@ def test_hex_strings_decode():
     spans, _, _ = parse_pdf_spans(bfd._pdf_bytes([stream]))
     # "Hello hex" with the odd trailing nibble padded per the PDF spec
     assert spans[0]["text"] == "Hello hex"
+
+
+def test_page_tree_order_beats_object_order():
+    """Pages must extract in page-tree (logical) order even when the file's
+    physical object order is scrambled — every permutation of the same
+    document yields identical spans."""
+    import itertools
+
+    import scripts.build_fixture_data as bfd
+
+    s_a = bfd._pdf_line(11, 72, 700, "alpha page")
+    s_b = bfd._pdf_line(11, 72, 700, "beta page")
+    baseline = None
+    # ids: 1 catalog, 2 pages, 3 page1, 4 content1, 5 page2, 6 content2, 7 font
+    for order in itertools.islice(itertools.permutations(range(7)), 0, 120, 7):
+        pdf = bfd._pdf_bytes([s_a, s_b], order=list(order))
+        spans, n_pages, _ = parse_pdf_spans(pdf)
+        got = [s["text"] for s in spans]
+        assert got == ["alpha page", "beta page"], (order, got)
+        assert n_pages == 2
+        baseline = baseline or got
+
+
+def test_tounicode_cmap_decodes_non_latin():
+    import scripts.build_fixture_data as bfd
+
+    pdf = bfd._pdf_bytes_unicode([[(11.0, 72.0, 700.0, "Привет мир"), (11.0, 72.0, 600.0, "Γειά σου")]])
+    spans, n_pages, _ = parse_pdf_spans(pdf)
+    assert [s["text"] for s in spans] == ["Привет мир", "Γειά σου"]
+    assert n_pages == 1
+
+
+def test_bfrange_scalar_and_array_forms():
+    from fetch_engines_spark.pdf import _parse_cmap
+
+    cmap = (
+        b"begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"2 beginbfrange\n"
+        b"<0001> <0003> <0410>\n"             # scalar increment: A..V Cyrillic
+        b"<0010> <0012> [<0041> <0042> <0043>]\n"  # array form
+        b"endbfrange\n"
+    )
+    code_len, mapping = _parse_cmap(cmap)
+    assert code_len == 2
+    assert mapping[1] == "А" and mapping[3] == "В"
+    assert mapping[0x10] == "A" and mapping[0x12] == "C"
+
+
+def test_mutated_pdfs_never_escape_error_contract():
+    """Byte-level mutations of valid PDFs (truncation, splice, bit flips at
+    deterministic positions) either parse or raise ValueError/zlib/parse
+    errors — extract_pdf_spans converts any exception to an error row, so
+    nothing here may hang or crash the interpreter."""
+    import scripts.build_fixture_data as bfd
+
+    base = bfd._pdf_bytes(
+        [bfd._pdf_line(11, 72, 700, "mutation target")], compress=True
+    )
+    mutants = [base[:n] for n in range(0, len(base), 97)]
+    mutants += [base[:100] + base[200:], base.replace(b"/Pages", b"/Pagez")]
+    for step in (53, 131, 211):
+        b = bytearray(base)
+        for i in range(0, len(b), step):
+            b[i] ^= 0x5A
+        mutants.append(bytes(b))
+    for m in mutants:
+        try:
+            spans, n_pages, _ = parse_pdf_spans(m)
+            assert isinstance(spans, list)
+        except Exception:
+            pass  # any raise is fine; the Spark stage maps it to an error row

@@ -147,6 +147,58 @@ def test_decode_real_codec_is_stubbed():
         decode_real_codec(b"")
 
 
+def test_png_decode_roundtrips_every_filter_type():
+    """Writer applies the filter; decoder must invert it — full pixel-array
+    equality (not just sums) per filter type and color type."""
+    import scripts.build_fixture_data as bfd
+
+    from fetch_engines_spark.pipelines.multimodal import decode_png
+
+    def gradient(w, h, ch, seed):
+        return bytes(((x * 7 + y * 13 + c * 29 + seed * 31) % 256)
+                     for y in range(h) for x in range(w) for c in range(ch))
+
+    for ct, ch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        for filt in (0, 1, 2, 3, 4):
+            px = gradient(11, 7, ch, filt + ct)
+            img = decode_png(bfd._png_bytes(11, 7, ct, px, [filt]))
+            assert img["pixels"] == px, (ct, filt)
+            assert (img["width"], img["height"], img["channels"]) == (11, 7, ch)
+    # mixed per-row filters
+    px = gradient(5, 10, 3, 3)
+    assert decode_png(bfd._png_bytes(5, 10, 2, px, [0, 1, 2, 3, 4]))["pixels"] == px
+
+
+def test_png_decode_rejects_unsupported_and_corrupt():
+    import scripts.build_fixture_data as bfd
+
+    from fetch_engines_spark.pipelines.multimodal import decode_png
+
+    good = bfd._png_bytes(4, 4, 2, bytes(48), [0])
+    with pytest.raises(ValueError):
+        decode_png(b"NOTAPNG")
+    with pytest.raises(ValueError):
+        decode_png(good[:30])
+    with pytest.raises(Exception):
+        decode_png(good[:20] + b"\x00" * (len(good) - 20))  # corrupted IDAT
+
+
+def test_png_pixel_stats_stage_never_fails(spark):
+    import os
+
+    from fetch_engines_spark.pipelines.multimodal import png_pixel_stats
+
+    path = os.path.join(os.path.dirname(__file__), "..", "data", "fixtures", "pngs.parquet")
+    pngs = spark.read.parquet(path)
+    rows = {r.media_id: r for r in png_pixel_stats(pngs).collect()}
+    assert len(rows) == 10
+    assert rows["png-truncated"].error and rows["png-truncated"].error.startswith("ERR_PNG")
+    exp = {r["media_id"]: r for r in pngs.select("media_id", "exp_pixel_sum").collect()}
+    for mid, r in rows.items():
+        if r.error is None:
+            assert r.pixel_sum == exp[mid]["exp_pixel_sum"], mid
+
+
 def test_lang_id_and_quality(spark):
     from fetch_engines_spark.pipelines.text import lang_id, quality_features
 
