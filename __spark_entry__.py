@@ -1070,6 +1070,46 @@ def _q_doc_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_sentences(md)
 
 
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing 8-word
+    windows with an eval set.  The eval set is built as 200-char prefixes
+    of every 25th document (the classic leakage shape: benchmark items
+    quoted from web text), so the planted contamination is deterministic
+    and detectable.  Broadcast benchmark fingerprints; the corpus never
+    shuffles for the join."""
+    from fetch_engines_spark.pipelines.dedup import decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0).select(
+        "doc_id", F.substring("text", 1, 200).alias("text")
+    )
+    return decontaminate(docs, bench, n=8)
+
+
+def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-aligned training-chunk packing (~24 whitespace tokens per
+    chunk, fixed-budget rule) over the extracted-markdown corpus (the
+    documents table is single-sentence rows; markdown docs have up to 50
+    sentences): posexplode + windowed cumsum + groupBy."""
+    from fetch_engines_spark.pipelines.text import doc_chunks
+
+    md = _fixture(spark, "expected_markdown").select(
+        "doc_id", F.col("markdown").alias("text")
+    )
+    return doc_chunks(md, max_tokens=24)
+
+
+def _q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus cap (anti-monoculture curation guard): keep the
+    15 deterministically-hash-ranked docs of each source."""
+    from fetch_engines_spark.pipelines.text import cap_per_stratum
+
+    docs = _read(spark, sf_dir, "documents")
+    return cap_per_stratum(docs, "source", k=15).select(
+        "doc_id", "source", "stratum_rank"
+    )
+
+
 def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide vocabulary top-100 (total + document frequency)."""
     from fetch_engines_spark.pipelines.text import vocab_topk
@@ -1136,6 +1176,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation_full": _q_corpus_curation_full,
         "sample_by_hash": _q_sample_by_hash,
         "doc_sentences": _q_doc_sentences,
+        "decontaminate": _q_decontaminate,
+        "doc_chunks": _q_doc_chunks,
+        "source_cap": _q_source_cap,
     }
 
 
@@ -1336,6 +1379,32 @@ def oracle_sql() -> dict[str, str]:
         ).doc_sentences_sql(
             source=f"(SELECT doc_id, markdown AS text FROM read_parquet('{_EXPECTED_MD}'))"
         ),
+        "decontaminate": __import__(
+            "fetch_engines_spark.pipelines.dedup", fromlist=["x"]
+        ).decontaminate_oracle_sql(
+            docs_sql="SELECT doc_id, text FROM documents",
+            benchmark_sql=(
+                "SELECT doc_id, substr(text, 1, 200) AS text "
+                "FROM documents WHERE doc_id % 25 = 0"
+            ),
+            n=8,
+        ),
+        "doc_chunks": __import__(
+            "fetch_engines_spark.pipelines.text", fromlist=["x"]
+        ).doc_chunks_sql(
+            max_tokens=24,
+            source=f"(SELECT doc_id, markdown AS text FROM read_parquet('{_EXPECTED_MD}'))",
+        ),
+        "source_cap": """
+            SELECT doc_id, source, stratum_rank FROM (
+              SELECT doc_id, source,
+                CAST(row_number() OVER (
+                  PARTITION BY source
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                ) AS BIGINT) AS stratum_rank
+              FROM documents
+            ) WHERE stratum_rank <= 15
+        """,
         "doc_fingerprint": "SELECT doc_id, md5(lower(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))) AS fp FROM documents",
         "doc_winnowing": """
             WITH h AS (

@@ -322,6 +322,82 @@ def duplicated_ngram_stats(df: DataFrame, text_col: str = "text", n: int = 8) ->
     )
 
 
+def decontaminate(
+    docs: DataFrame, benchmark: DataFrame, text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """Benchmark decontamination: per training document, how many of its
+    n-word windows also occur in the evaluation/benchmark corpus — the
+    standard guard against test-set leakage into training data (the
+    n-gram-overlap rule used by GPT-3/PaLM-style decontamination).
+
+    Scale shape (10^12 training docs vs a ~10^5-doc benchmark): the
+    benchmark's distinct window fingerprints are SMALL and broadcast; the
+    corpus explodes its per-doc-distinct windows once and aggregates back
+    by doc_id — one broadcast hash join, one map-side-combinable groupBy,
+    the corpus never shuffles for the join.  Returns (doc_id, n_windows,
+    n_contaminated, contamination_bp, is_contaminated).
+    """
+    fp = lambda c: F.array_distinct(  # noqa: E731
+        F.transform(shingles(c, n), lambda s: F.md5(s))
+    )
+    bw = (
+        benchmark.select(F.explode(fp(F.col(text_col))).alias("w"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    dw = docs.select("doc_id", F.explode(fp(F.col(text_col))).alias("w"))
+    return (
+        dw.join(F.broadcast(bw), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_contaminated",
+            F.floor(
+                F.col("n_contaminated") * 10000 / F.greatest(F.col("n_windows"), F.lit(1))
+            )
+            .cast("long")
+            .alias("contamination_bp"),
+            (F.col("n_contaminated") > 0).alias("is_contaminated"),
+        )
+    )
+
+
+def decontaminate_oracle_sql(
+    docs_sql: str, benchmark_sql: str, n: int = 8
+) -> str:
+    """DuckDB twin of decontaminate(): same shingle rule, same per-doc
+    distinct windows, same overlap counting."""
+    win = (
+        "list_distinct(list_transform("
+        "CASE WHEN len(string_split(text,' ')) >= {n} THEN "
+        "list_transform(range(0, len(string_split(text,' ')) - {n} + 1), "
+        "i -> array_to_string(list_slice(string_split(text,' '), i + 1, i + {n}), ' ')) "
+        "ELSE [array_to_string(string_split(text,' '), ' ')] END, s -> md5(s)))"
+    ).format(n=n)
+    return f"""
+WITH bench AS ({benchmark_sql}),
+docs AS ({docs_sql}),
+bw AS (SELECT DISTINCT unnest({win}) AS w FROM bench),
+dw AS (SELECT doc_id, unnest({win}) AS w FROM docs),
+agg AS (
+  SELECT dw.doc_id,
+         count(*) AS n_windows,
+         sum(CASE WHEN bw.w IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated
+  FROM dw LEFT JOIN bw ON dw.w = bw.w
+  GROUP BY dw.doc_id
+)
+SELECT doc_id, n_windows, n_contaminated,
+       CAST(floor(n_contaminated * 10000 / greatest(n_windows, 1)) AS BIGINT) AS contamination_bp,
+       n_contaminated > 0 AS is_contaminated
+FROM agg
+"""
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",

@@ -307,6 +307,87 @@ FROM s WHERE sentence <> ''
 """
 
 
+def doc_chunks(df: DataFrame, max_tokens: int = 64, text_col: str = "text") -> DataFrame:
+    """Training-chunk packing: split each document into sentence-aligned
+    chunks of ~``max_tokens`` whitespace tokens — the sequence-packing
+    step before tokenization in an LLM data pipeline.
+
+    Deterministic fixed-budget rule (engine-portable, unlike greedy
+    packing with lookahead): a sentence belongs to chunk
+    floor(tokens_before_it / max_tokens), where tokens_before is the
+    running sum in sentence order.  One posexplode + one windowed cumsum
+    + one groupBy — all shuffles are on doc_id, which the sentence
+    explode already partitioned by, so AQE coalesces them; no Python.
+    """
+    from pyspark.sql import Window
+
+    sents = doc_sentences(df, text_col).withColumn(
+        "n_tokens", F.size(F.split(F.trim(F.col("sentence")), r"\s+"))
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("sent_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    chunked = sents.withColumn(
+        "chunk_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / max_tokens).cast("long"),
+    )
+    return chunked.groupBy("doc_id", "chunk_id").agg(
+        F.count("*").cast("long").alias("n_sentences"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("sent_idx"), F.col("sentence")))
+                ),
+                lambda s: s["sentence"],
+            ),
+            " ",
+        ).alias("chunk_text"),
+    )
+
+
+def doc_chunks_sql(max_tokens: int = 64, source: str = "documents", text_col: str = "text") -> str:
+    sents = doc_sentences_sql(source, text_col)
+    return f"""
+WITH sents AS ({sents}),
+tok AS (
+  SELECT *, len(string_split_regex(trim(sentence), '\\s+')) AS n_tokens FROM sents
+),
+chunked AS (
+  SELECT *, CAST(floor((sum(n_tokens) OVER (PARTITION BY doc_id ORDER BY sent_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / {max_tokens}) AS BIGINT) AS chunk_id
+  FROM tok
+)
+SELECT doc_id, chunk_id,
+       CAST(count(*) AS BIGINT) AS n_sentences,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       string_agg(sentence, ' ' ORDER BY sent_idx) AS chunk_text
+FROM chunked GROUP BY doc_id, chunk_id
+"""
+
+
+def cap_per_stratum(
+    df: DataFrame, stratum_col: str, k: int, key_col: str = "doc_id"
+) -> DataFrame:
+    """Per-stratum corpus cap (e.g. max K documents per domain — the
+    anti-monoculture guard in crawl curation): keep the K rows of each
+    stratum that rank first by md5(key) — deterministic across runs,
+    partitionings, and engines, unlike sample().  One shuffle on the
+    stratum key; Spark turns the rank filter into WindowGroupLimit, so
+    partial top-K runs map-side before the shuffle."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return (
+        df.withColumn("stratum_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("stratum_rank") <= k)
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Normalization fingerprint: md5 of the lowercased text with all
     non-alphanumerics removed — a cheap canonical-form document hash for

@@ -443,6 +443,61 @@ def test_connected_components_nonconvergence_detected(spark):
     assert set(labels.values()) == {0}
 
 
+def test_decontaminate_flags_planted_leak(spark):
+    """A benchmark item quoted verbatim from one training doc must flag
+    that doc (and only it); overlap below the window length must not."""
+    from fetch_engines_spark.pipelines.dedup import decontaminate
+
+    leak = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, f"prefix words here {leak} suffix words here"),
+            (2, "totally unrelated content with many distinct words inside"),
+            (3, "alpha beta gamma short overlap only three words shared"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, leak)], "doc_id long, text string")
+    got = {r.doc_id: r for r in decontaminate(docs, bench, n=8).collect()}
+    assert got[1].is_contaminated and got[1].n_contaminated == 3  # 10-word leak → 3 8-windows
+    assert not got[2].is_contaminated
+    assert not got[3].is_contaminated  # 3-word overlap < window length
+    assert 0 < got[1].contamination_bp <= 10000
+
+
+def test_doc_chunks_packs_sentences_in_order(spark):
+    from fetch_engines_spark.pipelines.text import doc_chunks
+
+    # 4 sentences x 6 tokens; budget 10 → boundaries at tokens_before 0,6,12,18
+    # → chunks {0:[s0,s1(6<10)], 1:[s2(12),s3(18)]}
+    text = (
+        "one two three four five six. seven eight nine ten eleven twelve. "
+        "a b c d e f. g h i j k l."
+    )
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = {r.chunk_id: r for r in doc_chunks(docs, max_tokens=10).collect()}
+    assert set(rows) == {0, 1}
+    assert rows[0].n_sentences == 2 and rows[1].n_sentences == 2
+    assert rows[0].chunk_text.startswith("one two") and "twelve." in rows[0].chunk_text
+    assert rows[1].chunk_text == "a b c d e f. g h i j k l."
+    assert rows[0].n_tokens == 12 and rows[1].n_tokens == 12
+
+
+def test_cap_per_stratum_is_deterministic_and_bounded(spark):
+    from fetch_engines_spark.pipelines.text import cap_per_stratum
+
+    rows = [(i, f"s{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    a = cap_per_stratum(df, "source", k=5).collect()
+    b = cap_per_stratum(df, "source", k=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # retry-stable
+    per = {}
+    for r in a:
+        per.setdefault(r.source, []).append(r.doc_id)
+    assert all(len(v) == 5 for v in per.values())
+    assert max(r.stratum_rank for r in a) == 5
+
+
 def test_lsh_tables_are_genuinely_distinct():
     """Regression for the period-7 hyperplane bug: distinct plane indices
     must give distinct weight vectors (the old formula made planes p and

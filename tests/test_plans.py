@@ -77,6 +77,30 @@ def test_embedding_candidate_pairs_has_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_embedding_capped_pairs_no_cartesian_no_python(spark):
+    """The degenerate-bucket-capped embedding join keeps the equi-join
+    shape: no cross/nested-loop joins, no Python stages — the star-path
+    routing is pure native windows + groupBys."""
+    df = entrymod.queries()["dedup_embedding_capped"](spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for marker in ("MapInArrow", "MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
+
+
+def test_lsh_topk_multi_candidates_are_equi_joins(spark):
+    """Scale-config ANN flagship: the candidate stage must be bucket
+    equi-joins with the query side broadcast — never a corpus-wide
+    nested-loop — and scoring happens on the candidate set, not L copies
+    of the corpus."""
+    df = entrymod.queries()["embedding_topk_lsh"](spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_minhash_fast_signatures_single_shuffle(spark):
     """Production-parameter signatures+banding: all 128 permutations fold
     into ONE map-side-combinable aggregation — exactly one shuffle over the
