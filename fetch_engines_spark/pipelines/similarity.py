@@ -92,26 +92,42 @@ def hyperplane_weight(plane: int, dim: int) -> int:
     return int(hashlib.md5(f"hp{plane}|{dim}".encode()).hexdigest()[:2], 16) - 128
 
 
+# Quantization scale for LSH projections: multiplying by a power of two is
+# an EXACT float operation (exponent shift), and floor() of the result is
+# exact in every engine, so the quantized coordinates — and therefore the
+# int64 projection sums, which are associative unlike float sums — are
+# bit-identical across Spark expressions, the numpy fast path, and DuckDB,
+# independent of summation order.  (The previous float-fold spec pinned a
+# left-to-right order, which barred any vectorized/BLAS evaluation.)
+LSH_SCALE = 1 << 20
+
+
 def lsh_bucket_expr(vec_col, num_planes: int, dims: int, plane_offset: int = 0):
-    """Bucket id = bits of sign(v · w_plane) over deterministic planes.
+    """Bucket id = bits of sign(q(v) · w_plane) over deterministic planes,
+    where q quantizes each coordinate to floor(x * 2^20) in int64.
 
     ``plane_offset`` selects an independent plane family, so multiple LSH
     tables (multi-probe recall amplification) draw disjoint hyperplanes.
+    This is the REFERENCE evaluation (pure JVM expression); the hot path
+    is the Arrow-vectorized ``lsh_buckets_vectorized`` (identical output,
+    differential-tested) — interpreted HOF folds cost ~4 ms/row at 128
+    planes, the matmul ~1 µs/row.
     """
+    q = F.transform(vec_col, lambda x: F.floor(x.cast("double") * LSH_SCALE).cast("long"))
     bucket = F.lit(0)
     for p in range(num_planes):
         proj = F.aggregate(
             F.zip_with(
-                vec_col,
+                q,
                 F.array(
                     *[
-                        F.lit(float(hyperplane_weight(plane_offset + p, d)))
+                        F.lit(int(hyperplane_weight(plane_offset + p, d)))
                         for d in range(dims)
                     ]
                 ),
-                lambda x, w: x.cast("double") * w,
+                lambda x, w: x * w,
             ),
-            F.lit(0.0),
+            F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
         bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(0)
@@ -119,19 +135,76 @@ def lsh_bucket_expr(vec_col, num_planes: int, dims: int, plane_offset: int = 0):
 
 
 def lsh_bucket_sql(vec: str, num_planes: int, dims: int, plane_offset: int = 0) -> str:
-    """DuckDB twin of lsh_bucket_expr: same weights, same left-to-right
-    float fold (list_sum over the element-wise products), same sign test."""
+    """DuckDB twin of lsh_bucket_expr: same weights, same exact integer
+    quantization (floor(x * 2^20) * w summed in integers), same sign test."""
     terms = []
     for p in range(num_planes):
         weights = ", ".join(
-            str(float(hyperplane_weight(plane_offset + p, d))) for d in range(dims)
+            str(int(hyperplane_weight(plane_offset + p, d))) for d in range(dims)
         )
         proj = (
             f"list_sum(list_transform(range(1, {dims} + 1), "
-            f"i -> CAST({vec}[i] AS DOUBLE) * ([{weights}])[i]))"
+            f"i -> CAST(floor(CAST({vec}[i] AS DOUBLE) * {LSH_SCALE}) AS BIGINT) * ([{weights}])[i]))"
         )
         terms.append(f"CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END")
     return "(" + " + ".join(terms) + ")"
+
+
+def _weight_matrix(num_tables: int, planes_per_table: int, dims: int):
+    """dims × (num_tables * planes_per_table) int64 hyperplane matrix,
+    plane families disjoint per table (same weights as lsh_bucket_expr)."""
+    import numpy as np
+
+    total = num_tables * planes_per_table
+    return np.array(
+        [[hyperplane_weight(p, d) for p in range(total)] for d in range(dims)],
+        dtype=np.int64,
+    )
+
+
+def lsh_buckets_vectorized(
+    embeddings: DataFrame,
+    num_tables: int,
+    planes_per_table: int,
+    dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vid, t0..tL-1 bucket ids) via ONE Arrow-batched matmul: quantize
+    coordinates to int64 (exact, see LSH_SCALE), multiply by the broadcast
+    dims × (L·b) weight matrix, threshold, pack sign bits per table.
+
+    Scale shape: embarrassingly parallel map stage, ~1 µs/row for 128
+    planes (vs ~4 ms/row for the interpreted HOF reference expression —
+    measured at sf0.1); the weight matrix is a task-closure constant.
+    Output equality with lsh_bucket_expr is exact by the integer spec and
+    gated by tests/test_pipelines.py::test_lsh_buckets_vectorized_matches_expr.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    W = _weight_matrix(num_tables, planes_per_table, dims)
+    bits_weights = (np.int64(1) << np.arange(planes_per_table, dtype=np.int64))
+
+    def _buckets(vecs):
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        Q = np.floor(X * LSH_SCALE).astype(np.int64)
+        P = Q @ W  # int64: exact, order-free
+        bits = P > 0
+        out = np.empty((len(vecs), num_tables), dtype=np.int64)
+        for t in range(num_tables):
+            out[:, t] = bits[:, t * planes_per_table : (t + 1) * planes_per_table] @ bits_weights
+        return pd.Series(list(out))
+
+    # real-object annotations: `from __future__ import annotations` would
+    # stringify inline hints, which pandas_udf cannot parse
+    _buckets.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    buckets = pandas_udf(ArrayType(LongType()))(_buckets)
+
+    b = embeddings.select(F.col(id_col).alias("vid"), buckets(F.col(vec_col)).alias("bks"))
+    return b.select("vid", *[F.col("bks")[t].alias(f"t{t}") for t in range(num_tables)])
 
 
 def lsh_topk(
@@ -204,17 +277,15 @@ def lsh_topk_multi(
     candidate set (not the corpus) is what gets distinct-ed and scored.
     Recall is gated vs brute force in
     tests/test_pipelines.py::test_lsh_topk_multi_recall_vs_bruteforce.
+
+    The bucket index is materialized once (localCheckpoint — the
+    in-session analog of persisting the LSH index table, which is what a
+    production retrieval system does) so the query and corpus branches
+    both read it instead of recomputing the matmul per branch.
     """
-    wide = embeddings.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
-        *[
-            lsh_bucket_expr(
-                F.col(vec_col), planes_per_table, dims, plane_offset=t * planes_per_table
-            ).alias(f"t{t}")
-            for t in range(num_tables)
-        ],
-    )
+    wide = lsh_buckets_vectorized(
+        embeddings, num_tables, planes_per_table, dims, id_col, vec_col
+    ).localCheckpoint(eager=True)
     stack_expr = "stack({n}, {args}) as (table_id, bucket)".format(
         n=num_tables, args=", ".join(f"{t}, t{t}" for t in range(num_tables))
     )
@@ -285,16 +356,14 @@ def embedding_candidate_pairs(
     distinct strangers inside a giant bucket are dropped there — a
     documented recall tradeoff, recoverable via the other tables.
     Worst-case pairwise work per bucket is then cap², data-independent.
+
+    The bucket index is materialized once (localCheckpoint) — the
+    self-join's two sides and the capped path's small/big/reps branches
+    all read it instead of recomputing the bucket matmul per branch.
     """
-    b = embeddings.select(
-        F.col(id_col).alias("vid"),
-        *[
-            lsh_bucket_expr(
-                F.col(vec_col), planes_per_table, dims, plane_offset=t * planes_per_table
-            ).alias(f"t{t}")
-            for t in range(num_tables)
-        ],
-    )
+    b = lsh_buckets_vectorized(
+        embeddings, num_tables, planes_per_table, dims, id_col, vec_col
+    ).localCheckpoint(eager=True)
     sig_cols = (
         [
             F.md5(

@@ -498,6 +498,38 @@ def test_cap_per_stratum_is_deterministic_and_bounded(spark):
     assert max(r.stratum_rank for r in a) == 5
 
 
+def test_lsh_buckets_vectorized_matches_expr(spark):
+    """The Arrow-matmul bucket fast path must equal the JVM reference
+    expression bit-for-bit on every fixture vector — guaranteed by the
+    integer quantization spec (int64 sums are order-free), checked here."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fetch_engines_spark.pipelines.similarity import (
+        lsh_bucket_expr,
+        lsh_buckets_vectorized,
+    )
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "data", "fixtures", "skewed_embeddings.parquet"
+    )
+    emb = spark.read.parquet(path)
+    T, B, D = 4, 16, 64
+    fast = {
+        r.vid: tuple(r[f"t{t}"] for t in range(T))
+        for r in lsh_buckets_vectorized(emb, T, B, D).collect()
+    }
+    ref = {
+        r.vid: tuple(r[f"t{t}"] for t in range(T))
+        for r in emb.select(
+            F.col("vec_id").alias("vid"),
+            *[lsh_bucket_expr(F.col("embedding"), B, D, plane_offset=t * B).alias(f"t{t}") for t in range(T)],
+        ).collect()
+    }
+    assert fast == ref
+
+
 def test_lsh_tables_are_genuinely_distinct():
     """Regression for the period-7 hyperplane bug: distinct plane indices
     must give distinct weight vectors (the old formula made planes p and

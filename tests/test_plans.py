@@ -77,16 +77,26 @@ def test_embedding_candidate_pairs_has_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_embedding_capped_pairs_no_cartesian_no_python(spark):
+def test_embedding_capped_pairs_no_cartesian_single_arrow(spark):
     """The degenerate-bucket-capped embedding join keeps the equi-join
-    shape: no cross/nested-loop joins, no Python stages — the star-path
-    routing is pure native windows + groupBys."""
+    shape: no cross/nested-loop joins, and the bucket matmul runs ONCE —
+    the materialized index feeds every branch (the downstream plan reads
+    the checkpointed RDD; without it the Arrow stage appeared 4x)."""
     df = entrymod.queries()["dedup_embedding_capped"](spark, SF)
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    for marker in ("MapInArrow", "MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
-        assert marker not in plan
+    assert "BatchEvalPython" not in plan  # never row-at-a-time Python
+    assert "ArrowEvalPython" not in plan  # bucket index pre-materialized
+    assert "ExistingRDD" in plan
+
+    # ...and the index computation itself is exactly one Arrow stage
+    from fetch_engines_spark.pipelines.similarity import lsh_buckets_vectorized
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx_plan = plan_of(lsh_buckets_vectorized(emb, 8, 8, 64))
+    assert idx_plan.count("ArrowEvalPython") == 1
+    assert "Exchange" not in idx_plan  # embarrassingly parallel map stage
 
 
 def test_lsh_topk_multi_candidates_are_equi_joins(spark):
