@@ -252,6 +252,65 @@ def _q_events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (attribution): for every view event, the latest purchase
+    of the same user at or before it — union + one key shuffle + running
+    last() window (the merge-scan shape of a native as-of join; never a
+    per-row subquery).  Deterministic greatest-event_id tie-break."""
+    from fetch_engines_spark.pipelines.relational import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        views, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["event_id", "value"], tiebreak="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.col("asof_event_id").alias("purchase_event_id"),
+        F.col("asof_value").alias("purchase_value"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("asof_ts")).alias("gap_seconds"),
+    )
+
+
+def _q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned interval join: (signup, click) pairs of the same user with
+    the click inside the hour after the signup.  The bin key bounds hot-key
+    fan-out by temporal locality instead of key cardinality."""
+    from fetch_engines_spark.pipelines.relational import range_join_binned
+
+    ev = _read(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    pairs = range_join_binned(
+        signups, clicks, on="user_id", left_ts="ts", right_ts="ts", window_seconds=3600
+    )
+    return pairs.select(
+        F.col("_lp.event_id").alias("signup_event_id"),
+        F.col("_lp.user_id").alias("user_id"),
+        F.col("_rp.event_id").alias("click_event_id"),
+        (F.unix_timestamp("_rp.ts") - F.unix_timestamp("_lp.ts")).alias("gap_seconds"),
+    )
+
+
+def _q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (per-type-per-day, per-type, grand total) in one
+    pass — partial aggregation handles all grouping sets map-side."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.rollup(
+        F.col("event_type"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("event_date"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fetch_engines_spark.pipelines.text import lang_id
 
@@ -1131,6 +1190,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_customer": _q_top_orders_per_customer,
         "events_daily": _q_events_daily,
         "events_user_sessions": _q_events_user_sessions,
+        "events_asof_attribution": _q_events_asof_attribution,
+        "events_range_join": _q_events_range_join,
+        "events_rollup": _q_events_rollup,
         "lang_id": _q_lang_id,
         "text_quality": _q_text_quality,
         "doc_fingerprint": _q_fingerprint,
@@ -1365,6 +1427,45 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events
             FROM per_session GROUP BY user_id
+        """,
+        "events_asof_attribution": (
+            "SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS view_ts, "
+            "asof_event_id AS purchase_event_id, asof_value AS purchase_value, "
+            "CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(asof_ts)) AS BIGINT) AS gap_seconds "
+            "FROM ("
+            + __import__(
+                "fetch_engines_spark.pipelines.relational", fromlist=["x"]
+            ).asof_join_oracle_sql(
+                left_sql="SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'",
+                right_sql="SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'",
+                on="user_id",
+                left_ts="ts",
+                right_ts="ts",
+                left_cols=["event_id", "user_id", "ts"],
+                right_cols=["event_id", "value"],
+                tiebreak="event_id",
+            )
+            + ")"
+        ),
+        "events_range_join": """
+            -- semantic twin: plain range-predicate join (binning is an
+            -- implementation detail; the result set is identical)
+            SELECT s.event_id AS signup_event_id, s.user_id AS user_id,
+                   c.event_id AS click_event_id,
+                   CAST(floor(epoch(c.ts)) AS BIGINT) - CAST(floor(epoch(s.ts)) AS BIGINT) AS gap_seconds
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') s
+            JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+              ON s.user_id = c.user_id
+             AND epoch(c.ts) > epoch(s.ts)
+             AND epoch(c.ts) <= epoch(s.ts) + 3600
+        """,
+        "events_rollup": """
+            SELECT event_type,
+                   strftime(date_trunc('day', ts), '%Y-%m-%d') AS event_date,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events
+            GROUP BY ROLLUP (event_type, strftime(date_trunc('day', ts), '%Y-%m-%d'))
         """,
         "lang_id": LANG_ID_SQL,
         "text_quality": QUALITY_SQL,

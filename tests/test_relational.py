@@ -1,0 +1,87 @@
+"""Unit tests for the temporal relational operators (as-of join, binned
+range join) — hand-computed expectations incl. tie and boundary cases."""
+
+import datetime as dt
+
+import pytest  # noqa: F401
+
+from fetch_engines_spark.pipelines.relational import asof_join, range_join_binned
+
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1, 0, 0, s)
+
+
+def test_asof_join_basic_inclusive_and_unmatched(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts(30)), (2, 10, _ts(5)), (3, 20, _ts(30))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(101, 10, _ts(10), 5.0), (102, 10, _ts(30), 7.0), (103, 30, _ts(1), 9.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    got = {
+        r.event_id: (r.asof_event_id, r.asof_value)
+        for r in asof_join(
+            left, right, on="user_id", right_cols=["event_id", "value"], tiebreak="event_id"
+        ).collect()
+    }
+    assert got[1] == (102, 7.0)  # equal timestamp matches (inclusive)
+    assert got[2] == (None, None)  # nothing at-or-before
+    assert got[3] == (None, None)  # no right rows for user 20 at all
+
+
+def test_asof_join_tie_resolves_to_greatest_tiebreak(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts(20))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(101, 10, _ts(10), 1.0), (105, 10, _ts(10), 2.0), (103, 10, _ts(10), 3.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    row = asof_join(
+        left, right, on="user_id", right_cols=["event_id", "value"], tiebreak="event_id"
+    ).collect()[0]
+    assert row.asof_event_id == 105  # greatest event_id among the tied rows
+
+
+def test_asof_join_requires_tiebreak(spark):
+    df = spark.createDataFrame([(1, 1, _ts(0))], "event_id long, user_id long, ts timestamp")
+    with pytest.raises(ValueError, match="tiebreak"):
+        asof_join(df, df, on="user_id")
+
+
+def test_range_join_binned_equals_naive_join(spark):
+    """The binned join must return EXACTLY the pairs of the naive
+    key-join + range filter, including across-bin-boundary matches."""
+    import itertools
+
+    rows_l, rows_r = [], []
+    eid = 0
+    for u in range(5):
+        for s in (0, 1700, 3599, 3600, 7200):
+            rows_l.append((eid, u, _ts(0) + dt.timedelta(seconds=s + u))); eid += 1
+        for s in (1, 1800, 3600, 3601, 5400, 9000):
+            rows_r.append((eid, u, _ts(0) + dt.timedelta(seconds=s + u * 3))); eid += 1
+    left = spark.createDataFrame(rows_l, "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(rows_r, "event_id long, user_id long, ts timestamp")
+
+    got = {
+        (r["_lp"].event_id, r["_rp"].event_id)
+        for r in range_join_binned(
+            left, right, on="user_id", left_ts="ts", right_ts="ts", window_seconds=3600
+        ).collect()
+    }
+    naive = set()
+    for (le, lu, lt), (re_, ru, rt) in itertools.product(rows_l, rows_r):
+        if lu == ru and lt < rt <= lt + dt.timedelta(seconds=3600):
+            naive.add((le, re_))
+    assert got == naive and naive  # identical, and non-trivially populated
+
+
+def test_range_join_binned_no_duplicate_pairs(spark):
+    left = spark.createDataFrame([(1, 10, _ts(0))], "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame([(2, 10, _ts(30))], "event_id long, user_id long, ts timestamp")
+    out = range_join_binned(left, right, on="user_id", left_ts="ts", right_ts="ts", window_seconds=3600)
+    assert out.count() == 1
