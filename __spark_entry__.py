@@ -624,6 +624,19 @@ def _q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode over the WAV fixture corpus: RIFF chunk walk +
+    PCM16 parse → integer peak/energy per clip, verified against the
+    generator's record of the raw samples."""
+    from fetch_engines_spark.pipelines.multimodal import wav_audio_stats
+
+    wavs = _fixture(spark, "wavs")
+    return wav_audio_stats(wavs).select(
+        "media_id", "sample_rate", "channels", "n_frames", "peak", "energy",
+        F.substring(F.col("error"), 1, 7).alias("error_prefix"),
+    )
+
+
 def _q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation: quality gate → exact-dup removal (keep min
     doc_id) → per-source kept counts.  The composed shape of a
@@ -1212,6 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": _q_media_metadata,
         "media_frame_sample": _q_frame_sample,
         "media_pixel_stats": _q_media_pixel_stats,
+        "media_audio_stats": _q_media_audio_stats,
         "routing_decisions": _q_routing,
         "mime_split": _q_mime_split,
         "dedup_embedding": _q_dedup_embedding,
@@ -1610,6 +1624,13 @@ def oracle_sql() -> dict[str, str]:
                    exp_channels AS channels, exp_pixel_sum AS pixel_sum,
                    exp_error_prefix AS error_prefix
             FROM read_parquet('{os.path.join(FIXTURES_DIR, "pngs.parquet")}')
+        """,
+        "media_audio_stats": f"""
+            SELECT media_id, exp_sample_rate AS sample_rate,
+                   exp_channels AS channels, exp_n_frames AS n_frames,
+                   exp_peak AS peak, exp_energy AS energy,
+                   exp_error_prefix AS error_prefix
+            FROM read_parquet('{os.path.join(FIXTURES_DIR, "wavs.parquet")}')
         """,
         "routing_decisions": _ROUTING_SQL,
         "mime_split": f"""

@@ -178,6 +178,95 @@ def decode_png(payload: bytes) -> dict:
     return {"width": width, "height": height, "channels": ch, "pixels": bytes(out)}
 
 
+# --- real WAV (RIFF/PCM) audio decode (stdlib-only) --------------------------
+
+
+def decode_wav(payload: bytes) -> dict:
+    """RIFF/WAVE bytes → {sample_rate, channels, bits, n_frames,
+    samples: list[int]} for PCM 16-bit (the interchange baseline).
+    Pure struct parsing — chunk walk tolerates extra chunks (LIST, fact);
+    raises ValueError on non-PCM/non-16-bit/malformed payloads."""
+    import struct as _s
+
+    if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = _s.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + clen]
+        if len(body) < clen:
+            raise ValueError("truncated chunk")
+        if cid == b"fmt ":
+            if clen < 16:
+                raise ValueError("short fmt chunk")
+            fmt = _s.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_format, channels, sample_rate, _byte_rate, _block_align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV format {audio_format}/{bits}-bit (PCM16 only)")
+    n = len(data) // 2
+    samples = list(_s.unpack(f"<{n}h", data[: n * 2]))
+    return {
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "bits": bits,
+        "n_frames": n // max(channels, 1),
+        "samples": samples,
+    }
+
+
+WAV_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("peak", IntegerType()),
+        StructField("energy", LongType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def _wav_stats_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in WAV_STATS_SCHEMA.names}
+        for row in pdf.itertuples(index=False):
+            rate = ch = n_frames = peak = energy = None
+            err = None
+            try:
+                wav = decode_wav(bytes(row.payload) if row.payload is not None else None)
+                rate, ch, n_frames = wav["sample_rate"], wav["channels"], wav["n_frames"]
+                peak = max((abs(s) for s in wav["samples"]), default=0)
+                energy = sum(s * s for s in wav["samples"])  # int64-exact
+            except Exception as exc:
+                err = f"ERR_WAV: {type(exc).__name__}: {exc}"[:200]
+            out["media_id"].append(row.media_id)
+            out["sample_rate"].append(rate)
+            out["channels"].append(ch)
+            out["n_frames"].append(n_frames)
+            out["peak"].append(peak)
+            out["energy"].append(energy)
+            out["error"].append(err)
+        yield pd.DataFrame(out)
+
+
+def wav_audio_stats(media: DataFrame) -> DataFrame:
+    """media(media_id, payload:binary) → per-clip PCM statistics from the
+    REAL audio decode path (integer peak/energy — exact across engines);
+    one Arrow-batched stage, never-fail contract."""
+    return media.select("media_id", "payload").mapInPandas(
+        _wav_stats_batches, schema=WAV_STATS_SCHEMA
+    )
+
+
 PNG_STATS_SCHEMA = StructType(
     [
         StructField("media_id", StringType()),

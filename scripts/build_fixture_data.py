@@ -805,6 +805,68 @@ def build_pngs() -> None:
     )
 
 
+def _wav_bytes(sample_rate: int, channels: int, samples: list[int], extra_chunk: bool = False) -> bytes:
+    """WAV WRITER (independent of the decoder under test): PCM16 RIFF with
+    fmt + data chunks; ``extra_chunk`` inserts a LIST chunk the chunk walk
+    must skip."""
+    import struct as _s
+
+    data = b"".join(_s.pack("<h", s) for s in samples)
+    block_align = channels * 2
+    fmt = _s.pack("<HHIIHH", 1, channels, sample_rate, sample_rate * block_align, block_align, 16)
+    chunks = b"fmt " + _s.pack("<I", len(fmt)) + fmt
+    if extra_chunk:
+        info = b"INFOIART" + _s.pack("<I", 5) + b"gen\x00 "
+        chunks += b"LIST" + _s.pack("<I", len(info)) + info + (b"\x00" if len(info) & 1 else b"")
+    chunks += b"data" + _s.pack("<I", len(data)) + data + (b"\x00" if len(data) & 1 else b"")
+    return b"RIFF" + _s.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def build_wavs() -> None:
+    """Real-WAV decode fixture: generator-written PCM16 clips (mono,
+    stereo, extra-chunk layout) with expected frame count / peak / energy
+    recorded from the RAW integer samples."""
+    rows = []  # (media_id, payload, rate, ch, n_frames, peak, energy, err)
+
+    def tri(n, period, amp, phase=0):
+        # integer triangle wave: deterministic, engine-exact
+        return [
+            (abs(((i + phase) % period) * 2 - period) - period // 2) * amp
+            for i in range(n)
+        ]
+
+    cases = [
+        ("wav-mono", 8000, 1, tri(480, 40, 300)),
+        ("wav-stereo", 16000, 2, tri(960, 64, 150, phase=7)),
+        ("wav-quiet", 8000, 1, tri(200, 16, 3)),
+        ("wav-listchunk", 22050, 1, tri(333, 50, 99)),
+    ]
+    for mid, rate, ch, samples in cases:
+        payload = _wav_bytes(rate, ch, samples, extra_chunk=(mid == "wav-listchunk"))
+        rows.append(
+            (mid, payload, rate, ch, len(samples) // ch,
+             max(abs(s) for s in samples), sum(s * s for s in samples), None)
+        )
+    rows.append(("wav-truncated", rows[0][1][:30], None, None, None, None, None, "ERR_WAV"))
+    rows.append(("wav-not-riff", b"OggS not a wav", None, None, None, None, None, "ERR_WAV"))
+
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": [r[0] for r in rows],
+                "payload": pa.array([r[1] for r in rows], pa.binary()),
+                "exp_sample_rate": pa.array([r[2] for r in rows], pa.int32()),
+                "exp_channels": pa.array([r[3] for r in rows], pa.int32()),
+                "exp_n_frames": pa.array([r[4] for r in rows], pa.int64()),
+                "exp_peak": pa.array([r[5] for r in rows], pa.int32()),
+                "exp_energy": pa.array([r[6] for r in rows], pa.int64()),
+                "exp_error_prefix": [r[7] for r in rows],
+            }
+        ),
+        os.path.join(OUT, "wavs.parquet"),
+    )
+
+
 def build_skewed_embeddings() -> None:
     """Adversarial embedding corpus for the LSH bucket-cap guard: the
     neardup_embeddings layout (40 planted families + noise) PLUS two
@@ -872,4 +934,5 @@ if __name__ == "__main__":
     build_neardup_embeddings()
     build_skewed_embeddings()
     build_pngs()
+    build_wavs()
     print(f"wrote fixture data to {OUT}")

@@ -183,6 +183,38 @@ def test_png_decode_rejects_unsupported_and_corrupt():
         decode_png(good[:20] + b"\x00" * (len(good) - 20))  # corrupted IDAT
 
 
+def test_wav_decode_roundtrip_and_chunk_walk():
+    import scripts.build_fixture_data as bfd
+
+    from fetch_engines_spark.pipelines.multimodal import decode_wav
+
+    samples = [0, 100, -200, 32767, -32768, 5]
+    for extra in (False, True):
+        w = decode_wav(bfd._wav_bytes(44100, 2, samples, extra_chunk=extra))
+        assert w["samples"] == samples
+        assert (w["sample_rate"], w["channels"], w["n_frames"]) == (44100, 2, 3)
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxWAVE")  # no chunks
+    with pytest.raises(ValueError):
+        decode_wav(b"not riff at all")
+
+
+def test_wav_audio_stats_stage_never_fails(spark):
+    import os
+
+    from fetch_engines_spark.pipelines.multimodal import wav_audio_stats
+
+    path = os.path.join(os.path.dirname(__file__), "..", "data", "fixtures", "wavs.parquet")
+    wavs = spark.read.parquet(path)
+    rows = {r.media_id: r for r in wav_audio_stats(wavs).collect()}
+    assert len(rows) == 6
+    assert rows["wav-truncated"].error and rows["wav-truncated"].error.startswith("ERR_WAV")
+    exp = {r["media_id"]: r for r in wavs.select("media_id", "exp_energy", "exp_peak").collect()}
+    for mid, r in rows.items():
+        if r.error is None:
+            assert (r.energy, r.peak) == (exp[mid]["exp_energy"], exp[mid]["exp_peak"]), mid
+
+
 def test_png_pixel_stats_stage_never_fails(spark):
     import os
 
