@@ -611,13 +611,14 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode over the PNG fixture corpus: stdlib inflate +
-    scanline unfilter (all five PNG filter types) → per-image pixel sums,
-    verified against the generator's record of the raw pixel array (the
-    writer filtered+deflated; the decoder must invert both)."""
+    """REAL image decode over the PNG+GIF fixture corpus, dispatched by
+    signature: PNG = stdlib inflate + scanline unfilter (all five filter
+    types); GIF = sub-block LZW + palette expansion.  Pixel sums verified
+    against the generator's record of the raw pixel array (the writer
+    filtered/deflated/LZW-compressed; the decoder must invert it all)."""
     from fetch_engines_spark.pipelines.multimodal import png_pixel_stats
 
-    pngs = _fixture(spark, "pngs")
+    pngs = _fixture(spark, "pngs").unionByName(_fixture(spark, "gifs"))
     return png_pixel_stats(pngs).select(
         "media_id", "width", "height", "channels", "pixel_sum",
         F.substring(F.col("error"), 1, 7).alias("error_prefix"),
@@ -1623,7 +1624,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id, exp_width AS width, exp_height AS height,
                    exp_channels AS channels, exp_pixel_sum AS pixel_sum,
                    exp_error_prefix AS error_prefix
-            FROM read_parquet('{os.path.join(FIXTURES_DIR, "pngs.parquet")}')
+            FROM read_parquet(['{os.path.join(FIXTURES_DIR, "pngs.parquet")}',
+                               '{os.path.join(FIXTURES_DIR, "gifs.parquet")}'])
         """,
         "media_audio_stats": f"""
             SELECT media_id, exp_sample_rate AS sample_rate,

@@ -178,6 +178,126 @@ def decode_png(payload: bytes) -> dict:
     return {"width": width, "height": height, "channels": ch, "pixels": bytes(out)}
 
 
+# --- real GIF (LZW) image decode (stdlib-only) -------------------------------
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
+    """GIF-variant LZW: LSB-first variable-width codes, CLEAR/END codes,
+    dictionary growth with the KwKwK case."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    pos = 0  # bit position
+    total_bits = len(data) * 8
+
+    def read_code(width):
+        nonlocal pos
+        if pos + width > total_bits:
+            raise ValueError("LZW stream exhausted")
+        v = 0
+        for i in range(width):
+            byte = data[(pos + i) >> 3]
+            if (byte >> ((pos + i) & 7)) & 1:
+                v |= 1 << i
+        pos += width
+        return v
+
+    out = bytearray()
+    table: list[bytes] = []
+    width = min_code_size + 1
+    prev: bytes | None = None
+    while len(out) < n_pixels:
+        code = read_code(width)
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("LZW code before clear")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW code")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return bytes(out[:n_pixels])
+
+
+def decode_gif(payload: bytes) -> dict:
+    """GIF87a/89a bytes → {width, height, pixels: bytes (RGB)} with the
+    stdlib only: header + color tables + sub-block LZW decode of the
+    FIRST image frame.  Extensions are skipped; interlaced images are
+    rejected.  Raises ValueError on malformed payloads."""
+    import struct as _s
+
+    if payload is None or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    if len(payload) < 13:
+        raise ValueError("truncated header")
+    _w, _h, flags, _bg, _ar = _s.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = payload[pos : pos + 3 * n]
+        if len(gct) < 3 * n:
+            raise ValueError("truncated global color table")
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            if pos + 10 > len(payload):
+                raise ValueError("truncated image descriptor")
+            _x, _y, iw, ih, iflags = _s.unpack("<HHHHB", payload[pos + 1 : pos + 10])
+            pos += 10
+            if iflags & 0x40:
+                raise ValueError("interlaced GIF not supported")
+            table = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                table = payload[pos : pos + 3 * n]
+                pos += 3 * n
+            if table is None:
+                raise ValueError("no color table")
+            min_code_size = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < len(payload) and payload[pos] != 0:
+                ln = payload[pos]
+                lzw += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _lzw_decode(bytes(lzw), min_code_size, iw * ih)
+            if len(idx) < iw * ih:
+                raise ValueError("LZW underrun")
+            px = bytearray()
+            for i in idx:
+                if 3 * i + 3 > len(table):
+                    raise ValueError("palette index out of range")
+                px += table[3 * i : 3 * i + 3]
+            return {"width": iw, "height": ih, "pixels": bytes(px)}
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+    raise ValueError("no image data")
+
+
 # --- real WAV (RIFF/PCM) audio decode (stdlib-only) --------------------------
 
 
@@ -286,11 +406,17 @@ def _png_stats_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             width = height = channels = pixel_sum = None
             err = None
             try:
-                img = decode_png(bytes(row.payload) if row.payload is not None else None)
-                width, height, channels = img["width"], img["height"], img["channels"]
+                payload = bytes(row.payload) if row.payload is not None else None
+                if payload is not None and payload[:6] in (b"GIF87a", b"GIF89a"):
+                    img = decode_gif(payload)
+                    channels = 3
+                else:
+                    img = decode_png(payload)
+                    channels = img["channels"]
+                width, height = img["width"], img["height"]
                 pixel_sum = sum(img["pixels"])
             except Exception as exc:
-                err = f"ERR_PNG: {type(exc).__name__}: {exc}"[:200]
+                err = f"ERR_IMG: {type(exc).__name__}: {exc}"[:200]
             out["media_id"].append(row.media_id)
             out["width"].append(width)
             out["height"].append(height)
@@ -302,8 +428,9 @@ def _png_stats_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 
 def png_pixel_stats(media: DataFrame) -> DataFrame:
     """media(media_id, payload:binary) → per-image pixel statistics from
-    the REAL decode path (inflate + unfilter + sum over raw pixel bytes);
-    one Arrow-batched stage, never-fail contract."""
+    the REAL decode paths (PNG: inflate + unfilter; GIF: LZW + palette —
+    dispatched by signature), summed over raw pixel bytes; one
+    Arrow-batched stage, never-fail contract."""
     return media.select("media_id", "payload").mapInPandas(
         _png_stats_batches, schema=PNG_STATS_SCHEMA
     )

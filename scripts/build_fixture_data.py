@@ -761,6 +761,77 @@ def _png_bytes(width: int, height: int, color_type: int, pixels: bytes, row_filt
     )
 
 
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW ENCODER (independent of the decoder under test):
+    LSB-first variable-width codes with CLEAR prefix, dictionary growth
+    mirrored to the decoder's width-advance rule, 4096-entry cap."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    bits: list[int] = []
+    width = min_code_size + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+
+    def emit(code, w):
+        for i in range(w):
+            bits.append((code >> i) & 1)
+
+    emit(clear, width)
+    w_seq = b""
+    for k in indices:
+        wk = w_seq + bytes([k])
+        if wk in table:
+            w_seq = wk
+            continue
+        emit(table[w_seq], width)
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+        # the decoder's table after READING the k-th emitted code holds
+        # next_code - 1 entries and grows width at 2^width entries
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        w_seq = bytes([k])
+    if w_seq:
+        emit(table[w_seq], width)
+        # the decoder appends once more while processing this flush code
+        if next_code == (1 << width) and width < 12:
+            width += 1
+    emit(end, width)
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for j, b in enumerate(bits[i : i + 8]):
+            byte |= b << j
+        out.append(byte)
+    return bytes(out)
+
+
+def _gif_bytes(width: int, height: int, palette: list[tuple[int, int, int]], indices: bytes,
+               with_extension: bool = False) -> bytes:
+    """GIF WRITER: header + global color table + optional graphics
+    extension + LZW-compressed image data in 255-byte sub-blocks."""
+    import struct as _s
+
+    n_bits = max(2, (len(palette) - 1).bit_length())
+    table_size = 1 << n_bits
+    gct = b"".join(bytes(c) for c in palette) + b"\x00\x00\x00" * (table_size - len(palette))
+    out = bytearray(b"GIF89a")
+    out += _s.pack("<HHBBB", width, height, 0x80 | (n_bits - 1), 0, 0)
+    out += gct
+    if with_extension:
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphics control ext
+    out += b"\x2c" + _s.pack("<HHHHB", 0, 0, width, height, 0)
+    out.append(n_bits)
+    lzw = _lzw_encode(indices, n_bits)
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def build_pngs() -> None:
     """Real-PNG decode fixture: generator-written PNGs (every filter type,
     gray/RGB/RGBA) with the expected width/height/channels/pixel_sum
@@ -786,8 +857,8 @@ def build_pngs() -> None:
         ch = {0: 1, 2: 3, 6: 4}[ct]
         px = gradient(w, h, ch, seed)
         rows.append((mid, _png_bytes(w, h, ct, px, filters), w, h, ch, sum(px), None))
-    rows.append(("png-truncated", rows[0][1][:40], None, None, None, None, "ERR_PNG"))
-    rows.append(("png-not-a-png", b"JFIF not a png", None, None, None, None, "ERR_PNG"))
+    rows.append(("png-truncated", rows[0][1][:40], None, None, None, None, "ERR_IMG"))
+    rows.append(("png-not-a-png", b"JFIF not a png", None, None, None, None, "ERR_IMG"))
 
     pq.write_table(
         pa.table(
@@ -802,6 +873,52 @@ def build_pngs() -> None:
             }
         ),
         os.path.join(OUT, "pngs.parquet"),
+    )
+
+
+def build_gifs() -> None:
+    """Real-GIF decode fixture: generator-written GIFs (real LZW encoder,
+    palette sizes crossing code-width boundaries, extension blocks) with
+    expected width/height/pixel_sum recorded from the RAW RGB pixels the
+    generator placed — the decoder must invert sub-blocking, LZW, and the
+    palette to reproduce them."""
+    rows = []  # (media_id, payload, exp_w, exp_h, exp_ch, exp_sum, exp_err)
+    cases = [
+        ("gif-small", 8, 8, 4, 1, False),
+        ("gif-16color", 33, 21, 16, 2, True),
+        ("gif-256color", 60, 40, 256, 3, False),
+        ("gif-repetitive", 32, 16, 2, 4, True),
+    ]
+    for mid, w, h, ncolors, seed, ext in cases:
+        palette = [((i * 37) % 256, (i * 91) % 256, (i * 53) % 256) for i in range(ncolors)]
+        if mid == "gif-repetitive":
+            idx = bytes([0, 0, 0, 0, 1, 1, 1, 1] * (w * h // 8))
+        else:
+            idx = bytes(((x * 7 + y * 13 + seed) % ncolors) for y in range(h) for x in range(w))
+        payload = _gif_bytes(w, h, palette, idx, with_extension=ext)
+        px = b"".join(bytes(palette[i]) for i in idx)
+        rows.append((mid, payload, w, h, 3, sum(px), None))
+    rows.append(("gif-truncated", rows[0][1][:20], None, None, None, None, "ERR_IMG"))
+    rows.append(("gif-interlaced-flag", rows[0][1].replace(b"\x2c", b"\x2c", 1), None, None, None, None, None))
+    # build a genuinely interlaced-flagged image: flip the interlace bit
+    base = bytearray(rows[0][1])
+    desc = base.find(b"\x2c")
+    base[desc + 9] |= 0x40
+    rows[-1] = ("gif-interlaced", bytes(base), None, None, None, None, "ERR_IMG")
+
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": [r[0] for r in rows],
+                "payload": pa.array([r[1] for r in rows], pa.binary()),
+                "exp_width": pa.array([r[2] for r in rows], pa.int32()),
+                "exp_height": pa.array([r[3] for r in rows], pa.int32()),
+                "exp_channels": pa.array([r[4] for r in rows], pa.int32()),
+                "exp_pixel_sum": pa.array([r[5] for r in rows], pa.int64()),
+                "exp_error_prefix": [r[6] for r in rows],
+            }
+        ),
+        os.path.join(OUT, "gifs.parquet"),
     )
 
 
@@ -934,5 +1051,6 @@ if __name__ == "__main__":
     build_neardup_embeddings()
     build_skewed_embeddings()
     build_pngs()
+    build_gifs()
     build_wavs()
     print(f"wrote fixture data to {OUT}")

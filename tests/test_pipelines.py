@@ -183,6 +183,26 @@ def test_png_decode_rejects_unsupported_and_corrupt():
         decode_png(good[:20] + b"\x00" * (len(good) - 20))  # corrupted IDAT
 
 
+def test_gif_decode_roundtrips_all_palette_sizes():
+    """Writer LZW-compresses; decoder must invert sub-blocking, the
+    variable-width LZW stream (incl. code-width growth and KwKwK), and
+    the palette — full RGB pixel-array equality."""
+    import scripts.build_fixture_data as bfd
+
+    from fetch_engines_spark.pipelines.multimodal import decode_gif
+
+    for w, h, ncolors, seed in [(8, 8, 2, 1), (33, 21, 16, 2), (60, 40, 256, 3)]:
+        palette = [((i * 37) % 256, (i * 91) % 256, (i * 53) % 256) for i in range(ncolors)]
+        idx = bytes(((x * 7 + y * 13 + seed) % ncolors) for y in range(h) for x in range(w))
+        img = decode_gif(bfd._gif_bytes(w, h, palette, idx, with_extension=True))
+        assert (img["width"], img["height"]) == (w, h)
+        assert img["pixels"] == b"".join(bytes(palette[i]) for i in idx)
+    with pytest.raises(ValueError):
+        decode_gif(b"GIF89a\x00")
+    with pytest.raises(ValueError):
+        decode_gif(b"BM not a gif")
+
+
 def test_wav_decode_roundtrip_and_chunk_walk():
     import scripts.build_fixture_data as bfd
 
@@ -224,7 +244,7 @@ def test_png_pixel_stats_stage_never_fails(spark):
     pngs = spark.read.parquet(path)
     rows = {r.media_id: r for r in png_pixel_stats(pngs).collect()}
     assert len(rows) == 10
-    assert rows["png-truncated"].error and rows["png-truncated"].error.startswith("ERR_PNG")
+    assert rows["png-truncated"].error and rows["png-truncated"].error.startswith("ERR_IMG")
     exp = {r["media_id"]: r for r in pngs.select("media_id", "exp_pixel_sum").collect()}
     for mid, r in rows.items():
         if r.error is None:
