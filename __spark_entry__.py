@@ -461,6 +461,93 @@ def _q_streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "title", F.size("spans").alias("n_spans"), "markdown")
 
 
+def _q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation through a REAL stream:
+    events land in a file source, run availableNow through
+    withWatermark(2h) + 1-day windows into a parquet sink in append mode,
+    and the sink is read back.  Append emits exactly the windows sealed by
+    the final watermark (max ts − 2h), so the DuckDB twin is the batch
+    window aggregation filtered to window_end <= max(ts) − 2h — the
+    streamed and batch answers must agree row-for-row."""
+    import tempfile
+
+    from fetch_engines_spark.streaming import windowed_event_counts
+
+    base = tempfile.mkdtemp(prefix="fes_winq_")
+    ev = _read(spark, sf_dir, "events")
+    ev.write.mode("overwrite").parquet(f"{base}/in")
+    stream = spark.readStream.schema(ev.schema).parquet(f"{base}/in")
+    agg = windowed_event_counts(stream, window_duration="1 day", watermark_delay="2 hours")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", f"{base}/out")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    out = spark.read.parquet(f"{base}/out")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "event_type",
+        "n_events",
+    )
+
+
+def _q_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition pruning end-to-end: events written out partitioned by
+    event_date, then one day is read back — the scan must touch ONLY that
+    partition's files (PartitionFilters, asserted by the plan gate), the
+    optimizer behavior that makes date-bounded queries at 100 TB read
+    gigabytes instead of everything."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="fes_part_")
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    )
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(f"{base}/t")
+    part = spark.read.parquet(f"{base}/t").filter(F.col("event_date") == "2024-01-05")
+    return part.groupBy("event_date", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+def _q_events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch, k=64: a mergeable
+    distributed cardinality estimator that — unlike HLL implementations —
+    is engine-portable, because it is fully determined by the k smallest
+    md5(user_id) values.  Estimate = (k-1) / kth_min_fraction; exact
+    count alongside for the accuracy story.  One map-side-combinable
+    groupBy; the sketch merge is a k-way min — associative, the shape
+    that aggregates 10^12 rows into 64 hashes per group."""
+    from fetch_engines_spark.pipelines.text import kmv_distinct
+
+    ev = _read(spark, sf_dir, "events")
+    return kmv_distinct(ev, group_col="event_type", key_col="user_id", k=64)
+
+
+def _q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join: orders⨝customer where hot customer keys are
+    spread over 8 salt buckets (small side replicated ×8).  Result is
+    IDENTICAL to the plain join — the oracle runs the plain join — while
+    no single reducer key carries a hot customer's full row set."""
+    from fetch_engines_spark.pipelines.relational import salted_join
+
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    joined = salted_join(
+        orders, cust, left_key="o_custkey", right_key="c_custkey", salt_buckets=8
+    )
+    return joined.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double").alias("total_price"),
+    )
+
+
 def _q_mixed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end format dispatch over a mixed crawl slice: the MIME router
     (native column) splits the corpus; html rows run the DOM extraction
@@ -1207,6 +1294,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_attribution": _q_events_asof_attribution,
         "events_range_join": _q_events_range_join,
         "events_rollup": _q_events_rollup,
+        "events_kmv_distinct": _q_events_kmv_distinct,
+        "salted_join": _q_salted_join,
+        "partition_pruned_scan": _q_partition_pruned_scan,
+        "streaming_windowed_counts": _q_streaming_windowed_counts,
         "lang_id": _q_lang_id,
         "text_quality": _q_text_quality,
         "doc_fingerprint": _q_fingerprint,
@@ -1481,6 +1572,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
             FROM events
             GROUP BY ROLLUP (event_type, strftime(date_trunc('day', ts), '%Y-%m-%d'))
+        """,
+        "events_kmv_distinct": __import__(
+            "fetch_engines_spark.pipelines.text", fromlist=["x"]
+        ).kmv_distinct_sql(group_col="event_type", key_col="user_id", k=64),
+        "salted_join": """
+            -- semantic twin: the PLAIN join (salting must not change results)
+            SELECT c.c_nationkey AS c_nationkey, count(*) AS n_orders,
+                   CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_nationkey
+        """,
+        "partition_pruned_scan": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS event_date,
+                   event_type, count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events
+            WHERE strftime(date_trunc('day', ts), '%Y-%m-%d') = '2024-01-05'
+            GROUP BY 1, 2
+        """,
+        "streaming_windowed_counts": """
+            WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events)
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                   strftime(date_trunc('day', ts) + INTERVAL 1 DAY, '%Y-%m-%d %H:%M:%S') AS window_end,
+                   event_type, count(*) AS n_events
+            FROM events
+            GROUP BY 1, 2, 3
+            HAVING max(date_trunc('day', ts) + INTERVAL 1 DAY) <= (SELECT w FROM wm)
         """,
         "lang_id": LANG_ID_SQL,
         "text_quality": QUALITY_SQL,

@@ -120,6 +120,38 @@ FROM m WHERE _tag = 1
 """
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Skew-safe equi-join: the big (left) side gets a deterministic
+    per-row salt, the small (right) side is replicated across all
+    ``salt_buckets`` salts, and the join runs on (key, salt) — a hot key's
+    rows spread over ``salt_buckets`` reducers instead of pinning one.
+
+    The salt derives from xxhash64 of the whole left row (content-
+    deterministic — stable across retries, unlike
+    monotonically_increasing_id), so the output is exactly the plain
+    join's output; only row placement changes.  Cost: right side ×S —
+    the standard trade for dim-table joins whose fact side has hot keys
+    AQE's skew handling can't fully split (e.g. a single key larger than
+    any split threshold)."""
+    l = left.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets)).cast("int"),
+    )
+    r = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    return (
+        l.join(r, (l[left_key] == r[right_key]) & (l["_salt"] == r["_salt"]))
+        .drop("_salt")
+    )
+
+
 def range_join_binned(
     left: DataFrame,
     right: DataFrame,

@@ -111,6 +111,34 @@ def test_lsh_topk_multi_candidates_are_equi_joins(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_partition_pruned_scan_reads_one_partition(spark):
+    """The date filter must land in PartitionFilters (directory pruning),
+    not a post-scan Filter — the behavior that turns a 100 TB date-bounded
+    query into a one-partition read."""
+    df = entrymod.queries()["partition_pruned_scan"](spark, SF)
+    plan = plan_of(df)
+    assert "PartitionFilters: [isnotnull(event_date" in plan.replace("#", " #").replace(
+        "event_date#", "event_date"
+    ) or "PartitionFilters: [isnotnull(event_date" in plan or "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "event_date" in seg and "2024-01-05" in seg
+
+
+def test_kmv_sketch_uses_window_group_limit(spark):
+    """The rank<=k filter must compile to WindowGroupLimit — per-partition
+    state bounded at k rows before the shuffle (the sketch property)."""
+    df = entrymod.queries()["events_kmv_distinct"](spark, SF)
+    plan = plan_of(df)
+    assert "WindowGroupLimit" in plan
+
+
+def test_salted_join_joins_on_salt(spark):
+    df = entrymod.queries()["salted_join"](spark, SF)
+    plan = plan_of(df)
+    assert "_salt" in plan  # the salt is part of the join key
+    assert "CartesianProduct" not in plan
+
+
 def test_minhash_fast_signatures_single_shuffle(spark):
     """Production-parameter signatures+banding: all 128 permutations fold
     into ONE map-side-combinable aggregation — exactly one shuffle over the

@@ -80,6 +80,43 @@ def test_range_join_binned_equals_naive_join(spark):
     assert got == naive and naive  # identical, and non-trivially populated
 
 
+def test_salted_join_equals_plain_join_under_skew(spark):
+    """Salting must not change the join result — verified on a corpus
+    where one key holds 80% of the left rows (the skew case salting is
+    for), including join multiplicities."""
+    from collections import Counter
+
+    from fetch_engines_spark.pipelines.relational import salted_join
+
+    left_rows = [(i, 7 if i % 10 < 8 else i % 5) for i in range(500)]
+    right_rows = [(k, f"dim{k}") for k in range(10)] + [(7, "dim7-dup")]
+    left = spark.createDataFrame(left_rows, "row_id long, k long")
+    right = spark.createDataFrame(right_rows, "k2 long, label string")
+
+    salted = Counter(
+        (r.row_id, r.label)
+        for r in salted_join(left, right, left_key="k", right_key="k2", salt_buckets=8).collect()
+    )
+    plain = Counter(
+        (r.row_id, r.label) for r in left.join(right, left.k == right.k2).collect()
+    )
+    assert salted == plain and sum(plain.values()) > 500  # dup dim row doubles key 7
+
+
+def test_kmv_estimate_accuracy_and_exact_below_k(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from fetch_engines_spark.pipelines.text import kmv_distinct
+
+    rows = [(i, "big" if i < 5000 else "small", i % (2000 if i < 5000 else 10)) for i in range(6000)]
+    df = spark.createDataFrame(rows, "i long, grp string, key long")
+    got = {r.grp: r for r in kmv_distinct(df, "grp", "key", k=64).collect()}
+    assert got["small"].kmv_estimate == got["small"].n_exact == 10  # exact below k
+    big = got["big"]
+    assert big.n_exact == 2000
+    assert abs(big.kmv_estimate - 2000) / 2000 < 0.35  # k=64 → ~12% stderr
+
+
 def test_range_join_binned_no_duplicate_pairs(spark):
     left = spark.createDataFrame([(1, 10, _ts(0))], "event_id long, user_id long, ts timestamp")
     right = spark.createDataFrame([(2, 10, _ts(30))], "event_id long, user_id long, ts timestamp")
