@@ -311,6 +311,61 @@ def _q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tabulation via the pivot API: per-day event counts spread to
+    one column per event type (explicit value list, so no extra distinct
+    pass over the data)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("event_date")
+        )
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+    )
+
+
+def _q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles (p50/p90/p99 of value per event type)
+    by explicit rank construction — engine-portable, unlike interpolating
+    percentile() or approx sketches: the value at row ceil(q·n) of the
+    sorted group in BOTH engines."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select("event_type", "value", "event_id").withColumn(
+        "rn", F.row_number().over(w)
+    ).withColumn("n", F.count("*").over(Window.partitionBy("event_type")))
+    picks = [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]
+    aggs = [
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("long"), F.col("value"))
+        ).alias(name)
+        for name, q in picks
+    ]
+    return ranked.groupBy("event_type").agg(*aggs)
+
+
+def _q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type (floor-bucketed) — one
+    map-side-combinable groupBy."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", F.floor(F.col("value") / 10).cast("long").alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+def _q_doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 salient terms per document (rational tf-idf, integer-exact)."""
+    from fetch_engines_spark.pipelines.text import doc_term_scores
+
+    docs = _read(spark, sf_dir, "documents")
+    return doc_term_scores(docs, k=5)
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fetch_engines_spark.pipelines.text import lang_id
 
@@ -1295,6 +1350,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": _q_events_range_join,
         "events_rollup": _q_events_rollup,
         "events_kmv_distinct": _q_events_kmv_distinct,
+        "events_pivot": _q_events_pivot,
+        "events_percentiles": _q_events_percentiles,
+        "events_histogram": _q_events_histogram,
+        "doc_tfidf_topk": _q_doc_tfidf_topk,
         "salted_join": _q_salted_join,
         "partition_pruned_scan": _q_partition_pruned_scan,
         "streaming_windowed_counts": _q_streaming_windowed_counts,
@@ -1576,6 +1635,36 @@ def oracle_sql() -> dict[str, str]:
         "events_kmv_distinct": __import__(
             "fetch_engines_spark.pipelines.text", fromlist=["x"]
         ).kmv_distinct_sql(group_col="event_type", key_col="user_id", k=64),
+        "events_pivot": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS event_date,
+                   count(*) FILTER (event_type = 'click') AS click,
+                   count(*) FILTER (event_type = 'view') AS view,
+                   count(*) FILTER (event_type = 'purchase') AS purchase,
+                   count(*) FILTER (event_type = 'signup') AS signup,
+                   count(*) FILTER (event_type = 'error') AS error
+            FROM events GROUP BY 1
+        """,
+        "events_percentiles": """
+            WITH ranked AS (
+              SELECT event_type, value,
+                     row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM events
+            )
+            SELECT event_type,
+                   max(CASE WHEN rn = CAST(ceiling(0.5 * n) AS BIGINT) THEN value END) AS p50,
+                   max(CASE WHEN rn = CAST(ceiling(0.9 * n) AS BIGINT) THEN value END) AS p90,
+                   max(CASE WHEN rn = CAST(ceiling(0.99 * n) AS BIGINT) THEN value END) AS p99
+            FROM ranked GROUP BY event_type
+        """,
+        "events_histogram": """
+            SELECT event_type, CAST(floor(value / 10) AS BIGINT) AS bucket,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        """,
+        "doc_tfidf_topk": __import__(
+            "fetch_engines_spark.pipelines.text", fromlist=["x"]
+        ).doc_term_scores_sql(k=5),
         "salted_join": """
             -- semantic twin: the PLAIN join (salting must not change results)
             SELECT c.c_nationkey AS c_nationkey, count(*) AS n_orders,

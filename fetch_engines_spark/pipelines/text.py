@@ -463,6 +463,76 @@ FROM agg JOIN exact USING (grp)
 """
 
 
+def doc_term_scores(df: DataFrame, k: int = 5, text_col: str = "text") -> DataFrame:
+    """Per-document top-k salient terms by tf×idf — the keyword-extraction
+    step of corpus curation — using the LOG-FREE rational idf variant
+    (score_bp = floor(tf · N · 10000 / (df · doc_len))) so the value is
+    exact integer arithmetic in every engine; classic log-idf damping is a
+    one-line swap where cross-engine hash equality is not required.
+
+    Shape: one token explode feeding BOTH the tf aggregation and the
+    document-frequency aggregation, a broadcast of the (tiny) corpus
+    count, one join tf⨝df on the token, and a rank-k window (compiled to
+    WindowGroupLimit).  No full-vocab materialization on the driver."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    doc_len = toks.groupBy("doc_id").agg(F.count("*").alias("doc_len"))
+    dfreq = (
+        toks.select("doc_id", "tok").distinct().groupBy("tok").agg(F.count("*").alias("df"))
+    )
+    n_docs = df.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .join(doc_len, "doc_id")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            F.floor(
+                F.col("tf") * F.col("n_docs") * 10000 / (F.col("df") * F.col("doc_len"))
+            )
+            .cast("long")
+            .alias("score_bp"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_bp"), F.asc("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "tok", "tf", "df", "score_bp", "rnk")
+    )
+
+
+def doc_term_scores_sql(k: int = 5, source: str = "documents", text_col: str = "text") -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({text_col}, ' ')) AS tok FROM {source}
+),
+toks_f AS (SELECT * FROM toks WHERE tok <> ''),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks_f GROUP BY doc_id, tok),
+doc_len AS (SELECT doc_id, count(*) AS doc_len FROM toks_f GROUP BY doc_id),
+dfreq AS (
+  SELECT tok, count(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM toks_f) GROUP BY tok
+),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM {source}),
+scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+         CAST(floor(tf.tf * n.n_docs * 10000 / (dfreq.df * doc_len.doc_len)) AS BIGINT) AS score_bp
+  FROM tf JOIN dfreq USING (tok) JOIN doc_len USING (doc_id) CROSS JOIN n
+)
+SELECT doc_id, tok, tf, df, score_bp, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_bp DESC, tok ASC) AS rnk
+  FROM scored
+) WHERE rnk <= {k}
+"""
+
+
 def fingerprint(text: Column) -> Column:
     """Normalization fingerprint: md5 of the lowercased text with all
     non-alphanumerics removed — a cheap canonical-form document hash for
