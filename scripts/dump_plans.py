@@ -31,6 +31,15 @@ ANNOTATIONS = {
     "vocab_topk": "One combinable groupBy on the token, then TakeOrderedAndProject — the distributed top-k (per-partition heaps + k-row merge), never a full-vocabulary single-partition sort.",
     "embedding_topk_pq": "Codebook and per-query distance tables broadcast; ADC scoring is m BroadcastHashJoins on the byte-code columns — the float corpus never shuffles.",
     "corpus_curation_full": "Quality/repetition gates ride the scan stage; the substring gate adds its fingerprint agg+join; one keeper-election shuffle; one final per-source agg — the whole curation chain in a single composed plan.",
+    "embedding_topk_lsh": "Scale-config multi-table ANN: the bucket index is a pre-materialized checkpoint (ONE Arrow matmul upstream, invisible here); candidates come from a broadcast bucket equi-join, scoring joins only the candidate set — no cartesian, no nested loop.",
+    "dedup_embedding_capped": "Window count over (table_id, bucket) sizes every LSH bucket; degenerate buckets route to the signature-star path; all joins equi, downstream plan Python-free (bucket matmul pre-materialized).",
+    "events_asof_attribution": "As-of join as union + ONE shuffle on the key + running last-ignorenulls window — the merge-scan a native as-of implementation performs; no per-row subquery, no range join.",
+    "events_range_join": "Interval join with the time bin in the equi-join key: per-key fan-out bounded by temporal locality; the exact range predicate filters after the bounded join.",
+    "events_kmv_distinct": "The sketch's rank<=k filter compiles to WindowGroupLimit — per-partition state bounded at k rows before the shuffle (the KMV bounded-memory property, optimizer-enforced).",
+    "salted_join": "The salt is part of the join key: a hot customer's orders spread over 8 reducer keys; the dim side is replicated, the fact side shuffles once.",
+    "partition_pruned_scan": "The date filter lands in PartitionFilters — the scan lists one partition directory; at 100 TB this is the difference between reading a day and reading the corpus.",
+    "decontaminate": "Benchmark window fingerprints broadcast (BroadcastHashJoin, LEFT); one map-side-combinable per-doc aggregation — the training corpus never shuffles for the decontamination check.",
+    "doc_tfidf_topk": "One token explode feeds both the tf and document-frequency aggregations; corpus count broadcast; rank-k via WindowGroupLimit.",
 }
 
 
