@@ -603,6 +603,78 @@ def _q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-enforced CSV source with reject quarantine (same contract as
+    the JSONL source): 60 valid rows pass, 2 planted corrupt lines (bad
+    numeric, truncated row) route to rejects — asserted in pytest; the
+    oracle reads the same file with DuckDB's typed read_csv."""
+    from fetch_engines_spark.sources import read_events_csv
+
+    path = os.path.join(FIXTURES_DIR, "events_dump.csv")
+    events, _rejects = read_events_csv(spark, path)
+    return events.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+def _q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join with watermarks on both sides: the
+    view stream joins the purchase stream on user within [view ts,
+    view ts + 1h], run end-to-end through availableNow into a parquet
+    sink.  Inner stream-stream joins emit every match (watermarks bound
+    STATE, not output), so the oracle is the plain batch interval join."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="fes_ssj_")
+    ev = _read(spark, sf_dir, "events")
+    ev.write.mode("overwrite").parquet(f"{base}/in")
+    src = spark.readStream.schema(ev.schema).parquet(f"{base}/in")
+    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    views = (
+        src.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    purchases = (
+        src.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "v_user = p_user AND p_ts > v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR"
+        ),
+    ).select(
+        "view_id",
+        F.col("v_user").alias("user_id"),
+        "purchase_id",
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts")).alias("gap_seconds"),
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", f"{base}/out")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    return spark.read.parquet(f"{base}/out")
+
+
 def _q_mixed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end format dispatch over a mixed crawl slice: the MIME router
     (native column) splits the corpus; html rows run the DOM extraction
@@ -1357,6 +1429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": _q_salted_join,
         "partition_pruned_scan": _q_partition_pruned_scan,
         "streaming_windowed_counts": _q_streaming_windowed_counts,
+        "streaming_interval_join": _q_streaming_interval_join,
+        "csv_ingest": _q_csv_ingest,
         "lang_id": _q_lang_id,
         "text_quality": _q_text_quality,
         "doc_fingerprint": _q_fingerprint,
@@ -1679,6 +1753,24 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE strftime(date_trunc('day', ts), '%Y-%m-%d') = '2024-01-05'
             GROUP BY 1, 2
+        """,
+        "streaming_interval_join": """
+            SELECT v.event_id AS view_id, v.user_id AS user_id,
+                   p.event_id AS purchase_id,
+                   CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(v.ts)) AS BIGINT) AS gap_seconds
+            FROM (SELECT * FROM events WHERE event_type = 'view') v
+            JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON v.user_id = p.user_id
+             AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+        """,
+        "csv_ingest": f"""
+            SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+                   user_id, event_type, value
+            FROM read_csv('{os.path.join(FIXTURES_DIR, "events_dump.csv")}',
+                          header = false, ignore_errors = true,
+                          columns = {{'event_id': 'BIGINT', 'ts': 'TIMESTAMP',
+                                      'user_id': 'BIGINT', 'event_type': 'VARCHAR',
+                                      'value': 'DOUBLE'}})
         """,
         "streaming_windowed_counts": """
             WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events)

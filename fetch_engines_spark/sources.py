@@ -52,3 +52,33 @@ def read_documents_jsonl(
     )
     rejects = parsed.filter(is_bad).select(F.col("_raw").alias("raw_line"))
     return documents, rejects
+
+
+EVENTS_CSV_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE"
+)
+
+
+def read_events_csv(
+    spark: SparkSession, path: str, schema_ddl: str = EVENTS_CSV_SCHEMA
+) -> tuple[DataFrame, DataFrame]:
+    """CSV → (events, rejects), the same schema-enforced + quarantine
+    contract as the JSONL source: one text scan, from_csv with an
+    explicit DDL schema (no inference pass), malformed lines routed to a
+    rejects DataFrame with the raw line preserved."""
+    raw = spark.read.text(path).withColumnRenamed("value", "_raw")
+    parsed = raw.withColumn(
+        "_row", F.from_csv(F.col("_raw"), schema_ddl, {"mode": "PERMISSIVE"})
+    )
+    names = [p.strip().split()[0] for p in schema_ddl.split(",")]
+    # a row is corrupt if it failed to parse or its leading (required)
+    # fields are null — a truncated line parses its first cell and nulls
+    # the rest, which schema enforcement must also quarantine
+    is_bad = F.col("_row").isNull()
+    for n in names[: min(2, len(names))]:
+        is_bad = is_bad | F.col(f"_row.{n}").isNull()
+    events = parsed.filter(~is_bad).select(
+        *[F.col(f"_row.{n}").alias(n) for n in names]
+    )
+    rejects = parsed.filter(is_bad).select(F.col("_raw").alias("raw_line"))
+    return events, rejects

@@ -984,6 +984,20 @@ def build_wavs() -> None:
     )
 
 
+def build_events_csv() -> None:
+    """CSV crawl-dump slice with 2 planted corrupt lines (bad numeric,
+    truncated row) for the schema-enforced CSV source's reject routing."""
+    lines = []
+    for i in range(60):
+        ts = f"2024-01-{(i % 28) + 1:02d} {(i * 7) % 24:02d}:{(i * 13) % 60:02d}:{(i * 29) % 60:02d}"
+        etype = ["click", "view", "purchase", "signup", "error"][i % 5]
+        lines.append(f"{i},{ts},{i % 15},{etype},{(i * 37) % 1000}.{i % 100:02d}")
+    lines.insert(20, "not-a-number,2024-01-01 00:00:00,3,click,1.5")  # bad event_id
+    lines.insert(41, "9999")  # truncated row
+    with open(os.path.join(OUT, "events_dump.csv"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
 def build_skewed_embeddings() -> None:
     """Adversarial embedding corpus for the LSH bucket-cap guard: the
     neardup_embeddings layout (40 planted families + noise) PLUS two
@@ -1053,4 +1067,5 @@ if __name__ == "__main__":
     build_pngs()
     build_gifs()
     build_wavs()
+    build_events_csv()
     print(f"wrote fixture data to {OUT}")

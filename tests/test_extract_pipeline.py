@@ -206,6 +206,24 @@ def test_jsonl_ingest_routes_rejects(spark):
     assert j == p
 
 
+def test_csv_ingest_routes_rejects(spark):
+    """CSV source: 60 valid rows pass; the 2 planted corrupt lines (bad
+    numeric in a required field, truncated row) land in rejects with the
+    raw line preserved."""
+    import os
+
+    from fetch_engines_spark.sources import read_events_csv
+
+    fixtures = os.path.join(os.path.dirname(__file__), "..", "data", "fixtures")
+    events, rejects = read_events_csv(spark, os.path.join(fixtures, "events_dump.csv"))
+    assert events.count() == 60
+    assert events.filter("event_id IS NULL OR ts IS NULL").count() == 0
+    bad = sorted(r.raw_line for r in rejects.collect())
+    assert len(bad) == 2
+    assert bad[0] == "9999"
+    assert bad[1].startswith("not-a-number")
+
+
 def test_jvm_assembly_matches_python_assembly(spark):
     """The native span→html assembly projection must produce byte-identical
     extraction output to the in-Python assembly, including the edge shapes:
