@@ -316,13 +316,17 @@ def _q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     one column per event type (explicit value list, so no extra distinct
     pass over the data)."""
     ev = _read(spark, sf_dir, "events")
-    return (
+    types = ["click", "view", "purchase", "signup", "error"]
+    out = (
         ev.groupBy(
             F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("event_date")
         )
-        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .pivot("event_type", types)
         .agg(F.count(F.lit(1)))
     )
+    # a (day, type) combo with no rows pivots to NULL; the count semantics
+    # (and the DuckDB FILTER twin) say 0
+    return out.na.fill(0, subset=types)
 
 
 def _q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -333,16 +337,23 @@ def _q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = _read(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    # null ordering pinned (Spark asc defaults NULLS FIRST, DuckDB NULLS
+    # LAST); rank arithmetic in exact integers: ceil(p%·n) = (p·n+99)÷100
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc_nulls_last("value"), F.asc("event_id")
+    )
     ranked = ev.select("event_type", "value", "event_id").withColumn(
         "rn", F.row_number().over(w)
     ).withColumn("n", F.count("*").over(Window.partitionBy("event_type")))
-    picks = [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]
+    picks = [("p50", 50), ("p90", 90), ("p99", 99)]
     aggs = [
         F.max(
-            F.when(F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("long"), F.col("value"))
+            F.when(
+                F.col("rn") == F.floor((F.lit(p) * F.col("n") + 99) / 100).cast("long"),
+                F.col("value"),
+            )
         ).alias(name)
-        for name, q in picks
+        for name, p in picks
     ]
     return ranked.groupBy("event_type").agg(*aggs)
 
@@ -489,20 +500,34 @@ def _q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, k=5, n_centroids=8, n_probe=2, query_ids=list(range(10)))
 
 
+def _scratch_dir(prefix: str) -> str:
+    """Per-query scratch dir that reclaims its predecessors: results must
+    stay readable for the caller's lazy collect, so each invocation
+    deletes the PREVIOUS runs' trees for the same prefix before creating
+    a fresh one — repeated bench/correctness rounds stay O(one run) of
+    /tmp instead of accumulating event-table copies and checkpoints."""
+    import glob
+    import shutil
+    import tempfile
+
+    for old in glob.glob(os.path.join(tempfile.gettempdir(), f"{prefix}*")):
+        shutil.rmtree(old, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix)
+
+
 def _q_streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming extraction over the fixture corpus: land the
     corpus, run the availableNow stream through the real parquet sink,
     read the sink back.  Oracle = the committed goldens, so the streaming
     path is held to the same span/title equality as the batch path."""
     _prep(spark)
-    import tempfile
 
     from fetch_engines_spark.streaming import (
         extract_documents_stream,
         read_documents_stream,
     )
 
-    base = tempfile.mkdtemp(prefix="fes_stream_q_")
+    base = _scratch_dir("fes_stream_q_")
     docs = _fixture(spark, "documents_spans")
     docs.write.mode("overwrite").parquet(f"{base}/in")
     q = extract_documents_stream(
@@ -524,11 +549,10 @@ def _q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final watermark (max ts − 2h), so the DuckDB twin is the batch
     window aggregation filtered to window_end <= max(ts) − 2h — the
     streamed and batch answers must agree row-for-row."""
-    import tempfile
 
     from fetch_engines_spark.streaming import windowed_event_counts
 
-    base = tempfile.mkdtemp(prefix="fes_winq_")
+    base = _scratch_dir("fes_winq_")
     ev = _read(spark, sf_dir, "events")
     ev.write.mode("overwrite").parquet(f"{base}/in")
     stream = spark.readStream.schema(ev.schema).parquet(f"{base}/in")
@@ -557,9 +581,8 @@ def _q_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition's files (PartitionFilters, asserted by the plan gate), the
     optimizer behavior that makes date-bounded queries at 100 TB read
     gigabytes instead of everything."""
-    import tempfile
 
-    base = tempfile.mkdtemp(prefix="fes_part_")
+    base = _scratch_dir("fes_part_")
     ev = _read(spark, sf_dir, "events").withColumn(
         "event_date", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
     )
@@ -627,9 +650,8 @@ def _q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     view ts + 1h], run end-to-end through availableNow into a parquet
     sink.  Inner stream-stream joins emit every match (watermarks bound
     STATE, not output), so the oracle is the plain batch interval join."""
-    import tempfile
 
-    base = tempfile.mkdtemp(prefix="fes_ssj_")
+    base = _scratch_dir("fes_ssj_")
     ev = _read(spark, sf_dir, "events")
     ev.write.mode("overwrite").parquet(f"{base}/in")
     src = spark.readStream.schema(ev.schema).parquet(f"{base}/in")
@@ -767,11 +789,10 @@ def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     availableNow stream through state-backed dropDuplicates on the content
     hash; the surviving distinct-hash set must equal batch DISTINCT."""
     _prep(spark)
-    import tempfile
 
     from fetch_engines_spark.streaming import dedup_documents_stream
 
-    base = tempfile.mkdtemp(prefix="fes_sdedup_q_")
+    base = _scratch_dir("fes_sdedup_q_")
     docs = _fixture(spark, "neardup")
     docs.write.mode("overwrite").parquet(f"{base}/in")
     stream = (
@@ -1721,14 +1742,15 @@ def oracle_sql() -> dict[str, str]:
         "events_percentiles": """
             WITH ranked AS (
               SELECT event_type, value,
-                     row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY value ASC NULLS LAST, event_id ASC) AS rn,
                      count(*) OVER (PARTITION BY event_type) AS n
               FROM events
             )
             SELECT event_type,
-                   max(CASE WHEN rn = CAST(ceiling(0.5 * n) AS BIGINT) THEN value END) AS p50,
-                   max(CASE WHEN rn = CAST(ceiling(0.9 * n) AS BIGINT) THEN value END) AS p90,
-                   max(CASE WHEN rn = CAST(ceiling(0.99 * n) AS BIGINT) THEN value END) AS p99
+                   max(CASE WHEN rn = CAST(floor((50 * n + 99) / 100) AS BIGINT) THEN value END) AS p50,
+                   max(CASE WHEN rn = CAST(floor((90 * n + 99) / 100) AS BIGINT) THEN value END) AS p90,
+                   max(CASE WHEN rn = CAST(floor((99 * n + 99) / 100) AS BIGINT) THEN value END) AS p99
             FROM ranked GROUP BY event_type
         """,
         "events_histogram": """

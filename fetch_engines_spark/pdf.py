@@ -111,13 +111,39 @@ def _decode_pdf_string(raw: bytes) -> str:
 
 # --- document structure (object map, page tree, fonts) -----------------------
 
-_OBJN_RX = re.compile(rb"(\d+)\s+0\s+obj\b(.*?)endobj", re.S)
+_OBJ_START_RX = re.compile(rb"(\d+)\s+0\s+obj\b")
+_STREAM_START_RX = re.compile(rb"stream\r?\n")
 
 
 def _objects(data: bytes) -> dict[int, bytes]:
-    """Object number → body, by linear scan (xref tables are ignored; a
-    scan tolerates the broken xrefs common in crawled PDFs)."""
-    return {int(m.group(1)): m.group(2) for m in _OBJN_RX.finditer(data)}
+    """Object number → body, by stream-aware linear scan (xref tables are
+    ignored; a scan tolerates the broken xrefs common in crawled PDFs).
+
+    Stream-aware: compressed stream payloads can contain the byte
+    sequences ``endobj`` or ``N 0 obj``, so (a) when a ``stream`` keyword
+    precedes the next ``endobj``, the object body extends past the
+    matching ``endstream`` before the closing ``endobj`` is searched, and
+    (b) object-start matches landing inside a previously consumed object
+    are skipped.  (``endstream`` inside the stream bytes themselves
+    remains the documented subset limit — resolving it needs /Length
+    indirection.)"""
+    objs: dict[int, bytes] = {}
+    consumed_end = 0
+    for m in _OBJ_START_RX.finditer(data):
+        if m.start() < consumed_end:
+            continue  # byte pattern inside a previous object's stream
+        start = m.end()
+        end = data.find(b"endobj", start)
+        sm = _STREAM_START_RX.search(data, start)
+        if sm is not None and end != -1 and sm.start() < end:
+            es = data.find(b"endstream", sm.end())
+            if es != -1:
+                end = data.find(b"endobj", es)
+        if end == -1:
+            continue
+        objs[int(m.group(1))] = data[start:end]
+        consumed_end = end + len(b"endobj")
+    return objs
 
 
 def _stream_data(body: bytes) -> bytes | None:

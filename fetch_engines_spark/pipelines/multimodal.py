@@ -140,10 +140,18 @@ def decode_png(payload: bytes) -> dict:
         raise ValueError("missing IHDR")
     if not idat:
         raise ValueError("missing IDAT")
-    raw = _z.decompress(bytes(idat))
     ch = _PNG_CHANNELS[color_type]
+    if width * height > 64_000_000:  # declared-dimension sanity bound
+        raise ValueError(f"image too large ({width}x{height})")
     stride = width * ch
-    if len(raw) != height * (stride + 1):
+    expected = height * (stride + 1)
+    # bounded inflate: a decompression bomb must fail with an error row,
+    # not an executor OOM — never allocate past the declared raster size
+    d = _z.decompressobj()
+    raw = d.decompress(bytes(idat), expected)
+    if d.unconsumed_tail or not d.eof:
+        raise ValueError("IDAT inflates past the declared raster size")
+    if len(raw) != expected:
         raise ValueError("scanline data size mismatch")
     out = bytearray(height * stride)
     prev_off = -1
@@ -272,9 +280,13 @@ def decode_gif(payload: bytes) -> dict:
             if iflags & 0x80:
                 n = 2 << (iflags & 0x07)
                 table = payload[pos : pos + 3 * n]
+                if len(table) < 3 * n:
+                    raise ValueError("truncated local color table")
                 pos += 3 * n
             if table is None:
                 raise ValueError("no color table")
+            if pos >= len(payload):
+                raise ValueError("truncated before LZW data")
             min_code_size = payload[pos]
             pos += 1
             lzw = bytearray()

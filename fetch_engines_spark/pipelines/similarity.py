@@ -297,18 +297,20 @@ def lsh_topk_multi(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
     if query_ids is not None:
-        q_tabled = q_tabled.filter(F.col("query_id").isin(query_ids))
-        q_vecs = q_vecs.filter(F.col("query_id").isin(query_ids))
+        # bounded query set: broadcast it (the retrieval shape)
+        q_tabled = F.broadcast(q_tabled.filter(F.col("query_id").isin(query_ids)))
+        q_vecs = F.broadcast(q_vecs.filter(F.col("query_id").isin(query_ids)))
+    # all-pairs mode (query_ids=None) must NOT broadcast the full corpus —
+    # leave the join strategy to AQE (bucket equi-join either way)
     candidates = (
-        F.broadcast(q_tabled)
-        .join(tabled, ["table_id", "bucket"])
+        q_tabled.join(tabled, ["table_id", "bucket"])
         .filter(F.col("query_id") != F.col("vid"))
         .select("query_id", F.col("vid").alias("neighbor_id"))
         .distinct()
     )
     nb = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     scored = (
-        candidates.join(F.broadcast(q_vecs), "query_id")
+        candidates.join(q_vecs, "query_id")
         .join(nb, "neighbor_id")
         .select(
             "query_id",

@@ -70,7 +70,10 @@ def read_events_csv(
     parsed = raw.withColumn(
         "_row", F.from_csv(F.col("_raw"), schema_ddl, {"mode": "PERMISSIVE"})
     )
-    names = [p.strip().split()[0] for p in schema_ddl.split(",")]
+    import re
+
+    # split on commas outside parentheses (DECIMAL(18,2) etc.)
+    names = [p.strip().split()[0] for p in re.split(r",(?![^(]*\))", schema_ddl)]
     # a row is corrupt if it failed to parse or its leading (required)
     # fields are null — a truncated line parses its first cell and nulls
     # the rest, which schema enforcement must also quarantine

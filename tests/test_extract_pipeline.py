@@ -224,6 +224,20 @@ def test_csv_ingest_routes_rejects(spark):
     assert bad[1].startswith("not-a-number")
 
 
+def test_csv_schema_ddl_with_parameterized_types(spark, tmp_path):
+    """DDL column-name parsing must survive commas inside type params."""
+    from fetch_engines_spark.sources import read_events_csv
+
+    p = tmp_path / "d.csv"
+    p.write_text("1,10.25,x\n2,3.50,y\nbad,1.00,z\n")
+    rows, rejects = read_events_csv(
+        spark, str(p), schema_ddl="id BIGINT, amount DECIMAL(18,2), tag STRING"
+    )
+    got = {r.id: (str(r.amount), r.tag) for r in rows.collect()}
+    assert got == {1: ("10.25", "x"), 2: ("3.50", "y")}
+    assert rejects.count() == 1
+
+
 def test_jvm_assembly_matches_python_assembly(spark):
     """The native span→html assembly projection must produce byte-identical
     extraction output to the in-Python assembly, including the edge shapes:

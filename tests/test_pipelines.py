@@ -203,6 +203,47 @@ def test_gif_decode_roundtrips_all_palette_sizes():
         decode_gif(b"BM not a gif")
 
 
+def test_png_decompression_bomb_bounded():
+    """An IDAT inflating far past the declared raster must raise (error
+    row), never allocate the full inflated payload."""
+    import struct
+    import zlib
+
+    from scripts.build_fixture_data import _png_chunk
+
+    from fetch_engines_spark.pipelines.multimodal import decode_png
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)  # declares 4x4 RGB
+    bomb = zlib.compress(b"\x00" * 50_000_000, 9)  # ~48 KB compressed
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", bomb)
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="inflates past|too large"):
+        decode_png(payload)
+    # declared-dimension bomb (huge IHDR) also rejected up front
+    big = struct.pack(">IIBBBBB", 1 << 20, 1 << 20, 8, 2, 0, 0, 0)
+    with pytest.raises(ValueError, match="too large"):
+        decode_png(b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", big) + _png_chunk(b"IDAT", b"x") + _png_chunk(b"IEND", b""))
+
+
+def test_gif_truncations_raise_valueerror_not_indexerror():
+    import scripts.build_fixture_data as bfd
+
+    from fetch_engines_spark.pipelines.multimodal import decode_gif
+
+    pal = [(0, 0, 0), (255, 255, 255)]
+    full = bfd._gif_bytes(4, 4, pal, bytes([0, 1] * 8))
+    for cut in range(6, len(full)):
+        try:
+            decode_gif(full[:cut])
+        except ValueError:
+            pass  # the documented contract
+        # IndexError or anything else propagates and fails the test
+
+
 def test_wav_decode_roundtrip_and_chunk_walk():
     import scripts.build_fixture_data as bfd
 
