@@ -626,6 +626,38 @@ def _q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketed tables: orders and customer are both
+    written bucketBy(8, custkey) + sortBy, so the join is a SortMergeJoin
+    with NO shuffle on either side (the plan gate asserts the only
+    Exchange is the final aggregation's) — the bucketing strategy that
+    amortizes one shuffle across every future join on the key, the
+    standard layout for repeatedly-joined 100 TB fact tables."""
+    base = _scratch_dir("fes_bucketed_")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    spark.sql("DROP TABLE IF EXISTS fes_orders_b")
+    spark.sql("DROP TABLE IF EXISTS fes_customer_b")
+    (
+        orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", f"{base}/orders").saveAsTable("fes_orders_b")
+    )
+    (
+        cust.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", f"{base}/customer").saveAsTable("fes_customer_b")
+    )
+    ob = spark.table("fes_orders_b")
+    cb = spark.table("fes_customer_b")
+    # merge hint: at test scale the dim side fits the broadcast threshold,
+    # which would bypass the bucketed layout this query demonstrates; at
+    # fact-fact scale SMJ is what the optimizer picks anyway
+    joined = ob.hint("merge").join(cb, ob.o_custkey == cb.c_custkey)
+    return joined.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double").alias("total_price"),
+    )
+
+
 def _q_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-enforced CSV source with reject quarantine (same contract as
     the JSONL source): 60 valid rows pass, 2 planted corrupt lines (bad
@@ -1357,6 +1389,21 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+def _q_dedup_clusters_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components on CHAIN-shaped duplicate graphs via
+    large-star/small-star contraction (O(log n) rounds): 3 chains of 100
+    docs each plus branch links — diameter ~100, where plain min-label
+    propagation would need ~100 rounds (and raises at max_iter=25).  The
+    oracle is the exact recursive-CTE transitive closure."""
+    from fetch_engines_spark.pipelines.dedup import connected_components_star
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id").filter("doc_id < 300")
+    pairs = docs.select(
+        F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 3).alias("doc_b")
+    ).filter(F.col("doc_b") < 300)
+    return connected_components_star(pairs)
+
+
 def _q_sample_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 10% corpus sample (hash-threshold filter — stable
     across runs, engines, and task retries, unlike DataFrame.sample)."""
@@ -1448,6 +1495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_histogram": _q_events_histogram,
         "doc_tfidf_topk": _q_doc_tfidf_topk,
         "salted_join": _q_salted_join,
+        "bucketed_join": _q_bucketed_join,
         "partition_pruned_scan": _q_partition_pruned_scan,
         "streaming_windowed_counts": _q_streaming_windowed_counts,
         "streaming_interval_join": _q_streaming_interval_join,
@@ -1495,6 +1543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _q_vocab_topk,
         "embedding_topk_pq": _q_embedding_topk_pq,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_clusters_chain": _q_dedup_clusters_chain,
         "corpus_curation_full": _q_corpus_curation_full,
         "sample_by_hash": _q_sample_by_hash,
         "doc_sentences": _q_doc_sentences,
@@ -1768,6 +1817,13 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_nationkey
         """,
+        "bucketed_join": """
+            -- semantic twin of the bucketed-table join (layout-invariant)
+            SELECT c.c_nationkey AS c_nationkey, count(*) AS n_orders,
+                   CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_nationkey
+        """,
         "partition_pruned_scan": """
             SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS event_date,
                    event_type, count(*) AS n_events,
@@ -1897,6 +1953,12 @@ def oracle_sql() -> dict[str, str]:
                 num_hashes=6,
                 band_size=1,
             )
+        ),
+        "dedup_clusters_chain": __import__(
+            "fetch_engines_spark.pipelines.dedup", fromlist=["x"]
+        ).connected_components_oracle_sql(
+            "SELECT doc_id AS doc_a, doc_id + 3 AS doc_b FROM documents "
+            "WHERE doc_id < 297"
         ),
         "dedup_minhash_prod": __import__(
             "fetch_engines_spark.pipelines.dedup", fromlist=["x"]

@@ -493,6 +493,102 @@ def connected_components(
     return result
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_rounds: int = 30,
+    strict: bool = True,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — O(log n) rounds on ANY graph shape, including the
+    chain-shaped components where plain min-label propagation needs
+    O(diameter) rounds.  Use this over ``connected_components`` when the
+    duplicate graph may contain long paths (e.g. transitive near-dup
+    chains); both return the same (doc_id, component, is_keeper) schema
+    with component = min node id.
+
+    Each round is two groupBy-min + join passes over the edge list —
+    the same primitives as label propagation, just restructured so every
+    node hops to (towards) its neighborhood minimum, halving component
+    diameter per round.  Convergence = edge set unchanged (checked with
+    two anti-joins); per-round localCheckpoint keeps plans
+    constant-depth.  Raises on non-convergence under ``strict``.
+    """
+    nodes = (
+        pairs.select(F.col(a_col).alias("n"))
+        .union(pairs.select(F.col(b_col).alias("n")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # undirected edge list, kept deduped and canonical (small, large)
+    edges = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("u"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _star(e: DataFrame, large: bool) -> DataFrame:
+        # neighborhoods over both directions
+        adj = e.select(F.col("u").alias("x"), F.col("v").alias("y")).union(
+            e.select(F.col("v").alias("x"), F.col("u").alias("y"))
+        )
+        m = adj.groupBy("x").agg(F.min(F.least("x", "y")).alias("m"))
+        joined = adj.join(m, "x")
+        if large:  # strictly greater neighbors hook to the min
+            moved = joined.filter(F.col("y") > F.col("x"))
+        else:  # smaller-or-equal neighbors (and x itself) hook to the min
+            moved = joined.filter(F.col("y") <= F.col("x")).unionByName(
+                m.select(F.col("x"), F.col("x").alias("y"), F.col("m"))
+            )
+        out = moved.select(
+            F.least(F.col("y"), F.col("m")).alias("u"),
+            F.greatest(F.col("y"), F.col("m")).alias("v"),
+        ).filter(F.col("u") != F.col("v"))
+        return out.distinct()
+
+    converged = False
+    for _ in range(max_rounds):
+        new_edges = _star(_star(edges, large=True), large=False).localCheckpoint(
+            eager=True
+        )
+        changed = (
+            new_edges.subtract(edges).limit(1).count()
+            + edges.subtract(new_edges).limit(1).count()
+        )
+        edges = new_edges
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        if strict:
+            raise RuntimeError(
+                f"connected_components_star did not converge in {max_rounds} rounds"
+            )
+        import warnings
+
+        warnings.warn(
+            f"connected_components_star: {max_rounds} rounds exhausted; labels "
+            "may be TRUNCATED",
+            stacklevel=2,
+        )
+    # converged edge set is a star forest: (root=u, child=v)
+    labels = nodes.join(
+        edges.select(F.col("v").alias("n"), F.col("u").alias("component")), "n", "left"
+    ).select(
+        F.col("n").alias("doc_id"),
+        F.coalesce(F.col("component"), F.col("n")).alias("component"),
+    )
+    return labels.select(
+        "doc_id", "component", (F.col("doc_id") == F.col("component")).alias("is_keeper")
+    )
+
+
 def connected_components_oracle_sql(pairs_sql: str) -> str:
     """DuckDB twin: transitive closure by recursive CTE, component label =
     min reachable node (UNION dedups rows, so the recursion terminates)."""

@@ -591,6 +591,34 @@ def test_cap_per_stratum_is_deterministic_and_bounded(spark):
     assert max(r.stratum_rank for r in a) == 5
 
 
+def test_star_cc_handles_chains_plain_cc_cannot(spark):
+    """Large-star/small-star contraction: a diameter-120 chain converges
+    in O(log n) rounds where plain propagation raises at max_iter=25; on
+    clique-ish graphs both algorithms agree exactly."""
+    from fetch_engines_spark.pipelines.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(120)], ["doc_a", "doc_b"])
+    with pytest.raises(RuntimeError):
+        connected_components(chain, max_iter=25)
+    star = {r.doc_id: r.component for r in connected_components_star(chain).collect()}
+    assert set(star.values()) == {0} and len(star) == 121
+
+    pairs = []
+    for c in range(6):  # cliques
+        ids = [1000 + c * 20 + i for i in range(5)]
+        pairs += [(a, b) for a in ids for b in ids if a < b]
+    for c in range(3):  # short chains
+        base = 2000 + c * 30
+        pairs += [(base + i, base + i + 1) for i in range(8)]
+    df = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
+    plain = {r.doc_id: r.component for r in connected_components(df, max_iter=50).collect()}
+    starr = {r.doc_id: r.component for r in connected_components_star(df).collect()}
+    assert plain == starr
+
+
 def test_lsh_buckets_vectorized_matches_expr(spark):
     """The Arrow-matmul bucket fast path must equal the JVM reference
     expression bit-for-bit on every fixture vector — guaranteed by the

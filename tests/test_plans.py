@@ -132,6 +132,17 @@ def test_kmv_sketch_uses_window_group_limit(spark):
     assert "WindowGroupLimit" in plan
 
 
+def test_bucketed_join_has_no_join_shuffle(spark):
+    """Both sides bucketed on the key: the SortMergeJoin must read the
+    bucket layout directly — the ONLY Exchange in the plan is the final
+    aggregation's, never the join's."""
+    df = entrymod.queries()["bucketed_join"](spark, SF)
+    plan = plan_of(df)
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange") == 1, plan
+    assert "SelectedBucketsCount" in plan
+
+
 def test_salted_join_joins_on_salt(spark):
     df = entrymod.queries()["salted_join"](spark, SF)
     plan = plan_of(df)
