@@ -195,3 +195,70 @@ def test_pdf_writer_parser_roundtrip_arbitrary_text(lines):
     # the parser strips leading/trailing whitespace and drops blank lines
     exp = [t.strip() for t in lines if t.strip()]
     assert got == exp, (got, lines)
+
+
+@given(
+    st.integers(1, 12),
+    st.integers(1, 10),
+    st.sampled_from([0, 2, 4, 6]),
+    st.lists(st.integers(0, 4), min_size=1, max_size=5),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_writer_decoder_roundtrip_arbitrary(w, h, color_type, filters, seed):
+    """PNG property: any dimensions/color type/per-row filter mix written
+    by the generator decodes to the exact pixel array."""
+    from scripts.build_fixture_data import _png_bytes
+
+    from fetch_engines_spark.pipelines.multimodal import decode_png
+
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    px = bytes((seed * 2654435761 + i * 97) % 256 for i in range(w * h * ch))
+    img = decode_png(_png_bytes(w, h, color_type, px, filters))
+    assert img["pixels"] == px and (img["width"], img["height"]) == (w, h)
+
+
+@given(
+    st.integers(1, 24),
+    st.integers(1, 12),
+    st.integers(2, 64),
+    st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_gif_writer_decoder_roundtrip_arbitrary(w, h, ncolors, seed):
+    """GIF property: any dimensions/palette size decode to the exact RGB
+    array (exercising LZW dictionary growth and width boundaries)."""
+    from scripts.build_fixture_data import _gif_bytes
+
+    from fetch_engines_spark.pipelines.multimodal import decode_gif
+
+    palette = [((i * 37 + seed) % 256, (i * 91) % 256, (i * 53) % 256) for i in range(ncolors)]
+    idx = bytes((seed + i * 31) % ncolors for i in range(w * h))
+    img = decode_gif(_gif_bytes(w, h, palette, idx, with_extension=bool(seed % 2)))
+    assert img["pixels"] == b"".join(bytes(palette[i]) for i in idx)
+
+
+@given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=64), st.integers(1, 2))
+@settings(max_examples=40, deadline=None)
+def test_wav_writer_decoder_roundtrip_arbitrary(samples, channels):
+    from scripts.build_fixture_data import _wav_bytes
+
+    from fetch_engines_spark.pipelines.multimodal import decode_wav
+
+    w = decode_wav(_wav_bytes(8000, channels, samples, extra_chunk=len(samples) % 2 == 0))
+    assert w["samples"] == samples and w["channels"] == channels
+
+
+@given(st.binary(min_size=0, max_size=300), st.sampled_from([b"\x89PNG\r\n\x1a\n", b"GIF89a", b"RIFF"]))
+@settings(max_examples=150, deadline=None)
+def test_media_decoders_never_crash_unexpectedly(data, sig):
+    """Fuzz: arbitrary bytes behind each magic either decode or raise —
+    the Arrow stages convert any raise to an error row; nothing may hang
+    or exhaust memory (bomb guards bound all allocations)."""
+    from fetch_engines_spark.pipelines.multimodal import decode_gif, decode_png, decode_wav
+
+    fn = {b"\x89PNG\r\n\x1a\n": decode_png, b"GIF89a": decode_gif, b"RIFF": decode_wav}[sig]
+    try:
+        fn(sig + data)
+    except Exception:
+        pass
