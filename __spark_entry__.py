@@ -962,6 +962,44 @@ def _q_corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_training_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTRACTION + CURATION composed in one plan — the whole engine as a
+    user runs it: raw interleaved span documents → the Arrow extraction
+    stage (DOM → markdown spans) → quality features over the EXTRACTED
+    markdown → sentence-aligned chunk packing → per-document training-set
+    row (kept flag, chunk count).  The oracle replays the same curation
+    SQL over the committed golden markdown, so extraction AND curation
+    must both be exact for the hash to match."""
+    _prep(spark)
+    from fetch_engines_spark.extract import extract_spans
+    from fetch_engines_spark.pipelines.text import doc_chunks, quality_features
+
+    docs = _fixture(spark, "documents_spans")
+    extracted = extract_spans(docs, keep_markdown=True).select(
+        "doc_id", "title", F.size("spans").alias("n_spans"), "markdown"
+    )
+    md = extracted.select("doc_id", F.col("markdown").alias("text"))
+    q = quality_features(md).select("doc_id", "n_tokens", "quality_score")
+    ch = (
+        doc_chunks(md, max_tokens=24)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_chunks"))
+    )
+    return (
+        extracted.join(q, "doc_id")
+        .join(ch, "doc_id", "left")
+        .select(
+            "doc_id",
+            "title",
+            "n_spans",
+            "n_tokens",
+            "quality_score",
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            (F.col("quality_score") >= 4).alias("kept"),
+        )
+    )
+
+
 def _q_resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpoint-resume shape: input anti-join completed ledger keys."""
     docs = _read(spark, sf_dir, "documents")
@@ -1545,6 +1583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "dedup_clusters_chain": _q_dedup_clusters_chain,
         "corpus_curation_full": _q_corpus_curation_full,
+        "training_pipeline_full": _q_training_pipeline_full,
         "sample_by_hash": _q_sample_by_hash,
         "doc_sentences": _q_doc_sentences,
         "decontaminate": _q_decontaminate,
@@ -1952,6 +1991,52 @@ def oracle_sql() -> dict[str, str]:
                 source=f"read_parquet('{os.path.join(FIXTURES_DIR, 'neardup.parquet')}')",
                 num_hashes=6,
                 band_size=1,
+            )
+        ),
+        "training_pipeline_full": f"""
+            WITH md AS (
+              SELECT doc_id, title, markdown FROM read_parquet('{_EXPECTED_MD}')
+            ),
+            spanc AS (
+              SELECT doc_id, count(*) AS n_spans
+              FROM read_parquet('{_EXPECTED_SPANS}') GROUP BY doc_id
+            ),
+            f AS (
+              SELECT doc_id,
+                length(markdown) AS n_chars_computed,
+                len(string_split_regex(trim(markdown), '\\s+')) AS n_tokens,
+                len(regexp_extract_all(markdown, '[^\\w\\s]')) AS n_punct,
+                len(list_filter(string_split(markdown, ' '), w -> w IN ('the','and','of','to','in','is'))) AS n_stop
+              FROM md
+            ),
+            q AS (
+              SELECT doc_id, n_tokens,
+                least(5, CAST(floor(n_tokens / 100) AS BIGINT))
+                + CASE WHEN CAST(floor(n_stop * 10000 / greatest(n_tokens, 1)) AS BIGINT) BETWEEN 100 AND 6000 THEN 2 ELSE 0 END
+                + CASE WHEN CAST(floor(n_punct * 10000 / greatest(n_chars_computed, 1)) AS BIGINT) <= 2000 THEN 1 ELSE 0 END
+                + CASE WHEN CAST(floor(n_chars_computed * 100 / greatest(n_tokens, 1)) AS BIGINT) BETWEEN 300 AND 1200 THEN 2 ELSE 0 END
+                AS quality_score
+              FROM f
+            ),
+            ch AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks FROM (
+                {{chunks}}
+              ) GROUP BY doc_id
+            )
+            SELECT md.doc_id, md.title, coalesce(spanc.n_spans, 0) AS n_spans,
+                   q.n_tokens, q.quality_score,
+                   coalesce(ch.n_chunks, 0) AS n_chunks,
+                   q.quality_score >= 4 AS kept
+            FROM md
+            LEFT JOIN spanc ON md.doc_id = spanc.doc_id
+            JOIN q ON md.doc_id = q.doc_id
+            LEFT JOIN ch ON md.doc_id = ch.doc_id
+        """.format(
+            chunks=__import__(
+                "fetch_engines_spark.pipelines.text", fromlist=["x"]
+            ).doc_chunks_sql(
+                max_tokens=24,
+                source=f"(SELECT doc_id, markdown AS text FROM read_parquet('{_EXPECTED_MD}'))",
             )
         ),
         "dedup_clusters_chain": __import__(
