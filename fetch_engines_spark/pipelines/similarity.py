@@ -55,11 +55,12 @@ def brute_force_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
     if query_ids is not None:
-        q = q.filter(F.col("query_id").isin(query_ids))
+        # bounded query set: broadcast it; all-pairs mode must not ship
+        # the whole corpus to every executor
+        q = F.broadcast(q.filter(F.col("query_id").isin(query_ids)))
     c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     scored = (
-        F.broadcast(q)
-        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        q.join(c, F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
@@ -484,9 +485,10 @@ def ivf_topk(
         .select("query_id", "qv", F.col("cent_id").alias("cell"))
     )
 
+    if query_ids is not None:
+        q_cells = F.broadcast(q_cells)  # bounded queries only (see brute_force_topk)
     candidates = (
-        F.broadcast(q_cells)
-        .join(assigned, "cell")
+        q_cells.join(assigned, "cell")
         .filter(F.col("query_id") != F.col("vid"))
         .select(
             "query_id",
@@ -582,7 +584,9 @@ def pq_topk(
             F.col(f"d{j}").alias(f"adc{j}"),
         )
         on = ["query_id", f"code{j}"] if j > 0 else [f"code{j}"]
-        scored = scored.join(F.broadcast(qd_j), on)
+        if query_ids is not None:
+            qd_j = F.broadcast(qd_j)  # per-query distance tables stay small
+        scored = scored.join(qd_j, on)
     adc = F.col("adc0")
     for j in range(1, m):
         adc = adc + F.col(f"adc{j}")
