@@ -931,35 +931,13 @@ def _q_corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data curation chain in ONE plan: quality gate +
     repetition gate + cross-doc substring-duplication gate (all three are
     independent per-doc/corpus signals), then exact-dup keeper election,
-    then per-source corpus stats with surviving token counts."""
-    from fetch_engines_spark.pipelines.dedup import duplicated_ngram_stats
-    from fetch_engines_spark.pipelines.text import quality_features, repetition_features
+    then per-source corpus stats with surviving token counts.  The chain
+    itself is the library operator pipelines/curation.curate_corpus, also
+    exposed as the spark-submit stage ``job --stage curate``."""
+    from fetch_engines_spark.pipelines.curation import curate_corpus, curation_stats
 
     docs = _read(spark, sf_dir, "documents")
-    q = quality_features(docs).select("doc_id", "quality_score", "n_tokens")
-    rep = repetition_features(docs).select("doc_id", "repetition_flagged")
-    sub = duplicated_ngram_stats(docs).select("doc_id", "shared_window_bp")
-    passed = (
-        docs.join(q, "doc_id")
-        .join(rep, "doc_id")
-        .join(sub, "doc_id")
-        .filter(
-            (F.col("quality_score") >= 4)
-            & (~F.col("repetition_flagged"))
-            & (F.col("shared_window_bp") < 5000)
-        )
-    )
-    keeper = (
-        passed.groupBy(F.md5("text").alias("h"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    kept = passed.join(keeper, "doc_id", "left_semi")
-    return kept.groupBy("source").agg(
-        F.count("*").alias("n_kept"),
-        F.sum("n_tokens").alias("kept_tokens"),
-        F.min("doc_id").alias("min_doc_id"),
-    )
+    return curation_stats(curate_corpus(docs))
 
 
 def _q_training_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -36,7 +36,34 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     )
     p.add_argument("--table-format", default="parquet", help="sink format (parquet, or iceberg when the runtime jar is present)")
     p.add_argument("--master", default=None)
+    p.add_argument(
+        "--stage",
+        default="extract",
+        choices=("extract", "curate"),
+        help="extract: spans→markdown with checkpoint/resume; curate: the "
+        "quality/repetition/substring-gate + exact-dup-keeper chain over a "
+        "documents(doc_id, text, source) table, writing kept corpus + stats",
+    )
+    p.add_argument("--min-quality", type=int, default=4)
+    p.add_argument("--max-shared-window-bp", type=int, default=5000)
     return p.parse_args(argv)
+
+
+def _run_curate(spark, args) -> dict:
+    from .pipelines.curation import curate_corpus, curation_stats
+
+    docs = spark.read.parquet(args.input)
+    kept = curate_corpus(
+        docs,
+        min_quality=args.min_quality,
+        max_shared_window_bp=args.max_shared_window_bp,
+    )
+    kept.write.mode("overwrite").parquet(f"{args.output}/kept")
+    stats = curation_stats(spark.read.parquet(f"{args.output}/kept"))
+    stats.write.mode("overwrite").parquet(f"{args.output}/stats")
+    n_in = docs.count()
+    n_kept = spark.read.parquet(f"{args.output}/kept").count()
+    return {"stage": "curate", "n_input": n_in, "n_kept": n_kept}
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -45,20 +72,23 @@ def main(argv: list[str] | None = None) -> int:
     from .checkpoint import run_extraction_job
     from .session import get_spark
 
-    spark = get_spark(app_name=f"fes-extract-{args.run_id}", master=args.master)
+    spark = get_spark(app_name=f"fes-{args.stage}-{args.run_id}", master=args.master)
     try:
-        documents = spark.read.parquet(args.input)
-        summary = run_extraction_job(
-            spark,
-            documents,
-            root=args.output,
-            run_id=args.run_id,
-            n_buckets=args.n_buckets,
-            num_partitions=args.partitions,
-            keep_markdown=args.keep_markdown,
-            table_format=args.table_format,
-            max_content_length=args.max_content_length,
-        )
+        if args.stage == "curate":
+            summary = _run_curate(spark, args)
+        else:
+            documents = spark.read.parquet(args.input)
+            summary = run_extraction_job(
+                spark,
+                documents,
+                root=args.output,
+                run_id=args.run_id,
+                n_buckets=args.n_buckets,
+                num_partitions=args.partitions,
+                keep_markdown=args.keep_markdown,
+                table_format=args.table_format,
+                max_content_length=args.max_content_length,
+            )
         print(json.dumps({"run_id": args.run_id, **summary}))
         return 0
     finally:

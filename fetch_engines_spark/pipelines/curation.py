@@ -1,0 +1,65 @@
+"""Corpus curation chain as a library operator (and spark-submit stage):
+quality gate + repetition gate + cross-doc substring-duplication gate,
+then exact-duplicate keeper election — the standard pre-training filter
+stack, composed into ONE Spark plan.
+
+The driver-contract query ``corpus_curation_full`` is this function plus
+a per-source aggregation; the spark-submit surface is
+``python -m fetch_engines_spark.job --stage curate``.
+
+Scale shape (10^12 docs): the quality and repetition signals are
+shuffle-free scan-stage columns; the substring gate adds one
+fingerprint aggregation + one equi-join (see
+dedup.duplicated_ngram_stats); keeper election is one hash-groupBy and
+one left-semi join.  Everything is map-side-combinable; no operator
+materializes per-group state proportional to corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import duplicated_ngram_stats
+from .text import quality_features, repetition_features
+
+
+def curate_corpus(
+    docs: DataFrame,
+    min_quality: int = 4,
+    max_shared_window_bp: int = 5000,
+    text_col: str = "text",
+) -> DataFrame:
+    """documents(doc_id, text, ...) → the kept subset (one doc per exact
+    duplicate group; passing all three quality gates), with the gate
+    signals carried as columns (quality_score, n_tokens,
+    repetition_flagged, shared_window_bp) for downstream auditing."""
+    q = quality_features(docs, text_col).select("doc_id", "quality_score", "n_tokens")
+    rep = repetition_features(docs, text_col).select("doc_id", "repetition_flagged")
+    sub = duplicated_ngram_stats(docs, text_col).select("doc_id", "shared_window_bp")
+    passed = (
+        docs.join(q, "doc_id")
+        .join(rep, "doc_id")
+        .join(sub, "doc_id")
+        .filter(
+            (F.col("quality_score") >= min_quality)
+            & (~F.col("repetition_flagged"))
+            & (F.col("shared_window_bp") < max_shared_window_bp)
+        )
+    )
+    keeper = (
+        passed.groupBy(F.md5(text_col).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return passed.join(keeper, "doc_id", "left_semi")
+
+
+def curation_stats(kept: DataFrame, group_col: str = "source") -> DataFrame:
+    """Per-group corpus stats over the kept set (the audit table a
+    curation run publishes alongside the corpus)."""
+    return kept.groupBy(group_col).agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_tokens").alias("kept_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
