@@ -39,13 +39,19 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument(
         "--stage",
         default="extract",
-        choices=("extract", "curate"),
+        choices=("extract", "curate", "dedup"),
         help="extract: spans→markdown with checkpoint/resume; curate: the "
         "quality/repetition/substring-gate + exact-dup-keeper chain over a "
-        "documents(doc_id, text, source) table, writing kept corpus + stats",
+        "documents(doc_id, text, source) table, writing kept corpus + stats; "
+        "dedup: MinHash-LSH candidates → Jaccard verify → connected "
+        "components → keepers, writing pairs/clusters/keepers",
     )
     p.add_argument("--min-quality", type=int, default=4)
     p.add_argument("--max-shared-window-bp", type=int, default=5000)
+    p.add_argument("--minhash-perms", type=int, default=128)
+    p.add_argument("--band-size", type=int, default=8)
+    p.add_argument("--max-bucket-size", type=int, default=2000)
+    p.add_argument("--jaccard-threshold-bp", type=int, default=7000)
     return p.parse_args(argv)
 
 
@@ -66,6 +72,43 @@ def _run_curate(spark, args) -> dict:
     return {"stage": "curate", "n_input": n_in, "n_kept": n_kept}
 
 
+def _run_dedup(spark, args) -> dict:
+    from pyspark.sql import functions as F
+
+    from .pipelines.dedup import (
+        connected_components_star,
+        minhash_candidate_pairs_fast,
+        ngram_jaccard,
+    )
+
+    docs = spark.read.parquet(args.input)
+    pairs = minhash_candidate_pairs_fast(
+        docs,
+        num_hashes=args.minhash_perms,
+        band_size=args.band_size,
+        max_bucket_size=args.max_bucket_size,
+    )
+    verified = ngram_jaccard(docs, pairs).filter(
+        F.col("jaccard_bp") >= args.jaccard_threshold_bp
+    )
+    verified.write.mode("overwrite").parquet(f"{args.output}/pairs")
+    verified = spark.read.parquet(f"{args.output}/pairs")
+    clusters = connected_components_star(verified)
+    clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
+    clusters = spark.read.parquet(f"{args.output}/clusters")
+    keepers = docs.join(
+        clusters.filter(~F.col("is_keeper")).select("doc_id"), "doc_id", "left_anti"
+    )
+    keepers.write.mode("overwrite").parquet(f"{args.output}/keepers")
+    return {
+        "stage": "dedup",
+        "n_input": docs.count(),
+        "n_dup_pairs": verified.count(),
+        "n_clustered": clusters.count(),
+        "n_keepers": spark.read.parquet(f"{args.output}/keepers").count(),
+    }
+
+
 def main(argv: list[str] | None = None) -> int:
     args = parse_args(argv if argv is not None else sys.argv[1:])
 
@@ -76,6 +119,8 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if args.stage == "curate":
             summary = _run_curate(spark, args)
+        elif args.stage == "dedup":
+            summary = _run_dedup(spark, args)
         else:
             documents = spark.read.parquet(args.input)
             summary = run_extraction_job(
