@@ -80,6 +80,38 @@ def test_range_join_binned_equals_naive_join(spark):
     assert got == naive and naive  # identical, and non-trivially populated
 
 
+def test_asof_join_matches_bruteforce_on_random_data(spark):
+    """Differential: on pseudo-random keys/timestamps (with deliberate
+    collisions), asof_join must equal the per-left-row brute-force
+    definition: the right row with max ts <= left ts, greatest tiebreak
+    id among ties."""
+    import random
+
+    rnd = random.Random(7)
+    lefts = [
+        (i, rnd.randrange(5), _ts(0) + dt.timedelta(seconds=rnd.randrange(50)))
+        for i in range(60)
+    ]
+    rights = [
+        (1000 + i, rnd.randrange(5), _ts(0) + dt.timedelta(seconds=rnd.randrange(50)), float(i))
+        for i in range(40)
+    ]
+    left = spark.createDataFrame(lefts, "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        rights, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {
+        r.event_id: r.asof_event_id
+        for r in asof_join(
+            left, right, on="user_id", right_cols=["event_id", "value"], tiebreak="event_id"
+        ).collect()
+    }
+    for le, lu, lt in lefts:
+        cands = [(rts, rid) for rid, ru, rts, _v in rights if ru == lu and rts <= lt]
+        expect = max(cands)[1] if cands else None  # (ts, id) max = latest, then greatest id
+        assert got[le] == expect, (le, got[le], expect)
+
+
 def test_salted_join_equals_plain_join_under_skew(spark):
     """Salting must not change the join result — verified on a corpus
     where one key holds 80% of the left rows (the skew case salting is
