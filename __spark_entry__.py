@@ -503,15 +503,24 @@ def _q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _scratch_dir(prefix: str) -> str:
     """Per-query scratch dir that reclaims its predecessors: results must
     stay readable for the caller's lazy collect, so each invocation
-    deletes the PREVIOUS runs' trees for the same prefix before creating
-    a fresh one — repeated bench/correctness rounds stay O(one run) of
-    /tmp instead of accumulating event-table copies and checkpoints."""
+    deletes PREVIOUS runs' trees for the same prefix before creating a
+    fresh one — repeated bench/correctness rounds stay O(one run) of
+    /tmp instead of accumulating event-table copies and checkpoints.
+    Only trees older than an hour are reclaimed, so a concurrent harness
+    process's live scratch (mid-stream input/checkpoint/sink) is never
+    clobbered."""
     import glob
     import shutil
     import tempfile
+    import time
 
+    cutoff = time.time() - 3600
     for old in glob.glob(os.path.join(tempfile.gettempdir(), f"{prefix}*")):
-        shutil.rmtree(old, ignore_errors=True)
+        try:
+            if os.path.getmtime(old) < cutoff:
+                shutil.rmtree(old, ignore_errors=True)
+        except OSError:
+            pass
     return tempfile.mkdtemp(prefix=prefix)
 
 

@@ -112,7 +112,9 @@ def _decode_pdf_string(raw: bytes) -> str:
 # --- document structure (object map, page tree, fonts) -----------------------
 
 _OBJ_START_RX = re.compile(rb"(\d+)\s+0\s+obj\b")
-_STREAM_START_RX = re.compile(rb"stream\r?\n")
+# keyword-anchored: must not match the suffix of words like "downstream\n"
+# inside stream-less object bodies (which would swallow later objects)
+_STREAM_START_RX = re.compile(rb"(?<![A-Za-z])stream\r?\n")
 
 
 def _objects(data: bytes) -> dict[int, bytes]:

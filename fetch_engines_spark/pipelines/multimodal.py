@@ -141,7 +141,12 @@ def decode_png(payload: bytes) -> dict:
     if not idat:
         raise ValueError("missing IDAT")
     ch = _PNG_CHANNELS[color_type]
-    if width * height > 64_000_000:  # declared-dimension sanity bound
+    # declared-dimension sanity bounds; zero dims must be rejected BEFORE
+    # the inflate (zlib treats max_length=0 as unlimited — a height=0
+    # header would re-open the decompression-bomb hole)
+    if width == 0 or height == 0:
+        raise ValueError(f"degenerate dimensions ({width}x{height})")
+    if width * height > 64_000_000:
         raise ValueError(f"image too large ({width}x{height})")
     stride = width * ch
     expected = height * (stride + 1)
@@ -276,6 +281,8 @@ def decode_gif(payload: bytes) -> dict:
             pos += 10
             if iflags & 0x40:
                 raise ValueError("interlaced GIF not supported")
+            if iw == 0 or ih == 0 or iw * ih > 64_000_000:
+                raise ValueError(f"bad dimensions ({iw}x{ih})")  # bounds LZW output
             table = gct
             if iflags & 0x80:
                 n = 2 << (iflags & 0x07)

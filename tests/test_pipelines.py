@@ -229,6 +229,58 @@ def test_png_decompression_bomb_bounded():
         decode_png(b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", big) + _png_chunk(b"IDAT", b"x") + _png_chunk(b"IEND", b""))
 
 
+def test_png_zero_height_bomb_rejected_before_inflate():
+    """height=0 must be rejected up front: zlib's max_length=0 means
+    UNLIMITED, so inflating first would re-open the bomb hole."""
+    import struct
+    import zlib
+
+    from scripts.build_fixture_data import _png_chunk
+
+    from fetch_engines_spark.pipelines.multimodal import decode_png
+
+    ihdr = struct.pack(">IIBBBBB", 16, 0, 8, 2, 0, 0, 0)
+    bomb = zlib.compress(b"\x00" * 20_000_000, 9)
+    payload = (
+        b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", bomb) + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="degenerate"):
+        decode_png(payload)
+
+
+def test_gif_dimension_bomb_rejected():
+    """A GIF declaring 65535x65535 must raise before LZW output grows."""
+    import struct
+
+    from fetch_engines_spark.pipelines.multimodal import decode_gif
+
+    gif = bytearray(b"GIF89a")
+    gif += struct.pack("<HHBBB", 4, 4, 0x80, 0, 0)
+    gif += b"\x00\x00\x00\xff\xff\xff"  # 2-entry palette
+    gif += b"\x2c" + struct.pack("<HHHHB", 0, 0, 65535, 65535, 0)
+    gif += b"\x02\x01\x4c\x00\x3b"
+    with pytest.raises(ValueError, match="bad dimensions"):
+        decode_gif(bytes(gif))
+
+
+def test_pdf_word_suffix_stream_does_not_swallow_objects():
+    """An object body containing the word 'downstream' (no real stream)
+    must not swallow subsequent objects in the scan."""
+    from fetch_engines_spark.pdf import _objects
+
+    data = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R /Note (the downstream\npath) >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length 20 >>\nstream\nBT (x) Tj ET\nendstream\nendobj\n"
+    )
+    objs = _objects(data)
+    assert set(objs) == {1, 2, 3, 4}
+    assert b"/Kids" in objs[2]
+
+
 def test_gif_truncations_raise_valueerror_not_indexerror():
     import scripts.build_fixture_data as bfd
 
