@@ -369,6 +369,17 @@ def _q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_hashed_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text → embedding by the signed hashing trick (integer weights,
+    long form) — the in-engine embedding generator that completes the
+    text→embedding→ANN retrieval stack (end-to-end test:
+    tests/test_pipelines.py::test_text_to_ann_retrieval_end_to_end)."""
+    from fetch_engines_spark.pipelines.text import hashed_embedding_entries
+
+    docs = _read(spark, sf_dir, "documents")
+    return hashed_embedding_entries(docs, dims=64)
+
+
 def _q_doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 salient terms per document (rational tf-idf, integer-exact)."""
     from fetch_engines_spark.pipelines.text import doc_term_scores
@@ -1519,6 +1530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_percentiles": _q_events_percentiles,
         "events_histogram": _q_events_histogram,
         "doc_tfidf_topk": _q_doc_tfidf_topk,
+        "doc_hashed_embedding": _q_doc_hashed_embedding,
         "salted_join": _q_salted_join,
         "bucketed_join": _q_bucketed_join,
         "partition_pruned_scan": _q_partition_pruned_scan,
@@ -1836,6 +1848,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_tfidf_topk": __import__(
             "fetch_engines_spark.pipelines.text", fromlist=["x"]
         ).doc_term_scores_sql(k=5),
+        "doc_hashed_embedding": __import__(
+            "fetch_engines_spark.pipelines.text", fromlist=["x"]
+        ).hashed_embedding_sql(dims=64),
         "salted_join": """
             -- semantic twin: the PLAIN join (salting must not change results)
             SELECT c.c_nationkey AS c_nationkey, count(*) AS n_orders,

@@ -643,6 +643,42 @@ def test_cap_per_stratum_is_deterministic_and_bounded(spark):
     assert max(r.stratum_rank for r in a) == 5
 
 
+def test_text_to_ann_retrieval_end_to_end(spark):
+    """The full in-engine retrieval stack on text alone: documents →
+    signed-hashing-trick embeddings → dense arrays → multi-table LSH
+    top-k.  A near-verbatim copy of a doc must retrieve its source as
+    the top hit (identical text ⇒ identical vector ⇒ every bucket
+    collides)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from fetch_engines_spark.pipelines.similarity import lsh_topk_multi
+    from fetch_engines_spark.pipelines.text import (
+        assemble_embedding_array,
+        hashed_embedding_entries,
+    )
+
+    base = [
+        (i, " ".join(f"tok{(i * 17 + j * 3) % 50}" for j in range(40)))
+        for i in range(30)
+    ]
+    dups = [(100 + i, t) for i, t in base[:5]]  # verbatim copies
+    docs = spark.createDataFrame(base + dups, "doc_id long, text string")
+    entries = hashed_embedding_entries(docs, dims=64)
+    emb = assemble_embedding_array(entries, dims=64).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    top = lsh_topk_multi(
+        emb, k=1, num_tables=4, planes_per_table=12, dims=64,
+        query_ids=[100 + i for i in range(5)],
+    )
+    got = {r.query_id: (r.neighbor_id, r.cosine_bp) for r in top.collect()}
+    for i in range(5):
+        nid, bp = got[100 + i]
+        # identical vectors: cosine 1.0 floors to 9999/10000 bp depending
+        # on sqrt rounding — either means an exact-duplicate hit
+        assert nid == i and bp >= 9999, (i, nid, bp)
+
+
 def test_star_cc_handles_chains_plain_cc_cannot(spark):
     """Large-star/small-star contraction: a diameter-120 chain converges
     in O(log n) rounds where plain propagation raises at max_iter=25; on
