@@ -40,6 +40,12 @@ ANNOTATIONS = {
     "partition_pruned_scan": "The date filter lands in PartitionFilters — the scan lists one partition directory; at 100 TB this is the difference between reading a day and reading the corpus.",
     "decontaminate": "Benchmark window fingerprints broadcast (BroadcastHashJoin, LEFT); one map-side-combinable per-doc aggregation — the training corpus never shuffles for the decontamination check.",
     "doc_tfidf_topk": "One token explode feeds both the tf and document-frequency aggregations; corpus count broadcast; rank-k via WindowGroupLimit.",
+    "bucketed_join": "Both tables bucketBy(8, custkey): the SortMergeJoin reads the bucket layout with ZERO join-side Exchange — the only shuffle is the final aggregation's.",
+    "dedup_clusters_chain": "Large-star/small-star contraction over chain-shaped dup graphs: O(log n) groupBy-min + join rounds (plain propagation would need O(diameter)).",
+    "training_pipeline_full": "Extraction (one Arrow stage) + quality columns + chunk window + joins in a single composed plan — the whole engine end-to-end.",
+    "doc_hashed_embedding": "Signed hashing-trick embedding: one token explode + one map-side-combinable groupBy on (doc, bucket) — integer weights, engine-exact.",
+    "events_rollup": "All three grouping sets (type×day, type, total) computed in one pass with partial aggregation map-side.",
+    "events_percentiles": "Exact discrete percentiles: one rank window per type + conditional aggregation — no interpolation, no approximation.",
 }
 
 
