@@ -643,6 +643,33 @@ def test_cap_per_stratum_is_deterministic_and_bounded(spark):
     assert max(r.stratum_rank for r in a) == 5
 
 
+def test_curate_corpus_gates_and_keeper_election(spark):
+    """Library-level curation semantics: with the substring gate active,
+    exact duplicates die THERE (they share every window, bp=10000) along
+    with quality/repetition failures; with it disabled, the dup pair
+    reaches keeper election and min doc_id wins."""
+    from fetch_engines_spark.pipelines.curation import curate_corpus
+
+    # a REAL gate-passing text (synthetic templates trip the Gopher
+    # repetition signals, which is itself the gates working)
+    sf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    good = (
+        curate_corpus(sf).orderBy("doc_id").select("text").limit(1).collect()[0].text
+    )
+    rows = [
+        (1, good, "a"),
+        (2, good, "a"),            # exact dup of 1
+        (3, "spam spam spam spam spam spam spam spam", "b"),  # repetition gate
+        (4, "too short", "b"),     # quality gate
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # default thresholds: the dup PAIR trips the cross-doc substring gate
+    assert {r.doc_id for r in curate_corpus(docs).collect()} == set()
+    # substring gate off: quality+repetition pass doc 1/2, keeper = min id
+    kept = {r.doc_id for r in curate_corpus(docs, max_shared_window_bp=10001).collect()}
+    assert kept == {1}
+
+
 def test_text_to_ann_retrieval_end_to_end(spark):
     """The full in-engine retrieval stack on text alone: documents →
     signed-hashing-trick embeddings → dense arrays → multi-table LSH
