@@ -511,28 +511,27 @@ def _q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, k=5, n_centroids=8, n_probe=2, query_ids=list(range(10)))
 
 
+_SCRATCH_DIRS: dict[str, str] = {}
+
+
 def _scratch_dir(prefix: str) -> str:
-    """Per-query scratch dir that reclaims its predecessors: results must
-    stay readable for the caller's lazy collect, so each invocation
-    deletes PREVIOUS runs' trees for the same prefix before creating a
-    fresh one — repeated bench/correctness rounds stay O(one run) of
-    /tmp instead of accumulating event-table copies and checkpoints.
-    Only trees older than an hour are reclaimed, so a concurrent harness
-    process's live scratch (mid-stream input/checkpoint/sink) is never
-    clobbered."""
-    import glob
+    """Per-query scratch dir that reclaims THIS process's predecessor for
+    the same prefix: results must stay readable for the caller's lazy
+    collect, so the previous tree is deleted only when the next
+    invocation supersedes it — repeated bench/correctness rounds stay
+    O(one run) of /tmp per process without ever touching another
+    process's live scratch (mtime heuristics can't distinguish an
+    abandoned tree from a >1h-running stream's checkpoint; ownership
+    tracking can)."""
     import shutil
     import tempfile
-    import time
 
-    cutoff = time.time() - 3600
-    for old in glob.glob(os.path.join(tempfile.gettempdir(), f"{prefix}*")):
-        try:
-            if os.path.getmtime(old) < cutoff:
-                shutil.rmtree(old, ignore_errors=True)
-        except OSError:
-            pass
-    return tempfile.mkdtemp(prefix=prefix)
+    prev = _SCRATCH_DIRS.pop(prefix, None)
+    if prev:
+        shutil.rmtree(prev, ignore_errors=True)
+    d = tempfile.mkdtemp(prefix=prefix)
+    _SCRATCH_DIRS[prefix] = d
+    return d
 
 
 def _q_streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:

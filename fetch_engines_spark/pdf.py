@@ -58,7 +58,9 @@ PDF_OUTPUT_SCHEMA = StructType(
 )
 
 _OBJ_RX = re.compile(rb"\d+\s+0\s+obj\b(.*?)endobj", re.S)
-_STREAM_RX = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
+# keyword-anchored like _STREAM_START_RX: must not match the suffix of
+# words like "downstream\n" occurring before the real stream keyword
+_STREAM_RX = re.compile(rb"(?<![A-Za-z])stream\r?\n(.*?)\r?\nendstream", re.S)
 
 _TOKEN_RX = re.compile(
     rb"""

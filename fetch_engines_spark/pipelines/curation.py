@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import duplicated_ngram_stats
-from .text import quality_features, repetition_features
+from .text import quality_columns, repetition_columns
 
 
 def curate_corpus(
@@ -33,14 +33,22 @@ def curate_corpus(
     """documents(doc_id, text, ...) → the kept subset (one doc per exact
     duplicate group; passing all three quality gates), with the gate
     signals carried as columns (quality_score, n_tokens,
-    repetition_flagged, shared_window_bp) for downstream auditing."""
-    q = quality_features(docs, text_col).select("doc_id", "quality_score", "n_tokens")
-    rep = repetition_features(docs, text_col).select("doc_id", "repetition_flagged")
+    repetition_flagged, shared_window_bp) for downstream auditing.
+
+    The quality and repetition signals are pure per-row expressions and
+    ride the SCAN (withColumns — no join, no shuffle); only the
+    cross-doc substring signal genuinely aggregates, so the chain's
+    corpus-wide shuffles are exactly that aggregation's."""
+    qc = quality_columns(text_col)
+    rc = repetition_columns(text_col)
+    enriched = (
+        docs.withColumn("quality_score", qc["quality_score"])
+        .withColumn("n_tokens", qc["n_tokens"])
+        .withColumn("repetition_flagged", rc["repetition_flagged"])
+    )
     sub = duplicated_ngram_stats(docs, text_col).select("doc_id", "shared_window_bp")
     passed = (
-        docs.join(q, "doc_id")
-        .join(rep, "doc_id")
-        .join(sub, "doc_id")
+        enriched.join(sub, "doc_id")
         .filter(
             (F.col("quality_score") >= min_quality)
             & (~F.col("repetition_flagged"))

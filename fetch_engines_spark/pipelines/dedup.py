@@ -577,12 +577,18 @@ def connected_components_star(
             "may be TRUNCATED",
             stacklevel=2,
         )
-    # converged edge set is a star forest: (root=u, child=v)
-    labels = nodes.join(
-        edges.select(F.col("v").alias("n"), F.col("u").alias("component")), "n", "left"
-    ).select(
-        F.col("n").alias("doc_id"),
-        F.coalesce(F.col("component"), F.col("n")).alias("component"),
+    # converged edge set is a star forest: (root=u, child=v).  The min
+    # aggregation is a no-op when converged (one edge per child) but
+    # guarantees one row per doc_id even on a strict=False truncated
+    # graph where a node may still touch several would-be roots.
+    labels = (
+        nodes.join(
+            edges.select(F.col("v").alias("n"), F.col("u").alias("component")),
+            "n",
+            "left",
+        )
+        .groupBy(F.col("n").alias("doc_id"))
+        .agg(F.min(F.coalesce(F.col("component"), F.col("n"))).alias("component"))
     )
     return labels.select(
         "doc_id", "component", (F.col("doc_id") == F.col("component")).alias("is_keeper")

@@ -65,11 +65,9 @@ def punct_count(text: Column) -> Column:
     return F.regexp_count(text, F.lit(_PUNCT_RX))
 
 
-def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Quality-scoring features: length, token counts, punct/stopword ratios
-    (integer-scaled ×10000 so the DuckDB oracle matches bit-for-bit),
-    plus a composite quality_score.
-    """
+def quality_columns(text_col: str = "text") -> dict:
+    """The quality signals as named Column expressions (pure per-row —
+    compose them onto any scan with withColumns; no join needed)."""
     t = F.col(text_col)
     n_chars = F.length(t)
     n_tokens = token_count_whitespace(t)
@@ -84,17 +82,25 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         + F.when(punct_ratio_bp <= 2000, 1).otherwise(0)
         + F.when((mean_token_len_cp >= 300) & (mean_token_len_cp <= 1200), 2).otherwise(0)
     )
-    return df.select(
-        F.col("doc_id"),
-        n_chars.alias("n_chars_computed"),
-        n_tokens.alias("n_tokens"),
-        token_count_bpe_ish(t).alias("n_tokens_bpe"),
-        n_punct.alias("n_punct"),
-        punct_ratio_bp.alias("punct_ratio_bp"),
-        stop_ratio_bp.alias("stop_ratio_bp"),
-        mean_token_len_cp.alias("mean_token_len_cp"),
-        score.alias("quality_score"),
-    )
+    return {
+        "n_chars_computed": n_chars,
+        "n_tokens": n_tokens,
+        "n_tokens_bpe": token_count_bpe_ish(t),
+        "n_punct": n_punct,
+        "punct_ratio_bp": punct_ratio_bp,
+        "stop_ratio_bp": stop_ratio_bp,
+        "mean_token_len_cp": mean_token_len_cp,
+        "quality_score": score,
+    }
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: length, token counts, punct/stopword ratios
+    (integer-scaled ×10000 so the DuckDB oracle matches bit-for-bit),
+    plus a composite quality_score.
+    """
+    cols = quality_columns(text_col)
+    return df.select(F.col("doc_id"), *[c.alias(n) for n, c in cols.items()])
 
 
 def winnowing_fingerprints(text: Column, k: int = 3, window: int = 4) -> Column:
@@ -137,6 +143,13 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     smaller gram because runs of a sorted array arrive in ascending order
     and only a strictly longer run replaces the best).
     """
+    cols = repetition_columns(text_col)
+    return df.select(F.col("doc_id"), *[c.alias(n) for n, c in cols.items()])
+
+
+def repetition_columns(text_col: str = "text") -> dict:
+    """The Gopher repetition signals as named Column expressions (pure
+    per-row HOFs — compose onto any scan; no join needed)."""
     from .dedup import shingles
 
     t = F.col(text_col)
@@ -192,15 +205,14 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         | ((best["best_run"] > 1) & (top_bigram_char_bp > 2000))
         | (dup_5gram_bp > 3000)
     )
-    return df.select(
-        F.col("doc_id"),
-        dup_word_bp.cast("long").alias("dup_word_bp"),
-        best["best_run"].cast("long").alias("top_bigram_count"),
-        best["best_gram"].alias("top_bigram"),
-        top_bigram_char_bp.cast("long").alias("top_bigram_char_bp"),
-        dup_5gram_bp.cast("long").alias("dup_5gram_bp"),
-        flagged.alias("repetition_flagged"),
-    )
+    return {
+        "dup_word_bp": dup_word_bp.cast("long"),
+        "top_bigram_count": best["best_run"].cast("long"),
+        "top_bigram": best["best_gram"],
+        "top_bigram_char_bp": top_bigram_char_bp.cast("long"),
+        "dup_5gram_bp": dup_5gram_bp.cast("long"),
+        "repetition_flagged": flagged,
+    }
 
 
 def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame:
