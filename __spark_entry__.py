@@ -466,6 +466,16 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(docs)
 
 
+def _q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs by the pigeonhole block join (Manku et al.
+    shape): 32-bit signatures, 4 blocks, candidate recall EXACT for
+    hamming ≤ 3 by construction, integer bit_count verify."""
+    from fetch_engines_spark.pipelines.dedup import simhash_candidate_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_candidate_pairs(docs, bits=32, n_blocks=4, max_hamming=3)
+
+
 def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fetch_engines_spark.pipelines.similarity import brute_force_topk
 
@@ -1548,6 +1558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_capped": _q_dedup_minhash_capped,
         "dedup_minhash_prod": _q_dedup_minhash_prod,
         "dedup_simhash": _q_simhash,
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "embedding_topk": _q_embedding_topk,
         "embedding_topk_lsh": _q_embedding_topk_lsh,
         "embedding_topk_lsh_planted": _q_embedding_topk_lsh_planted,
@@ -2064,6 +2075,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": __import__(
             "fetch_engines_spark.pipelines.dedup", fromlist=["x"]
         ).simhash_oracle_sql(),
+        "dedup_simhash_pairs": __import__(
+            "fetch_engines_spark.pipelines.dedup", fromlist=["x"]
+        ).simhash_pairs_oracle_sql(bits=32, n_blocks=4, max_hamming=3),
         "embedding_topk": BRUTE_FORCE_TOPK_SQL.format(nq=10, k=5),
         "embedding_topk_lsh": __import__(
             "fetch_engines_spark.pipelines.similarity", fromlist=["x"]

@@ -667,6 +667,88 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
     return agg.select("doc_id", sig.cast("long").alias("simhash"))
 
 
+def simhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    bits: int = 32,
+    n_blocks: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate pairs via the pigeonhole block construction
+    (Manku et al., "Detecting Near-Duplicates for Web Crawling"): split
+    the ``bits``-bit signature into ``n_blocks`` blocks and join on
+    (block_id, block_value) — any pair within ``max_hamming`` ≤
+    n_blocks−1 differing bits shares at least one untouched block, so
+    candidate recall is EXACT by pigeonhole; an integer bit_count(xor)
+    filter then verifies the distance.  Shuffle cost: one n_blocks-way
+    stack + one equi-join — never all-pairs; at 10^12 docs use 64-bit
+    signatures with more/larger blocks (same construction).
+    Returns (doc_a, doc_b, hamming)."""
+    if max_hamming >= n_blocks:
+        raise ValueError("pigeonhole guarantee needs max_hamming < n_blocks")
+    block = bits // n_blocks
+    sig = simhash(df, text_col, bits=bits)
+    stacked = sig.select(
+        "doc_id",
+        "simhash",
+        F.expr(
+            "stack({n}, {args}) as (block_id, block_val)".format(
+                n=n_blocks,
+                args=", ".join(
+                    f"{b}, CAST(shiftright(simhash, {b * block}) % {1 << block} AS BIGINT)"
+                    for b in range(n_blocks)
+                ),
+            )
+        ),
+    )
+    pairs = (
+        stacked.alias("l")
+        .join(
+            stacked.alias("r"),
+            (F.col("l.block_id") == F.col("r.block_id"))
+            & (F.col("l.block_val") == F.col("r.block_val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_pairs_oracle_sql(
+    source: str = "documents",
+    bits: int = 32,
+    n_blocks: int = 4,
+    max_hamming: int = 3,
+) -> str:
+    """DuckDB twin of simhash_candidate_pairs: same signature, same block
+    split, same bit_count verify."""
+    block = bits // n_blocks
+    sig = simhash_oracle_sql(bits=bits, source=source)
+    branches = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, {b} AS block_id, "
+        f"CAST((simhash >> {b * block}) % {1 << block} AS BIGINT) AS block_val FROM sigs"
+        for b in range(n_blocks)
+    )
+    return f"""
+WITH sigs AS ({sig}),
+stacked AS (
+  {branches}
+)
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       bit_count(xor(l.simhash, r.simhash)) AS hamming
+FROM stacked l JOIN stacked r
+  ON l.block_id = r.block_id AND l.block_val = r.block_val AND l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= {max_hamming}
+"""
+
+
 # --- DuckDB oracle twins -----------------------------------------------------
 
 EXACT_DUP_SQL = """

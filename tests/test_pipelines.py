@@ -643,6 +643,28 @@ def test_cap_per_stratum_is_deterministic_and_bounded(spark):
     assert max(r.stratum_rank for r in a) == 5
 
 
+def test_simhash_pairs_pigeonhole_recall_is_exact(spark):
+    """The block join must contain EVERY pair within max_hamming (the
+    pigeonhole guarantee), verified against brute-force hamming over all
+    signature pairs, with zero false positives after the verify filter."""
+    from itertools import combinations
+
+    from fetch_engines_spark.pipelines.dedup import simhash, simhash_candidate_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sigs = {r.doc_id: r.simhash for r in simhash(docs, bits=32).collect()}
+    truth = {
+        (a, b)
+        for a, b in combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_candidate_pairs(docs, bits=32, n_blocks=4, max_hamming=3).collect()
+    }
+    assert got == truth and truth  # exact recall, no false positives, non-trivial
+
+
 def test_curate_corpus_gates_and_keeper_election(spark):
     """Library-level curation semantics: with the substring gate active,
     exact duplicates die THERE (they share every window, bp=10000) along
