@@ -35,6 +35,12 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",
+    # the round-3 weak path, now visible in the bench: 32-bit pigeonhole
+    # pairs (demo config), the 64-bit/16-bit-block scale config, and the
+    # bucket-capped adversarial variant (5000 identical docs)
+    "dedup_simhash_pairs",
+    "dedup_simhash64_pairs",
+    "dedup_simhash_capped",
     "embedding_topk",
     "embedding_topk_lsh",
 ]

@@ -232,47 +232,19 @@ def minhash_candidate_pairs_fast(
 
 
 def _pairs_from_buckets(b: DataFrame, max_bucket_size: int | None) -> DataFrame:
-    if max_bucket_size is None:
-        left = b.alias("l")
-        right = b.alias("r")
-        return (
-            left.join(
-                right,
-                (F.col("l.band_id") == F.col("r.band_id"))
-                & (F.col("l.band_key") == F.col("r.band_key"))
-                & (F.col("l.doc_id") < F.col("r.doc_id")),
-            )
-            .select(
-                F.col("l.doc_id").alias("doc_a"),
-                F.col("r.doc_id").alias("doc_b"),
-            )
-            .distinct()
-        )
+    """Bucket-local pair join with the shared degenerate-bucket guard
+    (see pipelines.candidates.bucket_pairs for the cap semantics)."""
+    from .candidates import bucket_pairs
 
-    from pyspark.sql import Window
-
-    sized = b.withColumn(
-        "bucket_n", F.count("*").over(Window.partitionBy("band_id", "band_key"))
+    return bucket_pairs(
+        b,
+        ["band_id", "band_key"],
+        "doc_id",
+        sig_col="sig_key",
+        max_bucket_size=max_bucket_size,
+        out_a="doc_a",
+        out_b="doc_b",
     )
-    small = sized.filter(F.col("bucket_n") <= max_bucket_size).drop("bucket_n", "sig_key")
-    small_pairs = (
-        small.alias("l")
-        .join(
-            small.alias("r"),
-            (F.col("l.band_id") == F.col("r.band_id"))
-            & (F.col("l.band_key") == F.col("r.band_key"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
-    )
-    big = sized.filter(F.col("bucket_n") > max_bucket_size)
-    reps = big.groupBy("band_id", "band_key", "sig_key").agg(F.min("doc_id").alias("rep"))
-    star_pairs = (
-        big.join(reps, ["band_id", "band_key", "sig_key"])
-        .filter(F.col("doc_id") != F.col("rep"))
-        .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
-    )
-    return small_pairs.unionByName(star_pairs).distinct()
 
 
 def duplicated_ngram_stats(df: DataFrame, text_col: str = "text", n: int = 8) -> DataFrame:
@@ -673,6 +645,7 @@ def simhash_candidate_pairs(
     bits: int = 32,
     n_blocks: int = 4,
     max_hamming: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs via the pigeonhole block construction
     (Manku et al., "Detecting Near-Duplicates for Web Crawling"): split
@@ -681,16 +654,31 @@ def simhash_candidate_pairs(
     n_blocks−1 differing bits shares at least one untouched block, so
     candidate recall is EXACT by pigeonhole; an integer bit_count(xor)
     filter then verifies the distance.  Shuffle cost: one n_blocks-way
-    stack + one equi-join — never all-pairs; at 10^12 docs use 64-bit
-    signatures with more/larger blocks (same construction).
+    stack + one equi-join — never all-pairs.
+
+    ``max_bucket_size`` is the shared degenerate-bucket skew guard
+    (pipelines.candidates.bucket_pairs): identical/boilerplate documents
+    share every block value, so without a cap one hot (block_id,
+    block_val) key makes the self-join quadratic; capped, those buckets
+    take the linear signature-star path.  At web scale ALWAYS set it, and
+    prefer :func:`simhash_candidate_pairs64` (64-bit signatures, 16-bit
+    blocks) — 32-bit/8-bit-block buckets hold ~N/256 docs each, which is
+    itself quadratic at 10^9+ docs even without skew.
     Returns (doc_a, doc_b, hamming)."""
     if max_hamming >= n_blocks:
         raise ValueError("pigeonhole guarantee needs max_hamming < n_blocks")
+    from .candidates import bucket_pairs
+
     block = bits // n_blocks
-    sig = simhash(df, text_col, bits=bits)
+    sig = simhash(df, text_col, bits=bits).localCheckpoint(eager=True)
+    sig_cols = (
+        [F.md5(F.col("simhash").cast("string")).alias("sig_key")]
+        if max_bucket_size is not None
+        else []
+    )
     stacked = sig.select(
         "doc_id",
-        "simhash",
+        *sig_cols,
         F.expr(
             "stack({n}, {args}) as (block_id, block_val)".format(
                 n=n_blocks,
@@ -701,24 +689,143 @@ def simhash_candidate_pairs(
             )
         ),
     )
-    pairs = (
-        stacked.alias("l")
-        .join(
-            stacked.alias("r"),
-            (F.col("l.block_id") == F.col("r.block_id"))
-            & (F.col("l.block_val") == F.col("r.block_val"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
+    pairs = bucket_pairs(
+        stacked,
+        ["block_id", "block_val"],
+        "doc_id",
+        sig_col="sig_key",
+        max_bucket_size=max_bucket_size,
+        out_a="doc_a",
+        out_b="doc_b",
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash as two 32-bit halves (doc_id, sim_lo, sim_hi).
+
+    Two salted md5s per token (the low half votes from md5(token), the
+    high half from md5('hi|' || token)) extend the md5-hex construction
+    of :func:`simhash` past its 32-bit cap; splitting the signature into
+    two non-negative 32-bit longs keeps every block/xor/bit_count
+    downstream in plain positive int64 arithmetic on BOTH engines (no
+    signed-top-bit portability trap).  Still one explode + one
+    map-side-combinable groupBy — the scale-safe shape at 10^12 docs."""
+    toks = df.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).select(
+        "doc_id",
+        F.md5("tok").alias("h1"),
+        F.md5(F.concat(F.lit("hi|"), F.col("tok"))).alias("h2"),
+    )
+    votes = []
+    for i in range(32):
+        votes.append(
+            F.sum(F.when(F.substring("h1", i + 1, 1) >= "8", 1).otherwise(-1)).alias(
+                f"lo{i}"
+            )
+        )
+        votes.append(
+            F.sum(F.when(F.substring("h2", i + 1, 1) >= "8", 1).otherwise(-1)).alias(
+                f"hi{i}"
+            )
+        )
+    agg = toks.groupBy("doc_id").agg(*votes)
+    lo, hi = None, None
+    for i in range(32):
+        lob = F.when(F.col(f"lo{i}") > 0, F.lit(1 << i)).otherwise(0)
+        hib = F.when(F.col(f"hi{i}") > 0, F.lit(1 << i)).otherwise(0)
+        lo = lob if lo is None else lo + lob
+        hi = hib if hi is None else hi + hib
+    return agg.select(
+        "doc_id", lo.cast("long").alias("sim_lo"), hi.cast("long").alias("sim_hi")
+    )
+
+
+def simhash_candidate_pairs64(
+    df: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """SimHash near-dup pairs at the web-scale configuration: 64-bit
+    signatures, 4 × 16-bit pigeonhole blocks (Manku et al.), shared
+    degenerate-bucket cap.
+
+    16-bit blocks give 65,536 distinct values per block_id, so even a
+    uniform corpus keeps expected bucket size at N/65,536 (vs N/256 for
+    the 32-bit/8-bit-block demo config — the difference between a
+    survivable and a quadratic join at 10^9 docs); ``max_bucket_size``
+    routes the residual hot buckets (identical/empty boilerplate docs)
+    to the linear signature-star path via the shared
+    pipelines.candidates.bucket_pairs guard.  Candidate recall for
+    hamming ≤ ``max_hamming`` (< 4) is exact by pigeonhole across the
+    two halves.  Returns (doc_a, doc_b, hamming)."""
+    if max_hamming >= 4:
+        raise ValueError("pigeonhole guarantee needs max_hamming < 4 blocks")
+    from .candidates import bucket_pairs
+
+    sig = simhash64(df, text_col).localCheckpoint(eager=True)
+    sig_cols = (
+        [F.md5(F.concat_ws("|", F.col("sim_lo"), F.col("sim_hi"))).alias("sig_key")]
+        if max_bucket_size is not None
+        else []
+    )
+    stacked = sig.select(
+        "doc_id",
+        *sig_cols,
+        F.expr(
+            "stack(4, "
+            "0, CAST(sim_lo % 65536 AS BIGINT), "
+            "1, CAST(shiftright(sim_lo, 16) AS BIGINT), "
+            "2, CAST(sim_hi % 65536 AS BIGINT), "
+            "3, CAST(shiftright(sim_hi, 16) AS BIGINT)"
+            ") as (block_id, block_val)"
+        ),
+    )
+    pairs = bucket_pairs(
+        stacked,
+        ["block_id", "block_val"],
+        "doc_id",
+        sig_col="sig_key",
+        max_bucket_size=max_bucket_size,
+        out_a="doc_a",
+        out_b="doc_b",
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sim_lo").alias("la"),
+        F.col("sim_hi").alias("ha"),
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sim_lo").alias("lb"),
+        F.col("sim_hi").alias("hb"),
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
+                + F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
             ).alias("hamming"),
         )
-        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
     )
-    return pairs.filter(F.col("hamming") <= max_hamming)
 
 
 def simhash_pairs_oracle_sql(
@@ -746,6 +853,102 @@ SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
 FROM stacked l JOIN stacked r
   ON l.block_id = r.block_id AND l.block_val = r.block_val AND l.doc_id < r.doc_id
 WHERE bit_count(xor(l.simhash, r.simhash)) <= {max_hamming}
+"""
+
+
+def simhash64_oracle_sql(source: str = "documents") -> str:
+    """DuckDB twin of simhash64(): two salted md5s per token, same
+    hex-digit majority rule, two 32-bit halves."""
+    votes = ",\n    ".join(
+        f"sum(CASE WHEN substr(h1, {i + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS lo{i},\n"
+        f"    sum(CASE WHEN substr(h2, {i + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS hi{i}"
+        for i in range(32)
+    )
+    lo = " + ".join(f"CASE WHEN lo{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(32))
+    hi = " + ".join(f"CASE WHEN hi{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(32))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, md5(tok) AS h1, md5('hi|' || tok) AS h2
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM {source})
+),
+votes AS (
+  SELECT doc_id,
+    {votes}
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, CAST({lo} AS BIGINT) AS sim_lo, CAST({hi} AS BIGINT) AS sim_hi FROM votes
+"""
+
+
+def simhash_pairs64_oracle_sql(
+    source: str = "documents",
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+) -> str:
+    """DuckDB twin of simhash_candidate_pairs64: same 4 × 16-bit block
+    split, same bucket cap + signature-star routing, same two-half
+    bit_count verify."""
+    sig = simhash64_oracle_sql(source)
+    branches = "\nUNION ALL\n".join(
+        f"SELECT doc_id, sig_key, {b} AS block_id, CAST({expr} AS BIGINT) AS block_val FROM keyed"
+        for b, expr in enumerate(
+            [
+                "sim_lo % 65536",
+                "sim_lo >> 16",
+                "sim_hi % 65536",
+                "sim_hi >> 16",
+            ]
+        )
+    )
+    if max_bucket_size is None:
+        pair_cte = """
+pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM stacked l JOIN stacked r
+    ON l.block_id = r.block_id AND l.block_val = r.block_val AND l.doc_id < r.doc_id
+)"""
+    else:
+        pair_cte = f"""
+sized AS (
+  SELECT *, count(*) OVER (PARTITION BY block_id, block_val) AS bucket_n FROM stacked
+),
+small AS (SELECT * FROM sized WHERE bucket_n <= {max_bucket_size}),
+small_pairs AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM small l JOIN small r
+    ON l.block_id = r.block_id AND l.block_val = r.block_val AND l.doc_id < r.doc_id
+),
+big AS (SELECT * FROM sized WHERE bucket_n > {max_bucket_size}),
+reps AS (
+  SELECT block_id, block_val, sig_key, min(doc_id) AS rep
+  FROM big GROUP BY block_id, block_val, sig_key
+),
+star_pairs AS (
+  SELECT r.rep AS doc_a, g.doc_id AS doc_b
+  FROM big g JOIN reps r USING (block_id, block_val, sig_key)
+  WHERE g.doc_id <> r.rep
+),
+pairs AS (
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT * FROM small_pairs UNION ALL SELECT * FROM star_pairs
+  )
+)"""
+    return f"""
+WITH sigs AS ({sig}),
+keyed AS (
+  SELECT doc_id, sim_lo, sim_hi,
+         md5(CAST(sim_lo AS VARCHAR) || '|' || CAST(sim_hi AS VARCHAR)) AS sig_key
+  FROM sigs
+),
+stacked AS (
+  {branches}
+),{pair_cte}
+SELECT p.doc_a, p.doc_b,
+       bit_count(xor(a.sim_lo, b.sim_lo)) + bit_count(xor(a.sim_hi, b.sim_hi)) AS hamming
+FROM pairs p
+JOIN sigs a ON p.doc_a = a.doc_id
+JOIN sigs b ON p.doc_b = b.doc_id
+WHERE bit_count(xor(a.sim_lo, b.sim_lo)) + bit_count(xor(a.sim_hi, b.sim_hi)) <= {max_hamming}
 """
 
 

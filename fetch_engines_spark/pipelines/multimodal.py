@@ -317,14 +317,278 @@ def decode_gif(payload: bytes) -> dict:
     raise ValueError("no image data")
 
 
+# --- real baseline-JPEG image decode (stdlib + numpy IDCT) -------------------
+
+
+def _jpeg_zigzag() -> list[int]:
+    """The 64-entry zigzag scan order (coefficient index -> flat 8x8
+    position), generated from the anti-diagonal walk rather than typed as
+    a literal table."""
+    zz = []
+    for s in range(15):
+        pts = [(r, s - r) for r in range(s + 1) if r < 8 and s - r < 8]
+        if s % 2 == 0:
+            pts = pts[::-1]
+        zz += [r * 8 + c for r, c in pts]
+    return zz
+
+
+_JPEG_ZZ = _jpeg_zigzag()
+
+
+def _jpeg_idct_basis():
+    """8x8 IDCT half-basis A[u, x] = C(u)/2 * cos((2x+1)u*pi/16); pixels =
+    A.T @ F @ A (the JPEG spec's 2-D inverse DCT as two matmuls)."""
+    import math
+
+    import numpy as np
+
+    a = np.empty((8, 8), dtype=np.float64)
+    for u in range(8):
+        cu = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            a[u, x] = cu / 2.0 * math.cos((2 * x + 1) * u * math.pi / 16.0)
+    return a
+
+
+class _JpegBits:
+    """MSB-first bit reader over the entropy-coded segment with 0xFF00
+    byte-unstuffing; restart markers surface via sync_restart()."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.d):
+                raise ValueError("entropy stream exhausted")
+            b = self.d[self.pos]
+            if b == 0xFF:
+                nxt = self.d[self.pos + 1] if self.pos + 1 < len(self.d) else None
+                if nxt != 0x00:
+                    raise ValueError(f"marker 0xFF{nxt:02x} inside entropy data")
+                self.pos += 2
+            else:
+                self.pos += 1
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def receive(self, size: int) -> int:
+        v = 0
+        for _ in range(size):
+            v = (v << 1) | self.bit()
+        return v
+
+    def sync_restart(self, expected: int) -> None:
+        """Byte-align and consume the next RSTn marker (DRI intervals)."""
+        self.n = 0
+        if self.pos + 2 > len(self.d) or self.d[self.pos] != 0xFF:
+            raise ValueError("missing restart marker")
+        m = self.d[self.pos + 1]
+        if not (0xD0 <= m <= 0xD7) or (m & 7) != (expected & 7):
+            raise ValueError(f"bad restart marker 0xFF{m:02x}")
+        self.pos += 2
+
+    def huff(self, table: dict) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+
+def _jpeg_extend(v: int, size: int) -> int:
+    """DC/AC magnitude-bits decode (JPEG F.2.2.1 EXTEND)."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _jpeg_huff_table(bits: list[int], vals: bytes) -> dict:
+    """Canonical Huffman table: {(length, code): symbol} from the DHT
+    BITS/HUFFVAL lists (JPEG C.2)."""
+    table = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """Baseline sequential JPEG (SOF0) → {width, height, channels,
+    pixels: bytes} with the stdlib + a numpy IDCT: marker walk, DQT/DHT
+    parse, Huffman entropy decode (DC DPCM, AC run/size with EOB+ZRL,
+    byte unstuffing, DRI/RSTn restarts), dequantize, de-zigzag, float64
+    IDCT, level shift + clamp, and JFIF YCbCr→RGB for 3-component scans.
+    Subset: 8-bit precision, 1 or 3 components, NO chroma subsampling
+    (all sampling factors 1x1) — progressive (SOF2), arithmetic coding,
+    and subsampled scans raise ValueError, which the Spark stage maps to
+    an error row.  Same 64M-pixel allocation cap as the PNG path."""
+    import numpy as np
+
+    if payload is None or len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (bad SOI)")
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    hdc: dict[int, dict] = {}
+    hac: dict[int, dict] = {}
+    dri = 0
+    frame = None  # (width, height, comps) ; comps = [(cid, tq)]
+    scan = None  # [(cid, td, ta)], entropy start pos
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        seg = payload[pos + 4 : pos + 2 + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("truncated segment")
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq_, tq = seg[p] >> 4, seg[p] & 15
+                if pq_ != 0:
+                    raise ValueError("16-bit quant tables not supported")
+                qt[tq] = list(seg[p + 1 : p + 65])
+                if len(qt[tq]) != 64:
+                    raise ValueError("short quant table")
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                bits = list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = seg[p + 17 : p + 17 + nv]
+                if len(vals) != nv:
+                    raise ValueError("short Huffman table")
+                (hdc if tc == 0 else hac)[th] = _jpeg_huff_table(bits, vals)
+                p += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = seg[0], struct.unpack(">H", seg[1:3])[0], struct.unpack(
+                ">H", seg[3:5]
+            )[0], seg[5]
+            if prec != 8:
+                raise ValueError(f"unsupported precision {prec}")
+            if nc not in (1, 3):
+                raise ValueError(f"unsupported component count {nc}")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
+                if hv != 0x11:
+                    raise ValueError("chroma subsampling not supported (4:4:4 only)")
+                comps.append((cid, tq))
+            frame = (w, h, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"non-baseline SOF 0x{marker:02x} not supported")
+        elif marker == 0xDD:  # DRI
+            (dri,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            sel = []
+            for i in range(ns):
+                cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
+                sel.append((cs, tdta >> 4, tdta & 15))
+            scan = (sel, pos + 2 + seglen)
+            break
+        # APPn / COM / others: skip
+        pos += 2 + seglen
+    if frame is None or scan is None:
+        raise ValueError("missing SOF0 or SOS")
+    w, h, comps = frame
+    if w == 0 or h == 0:
+        raise ValueError(f"degenerate dimensions ({w}x{h})")
+    if w * h > 64_000_000:
+        raise ValueError(f"image too large ({w}x{h})")
+    sel, entropy_pos = scan
+    if [c for c, _, _ in sel] != [cid for cid, _ in comps]:
+        raise ValueError("scan/frame component mismatch")
+    nc = len(comps)
+    bx, by = (w + 7) // 8, (h + 7) // 8
+    basis = _jpeg_idct_basis()
+    planes = [np.empty((by * 8, bx * 8), dtype=np.float64) for _ in range(nc)]
+    reader = _JpegBits(payload, entropy_pos)
+    pred = [0] * nc
+    mcu = 0
+    for yb in range(by):
+        for xb in range(bx):
+            if dri and mcu and mcu % dri == 0:
+                reader.sync_restart(mcu // dri - 1)
+                pred = [0] * nc
+            for ci in range(nc):
+                _cid, td, ta = sel[ci]
+                q = qt.get(comps[ci][1])
+                if q is None:
+                    raise ValueError("missing quant table")
+                coeffs = np.zeros(64, dtype=np.float64)
+                s = reader.huff(hdc.get(td) or _raise("missing DC table"))
+                pred[ci] += _jpeg_extend(reader.receive(s), s)
+                coeffs[0] = pred[ci] * q[0]
+                k = 1
+                while k < 64:
+                    rs = reader.huff(hac.get(ta) or _raise("missing AC table"))
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("AC run past block end")
+                    coeffs[_JPEG_ZZ[k]] = _jpeg_extend(reader.receive(s), s) * q[k]
+                    k += 1
+                block = basis.T @ coeffs.reshape(8, 8) @ basis
+                planes[ci][yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8] = block
+            mcu += 1
+    # level shift, crop to declared dims, color-convert
+    out = [np.clip(np.round(p[:h, :w] + 128.0), 0, 255) for p in planes]
+    if nc == 1:
+        px = out[0].astype(np.uint8).tobytes()
+    else:
+        y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+        r = np.clip(np.round(y + 1.402 * cr), 0, 255)
+        g = np.clip(np.round(y - 0.344136 * cb - 0.714136 * cr), 0, 255)
+        b = np.clip(np.round(y + 1.772 * cb), 0, 255)
+        px = (
+            np.stack([r, g, b], axis=-1).astype(np.uint8).reshape(-1).tobytes()
+        )
+    return {"width": w, "height": h, "channels": nc, "pixels": px}
+
+
+def _raise(msg: str):
+    raise ValueError(msg)
+
+
 # --- real WAV (RIFF/PCM) audio decode (stdlib-only) --------------------------
 
 
-def decode_wav(payload: bytes) -> dict:
-    """RIFF/WAVE bytes → {sample_rate, channels, bits, n_frames,
-    samples: list[int]} for PCM 16-bit (the interchange baseline).
-    Pure struct parsing — chunk walk tolerates extra chunks (LIST, fact);
-    raises ValueError on non-PCM/non-16-bit/malformed payloads."""
+# Executor-memory guard: largest accepted PCM16 data chunk (in samples).
+# 16M samples = 32 MiB of raw payload; without a cap, a huge or corrupt
+# chunk length would expand ~15-30x into Python ints and OOM the executor
+# instead of producing an error row (same design as the PNG/GIF 64M-pixel
+# caps).
+MAX_WAV_SAMPLES = 16 * 1024 * 1024
+
+
+def _parse_wav(payload: bytes, max_samples: int = MAX_WAV_SAMPLES) -> tuple:
+    """RIFF/WAVE chunk walk → (sample_rate, channels, bits, data bytes)
+    for PCM 16-bit.  Tolerates extra chunks (LIST, fact); raises
+    ValueError on non-PCM/non-16-bit/malformed/oversized payloads."""
     import struct as _s
 
     if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -350,6 +614,23 @@ def decode_wav(payload: bytes) -> dict:
     audio_format, channels, sample_rate, _byte_rate, _block_align, bits = fmt
     if audio_format != 1 or bits != 16:
         raise ValueError(f"unsupported WAV format {audio_format}/{bits}-bit (PCM16 only)")
+    if len(data) // 2 > max_samples:
+        raise ValueError(
+            f"data chunk has {len(data) // 2} samples (cap {max_samples})"
+        )
+    return sample_rate, channels, bits, data
+
+
+def decode_wav(payload: bytes, max_samples: int = MAX_WAV_SAMPLES) -> dict:
+    """RIFF/WAVE bytes → {sample_rate, channels, bits, n_frames,
+    samples: list[int]} for PCM 16-bit (the interchange baseline).
+    Materializes the sample list — use the stats pipeline
+    (_wav_stats_batches) for bounded-memory aggregates; the
+    ``max_samples`` cap turns runaway chunk lengths into an error row
+    either way."""
+    import struct as _s
+
+    sample_rate, channels, bits, data = _parse_wav(payload, max_samples)
     n = len(data) // 2
     samples = list(_s.unpack(f"<{n}h", data[: n * 2]))
     return {
@@ -381,10 +662,19 @@ def _wav_stats_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             rate = ch = n_frames = peak = energy = None
             err = None
             try:
-                wav = decode_wav(bytes(row.payload) if row.payload is not None else None)
-                rate, ch, n_frames = wav["sample_rate"], wav["channels"], wav["n_frames"]
-                peak = max((abs(s) for s in wav["samples"]), default=0)
-                energy = sum(s * s for s in wav["samples"])  # int64-exact
+                import numpy as _np
+
+                rate, ch, _bits, data = _parse_wav(
+                    bytes(row.payload) if row.payload is not None else None
+                )
+                # stats over the raw PCM buffer — no Python int-list
+                # materialization (the ~15-30x amplification the decode_wav
+                # samples list would cost on large clips)
+                a = _np.frombuffer(data[: (len(data) // 2) * 2], dtype="<i2")
+                n_frames = len(a) // max(ch, 1)
+                peak = int(_np.abs(a.astype(_np.int32)).max()) if len(a) else 0
+                s64 = a.astype(_np.int64)
+                energy = int((s64 * s64).sum())  # int64-exact
             except Exception as exc:
                 err = f"ERR_WAV: {type(exc).__name__}: {exc}"[:200]
             out["media_id"].append(row.media_id)
@@ -429,6 +719,9 @@ def _png_stats_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                 if payload is not None and payload[:6] in (b"GIF87a", b"GIF89a"):
                     img = decode_gif(payload)
                     channels = 3
+                elif payload is not None and payload[:3] == b"\xff\xd8\xff":
+                    img = decode_jpeg(payload)
+                    channels = img["channels"]
                 else:
                     img = decode_png(payload)
                     channels = img["channels"]
@@ -447,9 +740,9 @@ def _png_stats_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 
 def png_pixel_stats(media: DataFrame) -> DataFrame:
     """media(media_id, payload:binary) → per-image pixel statistics from
-    the REAL decode paths (PNG: inflate + unfilter; GIF: LZW + palette —
-    dispatched by signature), summed over raw pixel bytes; one
-    Arrow-batched stage, never-fail contract."""
+    the REAL decode paths (PNG: inflate + unfilter; GIF: LZW + palette;
+    JPEG: Huffman + IDCT + YCbCr — dispatched by signature), summed over
+    raw pixel bytes; one Arrow-batched stage, never-fail contract."""
     return media.select("media_id", "payload").mapInPandas(
         _png_stats_batches, schema=PNG_STATS_SCHEMA
     )

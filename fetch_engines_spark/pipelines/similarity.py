@@ -380,44 +380,17 @@ def embedding_candidate_pairs(
         n=num_tables, args=", ".join(f"{t}, t{t}" for t in range(num_tables))
     )
     tabled = b.select("vid", *sig_cols, F.expr(stack_expr))
-    if max_bucket_size is None:
-        left = tabled.alias("l")
-        right = tabled.alias("r")
-        pairs = (
-            left.join(
-                right,
-                (F.col("l.table_id") == F.col("r.table_id"))
-                & (F.col("l.bucket") == F.col("r.bucket"))
-                & (F.col("l.vid") < F.col("r.vid")),
-            )
-            .select(F.col("l.vid").alias("vec_a"), F.col("r.vid").alias("vec_b"))
-            .distinct()
-        )
-    else:
-        sized = tabled.withColumn(
-            "bucket_n", F.count("*").over(Window.partitionBy("table_id", "bucket"))
-        )
-        small = sized.filter(F.col("bucket_n") <= max_bucket_size)
-        small_pairs = (
-            small.alias("l")
-            .join(
-                small.alias("r"),
-                (F.col("l.table_id") == F.col("r.table_id"))
-                & (F.col("l.bucket") == F.col("r.bucket"))
-                & (F.col("l.vid") < F.col("r.vid")),
-            )
-            .select(F.col("l.vid").alias("vec_a"), F.col("r.vid").alias("vec_b"))
-        )
-        big = sized.filter(F.col("bucket_n") > max_bucket_size)
-        reps = big.groupBy("table_id", "bucket", "sig_key").agg(
-            F.min("vid").alias("rep")
-        )
-        star_pairs = (
-            big.join(reps, ["table_id", "bucket", "sig_key"])
-            .filter(F.col("vid") != F.col("rep"))
-            .select(F.col("rep").alias("vec_a"), F.col("vid").alias("vec_b"))
-        )
-        pairs = small_pairs.unionByName(star_pairs).distinct()
+    from .candidates import bucket_pairs
+
+    pairs = bucket_pairs(
+        tabled,
+        ["table_id", "bucket"],
+        "vid",
+        sig_col="sig_key",
+        max_bucket_size=max_bucket_size,
+        out_a="vec_a",
+        out_b="vec_b",
+    )
     ea = embeddings.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
     eb = embeddings.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
     verified = (
@@ -430,6 +403,103 @@ def embedding_candidate_pairs(
     return verified
 
 
+KMEANS_SCALE = 1024  # exact power-of-two quantization step (floor(x * 2^10))
+
+
+def _quantize_vec(col, scale: int = KMEANS_SCALE):
+    """array<float> → array<long> by an exact exponent shift + floor —
+    every downstream k-means/assignment computation stays in order-free
+    int64 arithmetic, so Spark and the DuckDB twin agree bit-for-bit
+    (the oracle-exactness pattern that unlocked the LSH Arrow matmul)."""
+    return F.transform(col, lambda x: F.floor(x.cast("double") * scale).cast("long"))
+
+
+def _int_l2(a, b):
+    """Integer squared L2 distance between two array<long> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _centroid_arr(cents: DataFrame):
+    """Centroid table → ONE broadcastable row holding the codebook as an
+    array of (cent_id, cv) structs, sorted by cent_id (struct ordering)."""
+    return cents.agg(
+        F.array_sort(F.collect_list(F.struct("cent_id", "cv"))).alias("cb")
+    )
+
+
+def _nearest(cb_col, vq_col):
+    """argmin_{c in codebook} intL2(vq, c.cv) as a (d, cent_id) struct —
+    lowest-id tiebreak via struct ordering; pure JVM expression, NO
+    shuffle (the per-row window-argmin this replaces cost one)."""
+    return F.array_min(
+        F.transform(
+            cb_col,
+            # named_struct: plain struct() loses field aliases inside HOF
+            # lambdas (fields become col1/col2)
+            lambda c: F.named_struct(
+                F.lit("d"), _int_l2(vq_col, c["cv"]), F.lit("cent_id"), c["cent_id"]
+            ),
+        )
+    )
+
+
+def kmeans_codebook(
+    vq: DataFrame, n_centroids: int = 8, n_iter: int = 2
+) -> DataFrame:
+    """Integer-exact Lloyd iterations over quantized vectors (vid,
+    vq: array<long>) → centroid table (cent_id, cv: array<long>).
+
+    Deterministic and engine-portable by construction: init = the first
+    ``n_centroids`` vectors by id, assignment = integer squared-L2 argmin
+    with lowest-id tiebreak, update = floor(componentwise sum / count)
+    (empty cells keep their previous centroid) — every step is exact
+    int64 arithmetic the DuckDB twin replays verbatim
+    (``kmeans_cents_sql``).  Scale shape per iteration: the codebook is
+    ONE broadcast row, assignment is a shuffle-free map, and the update
+    is a posexplode + map-side-combinable (cell, dim) aggregation whose
+    output is n_centroids×dims partials — the corpus itself never
+    shuffles.  The tiny centroid table is localCheckpoint-materialized
+    each round so the final plan re-reads an 8-row RDD, not the whole
+    iteration history."""
+    cents = (
+        vq.filter(F.col("vid") < n_centroids)
+        .select(F.col("vid").alias("cent_id"), F.col("vq").alias("cv"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_iter):
+        cb = _centroid_arr(cents)
+        cells = vq.crossJoin(F.broadcast(cb)).select(
+            "vid", "vq", _nearest(F.col("cb"), F.col("vq"))["cent_id"].alias("cell")
+        )
+        comp = (
+            cells.select("cell", F.posexplode("vq").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .select(
+                "cell",
+                "pos",
+                F.floor(F.col("s") / F.col("n")).cast("long").alias("m"),
+            )
+        )
+        updated = comp.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda x: x["m"]
+            ).alias("cv_new")
+        )
+        cents = (
+            cents.join(
+                updated.withColumnRenamed("cell", "cent_id"), "cent_id", "left"
+            )
+            .select("cent_id", F.coalesce("cv_new", "cv").alias("cv"))
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
 def ivf_topk(
     embeddings: DataFrame,
     k: int = 5,
@@ -438,52 +508,59 @@ def ivf_topk(
     query_ids: list[int] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_iter: int = 2,
 ) -> DataFrame:
-    """IVF-style ANN: coarse-quantize the corpus into centroid cells, search
-    only the query's ``n_probe`` nearest cells.
+    """IVF ANN: coarse-quantize the corpus into k-means centroid cells,
+    search only the query's ``n_probe`` nearest cells.
 
-    Deterministic coarse codebook: the first ``n_centroids`` vectors by id
-    (a real system would k-means; the *plan shape* — broadcast codebook,
-    cell-local candidate join — is what matters at 10^12 rows: the corpus
-    shuffles once on cell_id instead of all-pairs).
+    The coarse codebook is a real k-means (``kmeans_codebook`` —
+    integer-exact Lloyd from a first-N init, replacing the round-3
+    first-N stand-in); cell assignment and probe selection are integer
+    L2 against the broadcast codebook computed as shuffle-free
+    expressions (array argmin / sorted-slice — the per-vector
+    window-argmin of the float version cost a full shuffle), and final
+    candidate scoring stays EXACT float cosine on the original vectors.
+    At 10^12 rows the corpus shuffles once on cell_id for the search and
+    never for training or assignment.
     """
-    cents = embeddings.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
+    vecs = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        _quantize_vec(F.col(vec_col)).alias("vq"),
+    )
+    cents = kmeans_codebook(vecs.select("vid", "vq"), n_centroids, n_iter)
+    cb = _centroid_arr(cents)
+
+    assigned = vecs.crossJoin(F.broadcast(cb)).select(
+        "vid", "vec", _nearest(F.col("cb"), F.col("vq"))["cent_id"].alias("cell")
     )
 
-    # assign every vector to its nearest centroid (broadcast codebook)
-    scored = (
-        embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
-        .join(F.broadcast(cents))
-        .select(
-            "vid", "vec", "cent_id", cosine_bp(F.col("vec"), F.col("cv")).alias("sim_bp")
-        )
-    )
-    w_assign = Window.partitionBy("vid").orderBy(F.desc("sim_bp"), F.asc("cent_id"))
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vid", "vec", F.col("cent_id").alias("cell"))
-    )
-
-    # each query probes its n_probe nearest cells
-    q = assigned.select(F.col("vid").alias("query_id"), F.col("vec").alias("qv"))
+    # each query probes its n_probe nearest cells: sorted-slice of the
+    # same per-row distance array (still no shuffle)
+    q = vecs.crossJoin(F.broadcast(cb))
     if query_ids is not None:
-        q = q.filter(F.col("query_id").isin(query_ids))
-    q_cells = (
-        q.join(F.broadcast(cents))
-        .select(
-            "query_id", "qv", "cent_id", cosine_bp(F.col("qv"), F.col("cv")).alias("sim_bp")
-        )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(F.desc("sim_bp"), F.asc("cent_id"))
-            ),
-        )
-        .filter(F.col("rn") <= n_probe)
-        .select("query_id", "qv", F.col("cent_id").alias("cell"))
-    )
+        q = q.filter(F.col("vid").isin(query_ids))
+    q_cells = q.select(
+        F.col("vid").alias("query_id"),
+        F.col("vec").alias("qv"),
+        F.explode(
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        F.col("cb"),
+                        lambda c: F.named_struct(
+                            F.lit("d"),
+                            _int_l2(F.col("vq"), c["cv"]),
+                            F.lit("cent_id"),
+                            c["cent_id"],
+                        ),
+                    )
+                ),
+                1,
+                n_probe,
+            )
+        ).alias("probe"),
+    ).select("query_id", "qv", F.col("probe")["cent_id"].alias("cell"))
 
     if query_ids is not None:
         q_cells = F.broadcast(q_cells)  # bounded queries only (see brute_force_topk)
@@ -505,21 +582,6 @@ def ivf_topk(
     )
 
 
-def _sub_l2sq(a, b, lo: int, width: int):
-    """Squared L2 distance of the 1-based [lo, lo+width) slice of two
-    vectors — left fold from 0.0 (same order as the DuckDB twin)."""
-    return F.aggregate(
-        F.zip_with(
-            F.slice(a, lo, width),
-            F.slice(b, lo, width),
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
 def pq_topk(
     embeddings: DataFrame,
     k: int = 5,
@@ -529,59 +591,73 @@ def pq_topk(
     query_ids: list[int] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_iter: int = 2,
 ) -> DataFrame:
     """Product-quantization ANN with asymmetric distance (ADC).
 
-    The corpus is compressed to ``m`` one-byte codes per vector (nearest
-    sub-centroid per subspace, deterministic codebook = sub-slices of the
-    first ``ks`` vectors, ties to the lowest centroid id); queries score
-    candidates by summing per-subspace query→centroid distances.  Scale
-    story: at 10^12 vectors the corpus shrinks ~dims*4/m bytes → m bytes
-    per row (64× here), the codebook and the per-query distance tables are
-    broadcast, and scoring is m broadcast equi-joins + a sum — the corpus
-    itself never shuffles and never rematerializes float vectors.  Usually
+    The corpus is compressed to ``m`` one-byte codes per vector: each
+    subspace slice is assigned to its nearest sub-centroid from a REAL
+    per-subspace k-means codebook (``kmeans_codebook`` over the quantized
+    slices — integer-exact Lloyd, replacing the round-3 first-N
+    stand-in); queries score candidates by summing per-subspace
+    query→centroid integer distances.  All distances live in the
+    floor(x·1024) integer domain, so Spark and the DuckDB twin agree
+    exactly.  Scale story: at 10^12 vectors the corpus shrinks ~dims*4/m
+    bytes → m bytes per row (64× here), codebooks and per-query distance
+    tables are broadcast, encoding is a shuffle-free argmin expression,
+    and scoring is m broadcast equi-joins + a sum — the corpus itself
+    never shuffles and never rematerializes float vectors.  Usually
     composed with IVF cells (ivf_topk) for candidate pruning; this
     operator is the ADC scan.
     """
     width = dims // m
-    cents = embeddings.filter(F.col(id_col) < ks).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
+    vecs = embeddings.select(
+        F.col(id_col).alias("vid"), _quantize_vec(F.col(vec_col)).alias("vq")
     )
-
-    # per-(vector, centroid) sub-distances, then argmin per subspace via
-    # min(struct(dist, cent_id)) — struct ordering gives the deterministic
-    # lowest-id tiebreak
-    dists = (
-        embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
-        .join(F.broadcast(cents))
-        .select(
-            "vid",
-            "cent_id",
-            *[
-                _sub_l2sq(F.col("vec"), F.col("cv"), j * width + 1, width).alias(f"d{j}")
-                for j in range(m)
-            ],
+    sub_cents = []
+    cb_row = None
+    for j in range(m):
+        vqj = vecs.select("vid", F.slice("vq", j * width + 1, width).alias("vq"))
+        cents_j = kmeans_codebook(vqj, ks, n_iter)
+        sub_cents.append(cents_j)
+        cb_j = cents_j.agg(
+            F.array_sort(F.collect_list(F.struct("cent_id", "cv"))).alias(f"cb{j}")
         )
-    )
-    enc = dists.groupBy("vid").agg(
-        *[
-            F.min(F.struct(F.col(f"d{j}").alias("d"), F.col("cent_id").alias("c"))).alias(
-                f"m{j}"
-            )
-            for j in range(m)
-        ]
-    ).select("vid", *[F.col(f"m{j}.c").alias(f"code{j}") for j in range(m)])
+        cb_row = cb_j if cb_row is None else cb_row.crossJoin(cb_j)
 
-    q = dists.select("vid", "cent_id", *[F.col(f"d{j}") for j in range(m)])
+    # encode: per-vector per-subspace argmin against the broadcast
+    # codebooks — one shuffle-free expression row-wise over the corpus
+    enc = vecs.crossJoin(F.broadcast(cb_row)).select(
+        "vid",
+        *[
+            _nearest(F.col(f"cb{j}"), F.slice("vq", j * width + 1, width))[
+                "cent_id"
+            ].alias(f"code{j}")
+            for j in range(m)
+        ],
+    )
+
+    q = vecs
     if query_ids is not None:
         q = q.filter(F.col("vid").isin(query_ids))
 
     scored = enc
     for j in range(m):
-        qd_j = q.select(
-            F.col("vid").alias("query_id"),
-            F.col("cent_id").alias(f"code{j}"),
-            F.col(f"d{j}").alias(f"adc{j}"),
+        qd_j = (
+            q.crossJoin(
+                F.broadcast(
+                    sub_cents[j].select(
+                        F.col("cent_id").alias(f"code{j}"), F.col("cv").alias("cvj")
+                    )
+                )
+            )
+            .select(
+                F.col("vid").alias("query_id"),
+                F.col(f"code{j}"),
+                _int_l2(F.slice("vq", j * width + 1, width), F.col("cvj")).alias(
+                    f"adc{j}"
+                ),
+            )
         )
         on = ["query_id", f"code{j}"] if j > 0 else [f"code{j}"]
         if query_ids is not None:
@@ -593,13 +669,13 @@ def pq_topk(
     scored = scored.filter(F.col("query_id") != F.col("vid")).select(
         "query_id",
         F.col("vid").alias("neighbor_id"),
-        F.floor(adc * 10000).cast("long").alias("adc_bp"),
+        adc.cast("long").alias("adc_dist"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.asc("adc_bp"), F.asc("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", "adc_bp", "rnk")
+        .select("query_id", "neighbor_id", "adc_dist", "rnk")
     )
 
 
@@ -792,28 +868,87 @@ SELECT vec_a, vec_b, cosine_bp FROM verified {thresh}
 """
 
 
-def ivf_topk_sql(k: int = 5, n_centroids: int = 8, n_probe: int = 2, nq: int = 10) -> str:
+def _quant_sql(vec_expr: str, dims: int, lo: int = 1, width: int | None = None) -> str:
+    """DuckDB twin of _quantize_vec over a slice: floor(x * 1024) int64."""
+    w = width if width is not None else dims
+    return (
+        f"list_transform(range(1, {w} + 1), "
+        f"i -> CAST(floor(CAST({vec_expr}[{lo} + i - 1] AS DOUBLE) * {KMEANS_SCALE}) AS BIGINT))"
+    )
+
+
+def _int_l2_sql(a: str, b: str, width: int) -> str:
+    """DuckDB twin of _int_l2 (order-free integer sum)."""
+    return (
+        f"list_sum(list_transform(range(1, {width} + 1), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+
+def kmeans_ctes(
+    vq_cte: str, n_centroids: int, n_iter: int, dims: int, prefix: str = ""
+) -> str:
+    """DuckDB twin of kmeans_codebook as a chain of CTE definitions (to
+    splice after a `{vq_cte}(vid, vq)` CTE): unrolled Lloyd iterations —
+    integer-L2 assignment with lowest-id tiebreak, floor(sum/count)
+    centroid update, empty cells carrying the previous centroid.  The
+    final centroid table is `{prefix}c{n_iter}`."""
+    d = _int_l2_sql("v.vq", "c.cv", dims)
+    comps = ", ".join(
+        f"CAST(floor(CAST(sum(vq[{i + 1}]) AS DOUBLE) / count(*)) AS BIGINT)"
+        for i in range(dims)
+    )
+    ctes = [
+        f"{prefix}c0 AS (SELECT vid AS cent_id, vq AS cv FROM {vq_cte} WHERE vid < {n_centroids})"
+    ]
+    for it in range(1, n_iter + 1):
+        ctes.append(
+            f"""{prefix}a{it} AS (
+  SELECT vid, vq, cell FROM (
+    SELECT v.vid, v.vq, c.cent_id AS cell,
+           row_number() OVER (PARTITION BY v.vid ORDER BY {d} ASC, c.cent_id ASC) AS rn
+    FROM {vq_cte} v CROSS JOIN {prefix}c{it - 1} c
+  ) WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"{prefix}u{it} AS (SELECT cell, [{comps}] AS cv_new FROM {prefix}a{it} GROUP BY cell)"
+        )
+        ctes.append(
+            f"{prefix}c{it} AS (SELECT p.cent_id, coalesce(u.cv_new, p.cv) AS cv "
+            f"FROM {prefix}c{it - 1} p LEFT JOIN {prefix}u{it} u ON p.cent_id = u.cell)"
+        )
+    return ",\n".join(ctes)
+
+
+def ivf_topk_sql(
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    nq: int = 10,
+    dims: int = 64,
+    n_iter: int = 2,
+) -> str:
+    """DuckDB twin of ivf_topk: same integer-exact k-means codebook, same
+    integer-L2 cell assignment/probing, same float cosine_bp scoring."""
+    d = _int_l2_sql("v.vq", "c.cv", dims)
     return f"""
 WITH e AS (SELECT vec_id, embedding FROM embeddings),
-cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM e WHERE vec_id < {n_centroids}),
-assign_scored AS (
-  SELECT e.vec_id AS vid, e.embedding AS vec, c.cent_id,
-         {cosine_bp_sql('e.embedding', 'c.cv')} AS sim_bp
-  FROM e, cents c
-),
+vq AS (SELECT vec_id AS vid, embedding AS vec, {_quant_sql('embedding', dims)} AS vq FROM e),
+{kmeans_ctes('vq', n_centroids, n_iter, dims)},
 assigned AS (
-  SELECT vid, vec, cent_id AS cell FROM (
-    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY sim_bp DESC, cent_id ASC) AS rn
-    FROM assign_scored
+  SELECT vid, vec, cell FROM (
+    SELECT v.vid, v.vec, c.cent_id AS cell,
+           row_number() OVER (PARTITION BY v.vid ORDER BY {d} ASC, c.cent_id ASC) AS rn
+    FROM vq v CROSS JOIN c{n_iter} c
   ) WHERE rn = 1
 ),
 q_cells AS (
-  SELECT query_id, qv, cent_id AS cell FROM (
-    SELECT a.vid AS query_id, a.vec AS qv, c.cent_id,
-           {cosine_bp_sql('a.vec', 'c.cv')} AS sim_bp,
-           row_number() OVER (PARTITION BY a.vid ORDER BY {cosine_bp_sql('a.vec', 'c.cv')} DESC, c.cent_id ASC) AS rn
-    FROM assigned a, cents c
-    WHERE a.vid < {nq}
+  SELECT query_id, qv, cell FROM (
+    SELECT v.vid AS query_id, v.vec AS qv, c.cent_id AS cell,
+           row_number() OVER (PARTITION BY v.vid ORDER BY {d} ASC, c.cent_id ASC) AS rn
+    FROM vq v CROSS JOIN c{n_iter} c
+    WHERE v.vid < {nq}
   ) WHERE rn <= {n_probe}
 ),
 candidates AS (
@@ -854,58 +989,61 @@ SELECT query_id, neighbor_id, cosine_bp, rnk FROM ranked WHERE rnk <= {k}
 """
 
 
-def _sub_l2sq_sql(a: str, b: str, lo: int, width: int) -> str:
-    """DuckDB twin of _sub_l2sq: same slice, same left-to-right fold."""
-    return (
-        f"list_sum(list_transform(range(1, {width} + 1), "
-        f"i -> (CAST({a}[{lo} + i - 1] AS DOUBLE) - CAST({b}[{lo} + i - 1] AS DOUBLE)) "
-        f"* (CAST({a}[{lo} + i - 1] AS DOUBLE) - CAST({b}[{lo} + i - 1] AS DOUBLE))))"
-    )
-
-
-def pq_topk_sql(k: int = 5, m: int = 4, ks: int = 8, dims: int = 64, nq: int = 10) -> str:
-    """DuckDB twin of pq_topk: same codebook, same per-subspace argmin
-    (lowest-id tiebreak), same ADC sum order, same ranking."""
+def pq_topk_sql(
+    k: int = 5,
+    m: int = 4,
+    ks: int = 8,
+    dims: int = 64,
+    nq: int = 10,
+    n_iter: int = 2,
+) -> str:
+    """DuckDB twin of pq_topk: same per-subspace integer k-means
+    codebooks, same integer-L2 argmin encoding (lowest-id tiebreak), same
+    ADC sum, same ranking."""
     width = dims // m
-    d_exprs = ",\n    ".join(
-        _sub_l2sq_sql("e.embedding", "c.cv", j * width + 1, width) + f" AS d{j}"
-        for j in range(m)
-    )
-    enc_ctes = ",\n".join(
-        f"enc{j} AS (SELECT vid, cent_id AS code{j} FROM ("
-        f"SELECT vid, cent_id, row_number() OVER (PARTITION BY vid ORDER BY d{j} ASC, cent_id ASC) AS rn "
-        f"FROM dists) WHERE rn = 1)"
-        for j in range(m)
-    )
+    cte_parts = []
+    for j in range(m):
+        cte_parts.append(
+            f"s{j}vq AS (SELECT vec_id AS vid, "
+            f"{_quant_sql('embedding', dims, lo=j * width + 1, width=width)} AS vq "
+            f"FROM embeddings)"
+        )
+        cte_parts.append(kmeans_ctes(f"s{j}vq", ks, n_iter, width, prefix=f"s{j}"))
+        d = _int_l2_sql("v.vq", "c.cv", width)
+        cte_parts.append(
+            f"""enc{j} AS (
+  SELECT vid, cent_id AS code{j} FROM (
+    SELECT v.vid, c.cent_id,
+           row_number() OVER (PARTITION BY v.vid ORDER BY {d} ASC, c.cent_id ASC) AS rn
+    FROM s{j}vq v CROSS JOIN s{j}c{n_iter} c
+  ) WHERE rn = 1
+)"""
+        )
+        cte_parts.append(
+            f"qd{j} AS (SELECT v.vid AS query_id, c.cent_id, CAST({d} AS BIGINT) AS d{j} "
+            f"FROM s{j}vq v CROSS JOIN s{j}c{n_iter} c WHERE v.vid < {nq})"
+        )
     enc_join = " ".join(f"JOIN enc{j} USING (vid)" for j in range(1, m))
     code_cols = ", ".join(f"code{j}" for j in range(m))
     qd_joins = "\n  ".join(
-        f"JOIN qd q{j} ON q{j}.query_id = q0.query_id AND q{j}.cent_id = enc.code{j}"
+        f"JOIN qd{j} q{j} ON q{j}.query_id = q0.query_id AND q{j}.cent_id = enc.code{j}"
         for j in range(1, m)
     )
     adc = " + ".join(f"q{j}.d{j}" for j in range(m))
+    ctes = ",\n".join(cte_parts)
     return f"""
-WITH cents AS (
-  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < {ks}
-),
-dists AS (
-  SELECT e.vec_id AS vid, c.cent_id,
-    {d_exprs}
-  FROM embeddings e CROSS JOIN cents c
-),
-{enc_ctes},
+WITH {ctes},
 enc AS (SELECT enc0.vid, {code_cols} FROM enc0 {enc_join}),
-qd AS (SELECT vid AS query_id, cent_id, {", ".join(f"d{j}" for j in range(m))} FROM dists WHERE vid < {nq}),
 scored AS (
   SELECT q0.query_id, enc.vid AS neighbor_id,
-    CAST(floor(({adc}) * 10000) AS BIGINT) AS adc_bp
+    CAST({adc} AS BIGINT) AS adc_dist
   FROM enc
-  JOIN qd q0 ON q0.cent_id = enc.code0
+  JOIN qd0 q0 ON q0.cent_id = enc.code0
   {qd_joins}
   WHERE enc.vid <> q0.query_id
 )
-SELECT query_id, neighbor_id, adc_bp, rnk FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_bp ASC, neighbor_id ASC) AS rnk
+SELECT query_id, neighbor_id, adc_dist, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS rnk
   FROM scored
 ) WHERE rnk <= {k}
 """

@@ -401,7 +401,8 @@ def cap_per_stratum(
 
 
 def kmv_distinct(
-    df: DataFrame, group_col: str, key_col: str, k: int = 64
+    df: DataFrame, group_col: str, key_col: str, k: int = 64,
+    include_exact: bool = False,
 ) -> DataFrame:
     """KMV (k-minimum-values) distinct-count sketch per group — the
     mergeable cardinality estimator that, unlike HLL implementations, is
@@ -416,7 +417,13 @@ def kmv_distinct(
     shuffle, which is the sketch's bounded-memory property; at 10^12
     rows per group the executors each hold k candidates, never the
     distinct set.  Groups with < k distinct keys report the exact count
-    as the estimate (the KMV exact-below-k property)."""
+    as the estimate (the KMV exact-below-k property).
+
+    ``include_exact`` (default OFF — the production path) adds an
+    ``n_exact`` = countDistinct column for the test/accuracy harness;
+    leaving it off keeps the bounded-memory claim true: the exact count
+    is a full distinct-set shuffle that would dominate — and defeat —
+    the sketch at 10^12 rows."""
     from pyspark.sql import Window
 
     hashes = df.select(
@@ -430,21 +437,22 @@ def kmv_distinct(
         F.max("h").alias("kth_hash"),
     )
     kth12 = F.conv(F.substring("kth_hash", 1, 12), 16, 10).cast("long")
+    estimate = (
+        F.when(F.col("n_in_sketch") < k, F.col("n_in_sketch").cast("long"))
+        .otherwise(
+            F.floor(F.lit((k - 1) * space) / F.greatest(kth12, F.lit(1))).cast("long")
+        )
+        .alias("kmv_estimate")
+    )
+    if not include_exact:
+        return agg.select(F.col("grp").alias(group_col), "kth_hash", estimate)
     exact = (
         df.select(F.col(group_col).alias("grp"), F.col(key_col).alias("key"))
         .groupBy("grp")
         .agg(F.countDistinct("key").alias("n_exact"))
     )
-    return (
-        agg.join(exact, "grp")
-        .select(
-            F.col("grp").alias(group_col),
-            "n_exact",
-            "kth_hash",
-            F.when(F.col("n_in_sketch") < k, F.col("n_in_sketch").cast("long"))
-            .otherwise(F.floor(F.lit((k - 1) * space) / F.greatest(kth12, F.lit(1))).cast("long"))
-            .alias("kmv_estimate"),
-        )
+    return agg.join(exact, "grp").select(
+        F.col("grp").alias(group_col), "n_exact", "kth_hash", estimate
     )
 
 

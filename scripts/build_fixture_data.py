@@ -922,6 +922,290 @@ def build_gifs() -> None:
     )
 
 
+def _jz() -> list[int]:
+    """Zigzag order (anti-diagonal walk), matching JPEG spec figure A.6."""
+    zz = []
+    for s in range(15):
+        pts = [(r, s - r) for r in range(s + 1) if r < 8 and s - r < 8]
+        if s % 2 == 0:
+            pts = pts[::-1]
+        zz += [r * 8 + c for r, c in pts]
+    return zz
+
+
+class _JpegWriter:
+    """MSB-first bit writer with in-scan 0xFF00 byte stuffing; align()
+    pads with 1-bits WITHOUT stuffing (pad bytes only precede markers,
+    where a 0xFF is a legal fill byte)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, val: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((val >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def align(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.out.append((self.acc << pad) | ((1 << pad) - 1))
+            self.acc = 0
+            self.n = 0
+
+
+def _jpeg_huff(symbols: list[int]) -> tuple[list[int], list[int], dict]:
+    """Canonical fixed-length Huffman table over the distinct symbols:
+    all codes at length L with 2^L - 1 >= n (the all-ones code stays
+    unused, per the spec's table-building convention).  Returns (BITS,
+    HUFFVAL, {symbol: (code, length)})."""
+    vals = sorted(set(symbols))
+    ln = 1
+    while (1 << ln) - 1 < len(vals):
+        ln += 1
+    bits = [0] * 16
+    bits[ln - 1] = len(vals)
+    enc = {sym: (i, ln) for i, sym in enumerate(vals)}
+    return bits, vals, enc
+
+
+def _jpeg_bytes(
+    width: int,
+    height: int,
+    comps: list[list[list[int]]],
+    qtables: list[list[int]],
+    dri: int = 0,
+    sof: int = 0xC0,
+) -> bytes:
+    """Minimal baseline-JPEG encoder for fixtures: ``comps`` holds, per
+    component, a list of 64-entry QUANTIZED coefficient blocks in NATURAL
+    (row-major 8x8) order, block-raster order; ``qtables`` are per-
+    component quant tables in natural order (written to DQT in zigzag
+    order, as the spec requires).  4:4:4 only, shared DC/AC Huffman
+    tables built from the symbols actually emitted."""
+    import struct as _s
+
+    zz = _jz()
+    nc = len(comps)
+    bx, by = (width + 7) // 8, (height + 7) // 8
+    assert all(len(c) == bx * by for c in comps)
+
+    def category(v: int) -> int:
+        return v if v == 0 else len(bin(abs(v))) - 2
+
+    def walk(on_dc, on_ac):
+        """One MCU walk shared by symbol collection and bit emission —
+        restart intervals reset the DC predictors in BOTH passes."""
+        pred = [0] * nc
+        for mcu in range(bx * by):
+            if dri and mcu and mcu % dri == 0:
+                pred = [0] * nc
+                yield ("rst", mcu // dri - 1)
+            for ci in range(nc):
+                blk = comps[ci][mcu]
+                diff = blk[0] - pred[ci]
+                pred[ci] = blk[0]
+                on_dc(diff)
+                run = 0
+                last_nz = max((k for k in range(1, 64) if blk[zz[k]] != 0), default=0)
+                for k in range(1, last_nz + 1):
+                    v = blk[zz[k]]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        on_ac(0xF0, None)
+                        run -= 16
+                    on_ac((run << 4) | category(v), v)
+                    run = 0
+                if last_nz < 63:
+                    on_ac(0x00, None)
+
+    # first pass: collect the DC-size and AC-(run,size) symbols in use
+    dc_syms, ac_syms = [], [0x00]
+    for _ in walk(
+        lambda d: dc_syms.append(category(d)), lambda s, v: ac_syms.append(s)
+    ):
+        pass
+    dc_bits, dc_vals, dc_enc = _jpeg_huff(dc_syms)
+    ac_bits, ac_vals, ac_enc = _jpeg_huff(ac_syms)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + _s.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    for tq, q in enumerate(qtables):
+        out += seg(0xDB, bytes([tq]) + bytes(q[zz[k]] for k in range(64)))
+    sof_body = bytes([8]) + _s.pack(">HH", height, width) + bytes([nc])
+    for ci in range(nc):
+        sof_body += bytes([ci + 1, 0x11, ci if ci < len(qtables) else 0])
+    out += seg(sof, sof_body)
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    if dri:
+        out += seg(0xDD, _s.pack(">H", dri))
+    sos_body = bytes([nc])
+    for ci in range(nc):
+        sos_body += bytes([ci + 1, 0x00])
+    sos_body += bytes([0, 63, 0])
+    out += seg(0xDA, sos_body)
+
+    w = _JpegWriter()
+
+    def emit_dc(diff: int) -> None:
+        s = category(diff)
+        code, ln = dc_enc[s]
+        w.write(code, ln)
+        if s:
+            w.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+
+    def emit_ac(sym: int, v) -> None:
+        code, ln = ac_enc[sym]
+        w.write(code, ln)
+        if v is not None:
+            s = sym & 15
+            w.write(v if v > 0 else v + (1 << s) - 1, s)
+
+    for _marker, rst_n in walk(emit_dc, emit_ac):
+        w.align()
+        w.out += bytes([0xFF, 0xD0 + (rst_n & 7)])
+    w.align()
+    out += w.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _jpeg_expected_pixels(
+    width: int, height: int, comps: list[list[list[int]]], qtables: list[list[int]]
+):
+    """Ground-truth decode of the quantized coefficients by the public
+    IDCT/JFIF definitions (independent of the pipeline's entropy decoder):
+    dequantize, A.T @ F @ A per block, +128, round/clamp per plane, then
+    YCbCr→RGB for 3 components."""
+    import numpy as np
+
+    a = np.empty((8, 8))
+    for u in range(8):
+        cu = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            a[u, x] = cu / 2.0 * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    bx, by = (width + 7) // 8, (height + 7) // 8
+    planes = []
+    for ci, blocks in enumerate(comps):
+        q = np.array(qtables[ci if ci < len(qtables) else 0], dtype=np.float64)
+        plane = np.empty((by * 8, bx * 8))
+        for i, blk in enumerate(blocks):
+            dq = (np.array(blk, dtype=np.float64) * q).reshape(8, 8)
+            yb, xb = divmod(i, bx)
+            plane[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8] = a.T @ dq @ a
+        planes.append(np.clip(np.round(plane[:height, :width] + 128.0), 0, 255))
+    if len(planes) == 1:
+        return planes[0].astype(np.uint8).tobytes()
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = np.clip(np.round(y + 1.402 * cr), 0, 255)
+    g = np.clip(np.round(y - 0.344136 * cb - 0.714136 * cr), 0, 255)
+    b = np.clip(np.round(y + 1.772 * cb), 0, 255)
+    return np.stack([r, g, b], axis=-1).astype(np.uint8).reshape(-1).tobytes()
+
+
+def build_jpegs() -> None:
+    """Real-JPEG decode fixture: generator-encoded baseline JPEGs (DC
+    DPCM across blocks, AC run/size with ZRL, non-trivial quant tables,
+    non-multiple-of-8 crops, DRI/RSTn restarts, gray + YCbCr 4:4:4) with
+    expected width/height/channels/pixel_sum derived from the quantized
+    coefficients via the spec IDCT — the decoder under test must invert
+    the full entropy layer to reproduce them.  The build self-checks each
+    payload through the pipeline decoder so a writer/decoder disagreement
+    fails HERE, not in the driver gate."""
+    from fetch_engines_spark.pipelines.multimodal import decode_jpeg
+
+    rows = []  # (media_id, payload, exp_w, exp_h, exp_ch, exp_sum, exp_err)
+    flat1 = [1] * 64
+
+    def dc_block(v: int) -> list[int]:
+        blk = [0] * 64
+        blk[0] = (v - 128) * 8
+        return blk
+
+    cases = []
+    # gray, DC-only constant tiles (exact for any correct decoder)
+    cases.append(
+        ("jpeg-gray-dc", 24, 16, [[dc_block(v) for v in (12, 250, 128, 77, 200, 3)]], [flat1], 0)
+    )
+    # color 4:4:4, constant Y/Cb/Cr tiles
+    ycc = [(90, 120, 200), (200, 128, 128), (40, 220, 60), (128, 50, 180)]
+    cases.append(
+        (
+            "jpeg-rgb",
+            16,
+            16,
+            [
+                [dc_block(t[0]) for t in ycc],
+                [dc_block(t[1]) for t in ycc],
+                [dc_block(t[2]) for t in ycc],
+            ],
+            [flat1, flat1, flat1],
+            0,
+        )
+    )
+    # gray with AC coefficients: low/high frequencies, a >16-zero ZRL gap,
+    # and a varied quant table (exercises zigzag dequant order)
+    qv = [1 + ((r + c) % 4) for r in range(8) for c in range(8)]
+    b1 = dc_block(140)
+    b1[1], b1[8], b1[9] = 22, -17, 9
+    b1[63] = 5  # forces a long zero run -> ZRL symbols
+    b2 = dc_block(100)
+    b2[2], b2[16] = -30, 12
+    cases.append(("jpeg-ac", 16, 8, [[b1, b2]], [qv], 0))
+    # non-multiple-of-8 dims: encoder pads to 2x2 blocks, decoder crops
+    b3 = dc_block(60)
+    b3[1] = 40
+    cases.append(("jpeg-crop", 12, 10, [[b3, dc_block(90), dc_block(180), dc_block(33)]], [flat1], 0))
+    # restart markers: 4 MCUs, DRI=2 -> RST0 between MCUs 2 and 3
+    cases.append(
+        ("jpeg-restart", 32, 8, [[dc_block(v) for v in (10, 20, 240, 130)]], [flat1], 2)
+    )
+    for mid, w, h, comps, qts, dri in cases:
+        payload = _jpeg_bytes(w, h, comps, qts, dri=dri)
+        px = _jpeg_expected_pixels(w, h, comps, qts)
+        got = decode_jpeg(payload)
+        assert (got["width"], got["height"]) == (w, h), mid
+        assert got["pixels"] == px, f"{mid}: writer/decoder pixel disagreement"
+        rows.append((mid, payload, w, h, len(comps), sum(px), None))
+    # error rows: progressive SOF2, truncation, chroma subsampling
+    rows.append(
+        ("jpeg-progressive", _jpeg_bytes(8, 8, [[dc_block(50)]], [flat1], sof=0xC2), None, None, None, None, "ERR_IMG")
+    )
+    rows.append(("jpeg-truncated", rows[0][1][:30], None, None, None, None, "ERR_IMG"))
+    sub = bytearray(_jpeg_bytes(8, 8, [[dc_block(50)]], [flat1]))
+    sof_at = sub.find(b"\xff\xc0")
+    sub[sof_at + 11] = 0x22  # sampling factors 2x2
+    rows.append(("jpeg-subsampled", bytes(sub), None, None, None, None, "ERR_IMG"))
+
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": [r[0] for r in rows],
+                "payload": pa.array([r[1] for r in rows], pa.binary()),
+                "exp_width": pa.array([r[2] for r in rows], pa.int32()),
+                "exp_height": pa.array([r[3] for r in rows], pa.int32()),
+                "exp_channels": pa.array([r[4] for r in rows], pa.int32()),
+                "exp_pixel_sum": pa.array([r[5] for r in rows], pa.int64()),
+                "exp_error_prefix": [r[6] for r in rows],
+            }
+        ),
+        os.path.join(OUT, "jpegs.parquet"),
+    )
+
+
 def _wav_bytes(sample_rate: int, channels: int, samples: list[int], extra_chunk: bool = False) -> bytes:
     """WAV WRITER (independent of the decoder under test): PCM16 RIFF with
     fmt + data chunks; ``extra_chunk`` inserts a LIST chunk the chunk walk
@@ -1066,6 +1350,7 @@ if __name__ == "__main__":
     build_skewed_embeddings()
     build_pngs()
     build_gifs()
+    build_jpegs()
     build_wavs()
     build_events_csv()
     print(f"wrote fixture data to {OUT}")

@@ -665,6 +665,108 @@ def test_simhash_pairs_pigeonhole_recall_is_exact(spark):
     assert got == truth and truth  # exact recall, no false positives, non-trivial
 
 
+def test_simhash64_pigeonhole_recall_is_exact(spark):
+    """64-bit/16-bit-block config: the block join must contain EVERY pair
+    within max_hamming across both halves (pigeonhole over 4 blocks),
+    verified against brute-force hamming, zero false positives."""
+    from itertools import combinations
+
+    from fetch_engines_spark.pipelines.dedup import (
+        simhash64,
+        simhash_candidate_pairs64,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sigs = {r.doc_id: (r.sim_lo, r.sim_hi) for r in simhash64(docs).collect()}
+    assert all(0 <= lo < 2**32 and 0 <= hi < 2**32 for lo, hi in sigs.values())
+
+    def ham(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    truth = {
+        (a, b)
+        for a, b in combinations(sorted(sigs), 2)
+        if ham(sigs[a], sigs[b]) <= 3
+    }
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_candidate_pairs64(docs, max_hamming=3).collect()
+    }
+    assert got == truth and truth
+
+
+def test_simhash_capped_no_quadratic_bucket(spark):
+    """Degenerate-bucket guard on the SimHash path (round-3 verdict's one
+    scale defect): 5000 byte-identical docs share every block value, so
+    uncapped the self-join is C(5000,2)=12.5M pairs on one key; capped,
+    the signature-star path must emit exactly 4999 linear pairs."""
+    import os
+
+    from fetch_engines_spark.pipelines.dedup import simhash_candidate_pairs64
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "data", "fixtures", "adversarial.parquet"
+    )
+    docs = spark.read.parquet(path)
+    rows = simhash_candidate_pairs64(docs, max_hamming=3, max_bucket_size=50).collect()
+    boiler = [
+        r
+        for r in rows
+        if r.doc_a.startswith("boiler") and r.doc_b.startswith("boiler")
+    ]
+    assert len(boiler) == 4999, f"{len(boiler)} boiler pairs — quadratic bucket leaked"
+    assert all(r.hamming == 0 for r in boiler)
+    assert len(rows) < 6000  # distinct-page stragglers stay small-bucket
+
+
+def test_bucket_pairs_capped_equals_uncapped_below_cap(spark):
+    """Shared-guard equivalence: with every bucket under the cap, the
+    capped path must reproduce the uncapped pair set exactly (both
+    MinHash bands and SimHash blocks route through
+    candidates.bucket_pairs)."""
+    import os
+
+    from fetch_engines_spark.pipelines.dedup import (
+        minhash_candidate_pairs,
+        simhash_candidate_pairs64,
+    )
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "data", "fixtures", "neardup.parquet"
+    )
+    docs = spark.read.parquet(path)
+    mh_uncapped = {
+        (r.doc_a, r.doc_b) for r in minhash_candidate_pairs(docs).collect()
+    }
+    mh_capped = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_candidate_pairs(docs, max_bucket_size=10**6).collect()
+    }
+    assert mh_capped == mh_uncapped and mh_uncapped
+    sh_uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_candidate_pairs64(docs, max_hamming=3).collect()
+    }
+    sh_capped = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_candidate_pairs64(
+            docs, max_hamming=3, max_bucket_size=10**6
+        ).collect()
+    }
+    assert sh_capped == sh_uncapped
+
+
+def test_bucket_pairs_cap_requires_sig_col():
+    """The shared guard refuses a cap without the signature column the
+    star path needs — a new bucketed generator can't half-adopt it."""
+    import pytest as _pytest
+
+    from fetch_engines_spark.pipelines.candidates import bucket_pairs
+
+    with _pytest.raises(ValueError, match="sig_col"):
+        bucket_pairs(None, ["k"], "id", sig_col=None, max_bucket_size=5)
+
+
 def test_curate_corpus_gates_and_keeper_election(spark):
     """Library-level curation semantics: with the substring gate active,
     exact duplicates die THERE (they share every window, bp=10000) along
@@ -1038,6 +1140,50 @@ def test_pq_topk_recall_vs_bruteforce(spark):
         for q in exact_sets
     ]
     assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_kmeans_codebook_reduces_distortion(spark):
+    """Integer-Lloyd codebook: on clustered data, the trained centroids'
+    total within-cell distortion must be at most the first-N init's (each
+    Lloyd step is monotone non-increasing), and strictly better when the
+    init is a poor cover (all init points from one cluster)."""
+    import numpy as np
+
+    from fetch_engines_spark.pipelines.similarity import (
+        _centroid_arr,
+        _nearest,
+        _quantize_vec,
+        kmeans_codebook,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(4, 16) * 3
+    rows = []
+    for i in range(120):
+        # ids 0..3 (the init) all come from cluster 0 — a worst-case init
+        c = centers[0 if i < 4 else i % 4]
+        rows.append((i, (c + 0.1 * rng.randn(16)).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    vq = emb.select(
+        F.col("vec_id").alias("vid"), _quantize_vec(F.col("embedding")).alias("vq")
+    )
+
+    def distortion(cents):
+        cb = _centroid_arr(cents)
+        return (
+            vq.crossJoin(F.broadcast(cb))
+            .select(_nearest(F.col("cb"), F.col("vq"))["d"].alias("d"))
+            .agg(F.sum("d").alias("t"))
+            .collect()[0]
+            .t
+        )
+
+    init = kmeans_codebook(vq, n_centroids=4, n_iter=0)
+    trained = kmeans_codebook(vq, n_centroids=4, n_iter=2)
+    d0, d2 = distortion(init), distortion(trained)
+    assert d2 <= d0
+    assert d2 < d0 * 0.5, (d0, d2)  # poor init must be substantially repaired
 
 
 def test_url_canonicalize_idempotent(spark):

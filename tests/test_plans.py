@@ -170,6 +170,20 @@ def test_capped_pairs_no_python_and_no_cartesian(spark):
         assert marker not in plan
 
 
+def test_simhash_capped_pairs_no_python_and_no_cartesian(spark):
+    """The 64-bit SimHash capped join (shared candidates.bucket_pairs
+    guard) keeps the equi-join shape: no cross/nested-loop joins, no
+    Python stages, signatures materialized once (checkpointed RDD feeds
+    both join sides and the hamming verify)."""
+    df = entrymod.queries()["dedup_simhash_capped"](spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for marker in ("MapInArrow", "MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
+    assert "ExistingRDD" in plan  # localCheckpoint-materialized signatures
+
+
 def test_structured_validation_is_native_columns(spark):
     """The NoObjectGenerated taxonomy must be pure JVM columns (from_json
     twice) — no Python stage."""

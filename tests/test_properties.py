@@ -249,15 +249,67 @@ def test_wav_writer_decoder_roundtrip_arbitrary(samples, channels):
     assert w["samples"] == samples and w["channels"] == channels
 
 
-@given(st.binary(min_size=0, max_size=300), st.sampled_from([b"\x89PNG\r\n\x1a\n", b"GIF89a", b"RIFF"]))
+@given(
+    st.integers(1, 3),
+    st.integers(1, 3),
+    st.integers(0, 5),
+    st.sampled_from([1, 3]),
+    st.integers(0, 2),
+    st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_writer_decoder_roundtrip_arbitrary(bw, bh, crop, nc, dri, seed):
+    """JPEG property: arbitrary quantized coefficients (random sparsity →
+    every DC category, AC run/size, ZRL, EOB path), varied quant tables,
+    gray + YCbCr, non-multiple-of-8 crops, and restart intervals decode
+    to exactly the spec-IDCT expected pixels."""
+    from scripts.build_fixture_data import _jpeg_bytes, _jpeg_expected_pixels
+
+    from fetch_engines_spark.pipelines.multimodal import decode_jpeg
+
+    w, h = bw * 8 - crop, bh * 8 - (crop % 3)
+    qts = [
+        [1 + (seed + ci * 7 + i) % 5 for i in range(64)] for ci in range(nc)
+    ]
+    comps = []
+    for ci in range(nc):
+        blocks = []
+        for b in range(bw * bh):
+            blk = [0] * 64
+            blk[0] = ((seed >> 3) + b * 37 + ci * 101) % 1024 - 512
+            for j in range((seed + b) % 4):
+                pos = (seed // 5 + 13 * j + b * 29) % 63 + 1
+                blk[pos] = ((seed >> (j + 2)) % 64) - 32
+            blocks.append(blk)
+        comps.append(blocks)
+    payload = _jpeg_bytes(w, h, comps, qts, dri=dri)
+    img = decode_jpeg(payload)
+    assert (img["width"], img["height"], img["channels"]) == (w, h, nc)
+    assert img["pixels"] == _jpeg_expected_pixels(w, h, comps, qts)
+
+
+@given(
+    st.binary(min_size=0, max_size=300),
+    st.sampled_from([b"\x89PNG\r\n\x1a\n", b"GIF89a", b"RIFF", b"\xff\xd8\xff\xe0"]),
+)
 @settings(max_examples=150, deadline=None)
 def test_media_decoders_never_crash_unexpectedly(data, sig):
     """Fuzz: arbitrary bytes behind each magic either decode or raise —
     the Arrow stages convert any raise to an error row; nothing may hang
     or exhaust memory (bomb guards bound all allocations)."""
-    from fetch_engines_spark.pipelines.multimodal import decode_gif, decode_png, decode_wav
+    from fetch_engines_spark.pipelines.multimodal import (
+        decode_gif,
+        decode_jpeg,
+        decode_png,
+        decode_wav,
+    )
 
-    fn = {b"\x89PNG\r\n\x1a\n": decode_png, b"GIF89a": decode_gif, b"RIFF": decode_wav}[sig]
+    fn = {
+        b"\x89PNG\r\n\x1a\n": decode_png,
+        b"GIF89a": decode_gif,
+        b"RIFF": decode_wav,
+        b"\xff\xd8\xff\xe0": decode_jpeg,
+    }[sig]
     try:
         fn(sig + data)
     except Exception:

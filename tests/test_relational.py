@@ -142,11 +142,22 @@ def test_kmv_estimate_accuracy_and_exact_below_k(spark):
 
     rows = [(i, "big" if i < 5000 else "small", i % (2000 if i < 5000 else 10)) for i in range(6000)]
     df = spark.createDataFrame(rows, "i long, grp string, key long")
-    got = {r.grp: r for r in kmv_distinct(df, "grp", "key", k=64).collect()}
+    got = {
+        r.grp: r
+        for r in kmv_distinct(df, "grp", "key", k=64, include_exact=True).collect()
+    }
     assert got["small"].kmv_estimate == got["small"].n_exact == 10  # exact below k
     big = got["big"]
     assert big.n_exact == 2000
     assert abs(big.kmv_estimate - 2000) / 2000 < 0.35  # k=64 → ~12% stderr
+    # production path (include_exact omitted): no exact-count column and no
+    # countDistinct aggregate in the plan — only the k-row sketch runs
+    prod = kmv_distinct(df, "grp", "key", k=64)
+    assert "n_exact" not in prod.columns
+    plan = prod._jdf.queryExecution().optimizedPlan().toString()
+    assert "count(distinct" not in plan.lower()
+    est = {r.grp: r.kmv_estimate for r in prod.collect()}
+    assert est["small"] == 10
 
 
 def test_range_join_binned_no_duplicate_pairs(spark):
