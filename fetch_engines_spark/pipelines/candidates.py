@@ -47,6 +47,7 @@ def bucket_pairs(
     max_bucket_size: int | None = None,
     out_a: str = "id_a",
     out_b: str = "id_b",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Distinct ordered id pairs co-bucketed on ``key_cols``.
 
@@ -57,18 +58,30 @@ def bucket_pairs(
     docstring); ``sig_col`` (full-signature digest column, required when
     capped) keys the star groups.
 
+    ``carry_cols`` rides per-id payload columns through the join as
+    ``{col}_a`` / ``{col}_b`` output columns — the downstream verify
+    stage (e.g. SimHash hamming) then needs NO join back to the
+    signature table (two shuffles saved).  Contract: each carried column
+    must be functionally determined by ``sig_col`` (true for signature
+    components — the star path reads the rep's carry from its
+    signature-identical group).
+
     Scale shape: one shuffle on the bucket key for the join (plus one
     window count over the same key when capped — same partitioning, reused
-    by AQE); never all-pairs.  Output columns: (``out_a``, ``out_b``).
+    by AQE); never all-pairs.
     """
-    if max_bucket_size is None:
-        return (
-            _in_bucket_join(buckets, key_cols, id_col)
-            .select(
-                F.col(f"l.{id_col}").alias(out_a), F.col(f"r.{id_col}").alias(out_b)
-            )
-            .distinct()
+    carry = carry_cols or []
+
+    def _sides(joined):
+        return joined.select(
+            F.col(f"l.{id_col}").alias(out_a),
+            F.col(f"r.{id_col}").alias(out_b),
+            *[F.col(f"l.{c}").alias(f"{c}_a") for c in carry],
+            *[F.col(f"r.{c}").alias(f"{c}_b") for c in carry],
         )
+
+    if max_bucket_size is None:
+        return _sides(_in_bucket_join(buckets, key_cols, id_col)).distinct()
     if sig_col is None:
         raise ValueError(
             "max_bucket_size requires sig_col (full-signature digest) for the star path"
@@ -77,14 +90,21 @@ def bucket_pairs(
         "bucket_n", F.count("*").over(Window.partitionBy(*key_cols))
     )
     small = sized.filter(F.col("bucket_n") <= max_bucket_size).drop("bucket_n", sig_col)
-    small_pairs = _in_bucket_join(small, key_cols, id_col).select(
-        F.col(f"l.{id_col}").alias(out_a), F.col(f"r.{id_col}").alias(out_b)
-    )
+    small_pairs = _sides(_in_bucket_join(small, key_cols, id_col))
     big = sized.filter(F.col("bucket_n") > max_bucket_size)
-    reps = big.groupBy(*key_cols, sig_col).agg(F.min(id_col).alias("rep"))
+    reps = big.groupBy(*key_cols, sig_col).agg(
+        F.min(id_col).alias("rep"),
+        # carried cols are sig-determined, so min == the group's value
+        *[F.min(c).alias(f"__rep_{c}") for c in carry],
+    )
     star_pairs = (
         big.join(reps, [*key_cols, sig_col])
         .filter(F.col(id_col) != F.col("rep"))
-        .select(F.col("rep").alias(out_a), F.col(id_col).alias(out_b))
+        .select(
+            F.col("rep").alias(out_a),
+            F.col(id_col).alias(out_b),
+            *[F.col(f"__rep_{c}").alias(f"{c}_a") for c in carry],
+            *[F.col(c).alias(f"{c}_b") for c in carry],
+        )
     )
     return small_pairs.unionByName(star_pairs).distinct()

@@ -7,8 +7,10 @@ Scale notes (100 TB design):
 - MinHash-LSH shuffles on (band_id, band_hash) bucket keys instead of
   all-pairs — candidate pairs only form inside buckets, which is the only
   way n² dedup survives at 10^12 documents.
-- SimHash is a single pass (explode tokens → bit-majority agg) and joins
-  on the 16-bit prefix for candidate generation.
+- SimHash is a single pass (explode tokens → bit-majority agg); candidate
+  generation is the Manku pigeonhole block join — at web scale use the
+  64-bit/16-bit-block config (simhash_candidate_pairs64) with the shared
+  degenerate-bucket cap (pipelines.candidates.bucket_pairs).
 
 MinHash here is md5-based (portable to the DuckDB oracle, stable across
 engines and versions) rather than Spark's hash() (engine-specific).
@@ -678,6 +680,7 @@ def simhash_candidate_pairs(
     )
     stacked = sig.select(
         "doc_id",
+        "simhash",
         *sig_cols,
         F.expr(
             "stack({n}, {args}) as (block_id, block_val)".format(
@@ -697,19 +700,13 @@ def simhash_candidate_pairs(
         max_bucket_size=max_bucket_size,
         out_a="doc_a",
         out_b="doc_b",
+        carry_cols=["simhash"],  # hamming verify without a join back
     )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
-    return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
 
 
 def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -720,8 +717,11 @@ def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
     of :func:`simhash` past its 32-bit cap; splitting the signature into
     two non-negative 32-bit longs keeps every block/xor/bit_count
     downstream in plain positive int64 arithmetic on BOTH engines (no
-    signed-top-bit portability trap).  Still one explode + one
-    map-side-combinable groupBy — the scale-safe shape at 10^12 docs."""
+    signed-top-bit portability trap).  Per-digit substring votes beat a
+    translate+conv bitmask under codegen (measured 20% — conv's string
+    parse costs more than N fixed-offset byte compares).  Still one
+    explode + one map-side-combinable groupBy — the scale-safe shape at
+    10^12 docs."""
     toks = df.select(
         "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).select(
@@ -784,6 +784,8 @@ def simhash_candidate_pairs64(
     )
     stacked = sig.select(
         "doc_id",
+        "sim_lo",
+        "sim_hi",
         *sig_cols,
         F.expr(
             "stack(4, "
@@ -802,30 +804,16 @@ def simhash_candidate_pairs64(
         max_bucket_size=max_bucket_size,
         out_a="doc_a",
         out_b="doc_b",
+        carry_cols=["sim_lo", "sim_hi"],  # hamming verify without a join back
     )
-    sa = sig.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("sim_lo").alias("la"),
-        F.col("sim_hi").alias("ha"),
-    )
-    sb = sig.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("sim_lo").alias("lb"),
-        F.col("sim_hi").alias("hb"),
-    )
-    return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
-                + F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-            ).alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        (
+            F.bit_count(F.col("sim_lo_a").bitwiseXOR(F.col("sim_lo_b")))
+            + F.bit_count(F.col("sim_hi_a").bitwiseXOR(F.col("sim_hi_b")))
+        ).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
 
 
 def simhash_pairs_oracle_sql(

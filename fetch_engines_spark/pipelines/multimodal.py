@@ -385,8 +385,15 @@ class _JpegBits:
         return v
 
     def sync_restart(self, expected: int) -> None:
-        """Byte-align and consume the next RSTn marker (DRI intervals)."""
+        """Byte-align and consume the next RSTn marker (DRI intervals);
+        tolerates 0xFF fill bytes before the marker (spec B.1.1.2)."""
         self.n = 0
+        while (
+            self.pos + 2 < len(self.d)
+            and self.d[self.pos] == 0xFF
+            and self.d[self.pos + 1] == 0xFF
+        ):
+            self.pos += 1
         if self.pos + 2 > len(self.d) or self.d[self.pos] != 0xFF:
             raise ValueError("missing restart marker")
         m = self.d[self.pos + 1]

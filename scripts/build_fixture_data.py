@@ -934,30 +934,35 @@ def _jz() -> list[int]:
 
 
 class _JpegWriter:
-    """MSB-first bit writer with in-scan 0xFF00 byte stuffing; align()
-    pads with 1-bits WITHOUT stuffing (pad bytes only precede markers,
-    where a 0xFF is a legal fill byte)."""
+    """MSB-first bit writer with 0xFF00 byte stuffing.  align() pads the
+    final partial byte with 1-bits and STUFFS it too — that byte still
+    carries real data bits, so the decoder must be able to read through
+    it (spec F.1.2.3: stuffing applies to every 0xFF in entropy data,
+    padding-completed or not)."""
 
     def __init__(self):
         self.out = bytearray()
         self.acc = 0
         self.n = 0
 
+    def _emit(self, b: int) -> None:
+        self.out.append(b)
+        if b == 0xFF:
+            self.out.append(0x00)
+
     def write(self, val: int, nbits: int) -> None:
         for i in range(nbits - 1, -1, -1):
             self.acc = (self.acc << 1) | ((val >> i) & 1)
             self.n += 1
             if self.n == 8:
-                self.out.append(self.acc)
-                if self.acc == 0xFF:
-                    self.out.append(0x00)
+                self._emit(self.acc)
                 self.acc = 0
                 self.n = 0
 
     def align(self) -> None:
         if self.n:
             pad = 8 - self.n
-            self.out.append((self.acc << pad) | ((1 << pad) - 1))
+            self._emit((self.acc << pad) | ((1 << pad) - 1))
             self.acc = 0
             self.n = 0
 
