@@ -896,31 +896,17 @@ pairs AS (
     ON l.block_id = r.block_id AND l.block_val = r.block_val AND l.doc_id < r.doc_id
 )"""
     else:
-        pair_cte = f"""
-sized AS (
-  SELECT *, count(*) OVER (PARTITION BY block_id, block_val) AS bucket_n FROM stacked
-),
-small AS (SELECT * FROM sized WHERE bucket_n <= {max_bucket_size}),
-small_pairs AS (
-  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
-  FROM small l JOIN small r
-    ON l.block_id = r.block_id AND l.block_val = r.block_val AND l.doc_id < r.doc_id
-),
-big AS (SELECT * FROM sized WHERE bucket_n > {max_bucket_size}),
-reps AS (
-  SELECT block_id, block_val, sig_key, min(doc_id) AS rep
-  FROM big GROUP BY block_id, block_val, sig_key
-),
-star_pairs AS (
-  SELECT r.rep AS doc_a, g.doc_id AS doc_b
-  FROM big g JOIN reps r USING (block_id, block_val, sig_key)
-  WHERE g.doc_id <> r.rep
-),
-pairs AS (
-  SELECT DISTINCT doc_a, doc_b FROM (
-    SELECT * FROM small_pairs UNION ALL SELECT * FROM star_pairs
-  )
-)"""
+        from .candidates import capped_pairs_sql_ctes
+
+        pair_cte = "\n" + capped_pairs_sql_ctes(
+            "stacked",
+            ["block_id", "block_val"],
+            "doc_id",
+            "sig_key",
+            max_bucket_size,
+            "doc_a",
+            "doc_b",
+        )
     return f"""
 WITH sigs AS ({sig}),
 keyed AS (
@@ -1025,8 +1011,21 @@ FROM bands l JOIN bands r
 def capped_candidate_pairs_oracle_sql(
     source: str, num_hashes: int = 4, band_size: int = 2, max_bucket_size: int = 50
 ) -> str:
-    """Full SQL twin of minhash_candidate_pairs(max_bucket_size=...)."""
+    """Full SQL twin of minhash_candidate_pairs(max_bucket_size=...);
+    the guard CTEs come from the ONE shared generator
+    (candidates.capped_pairs_sql_ctes)."""
+    from .candidates import capped_pairs_sql_ctes
+
     sigs = minhash_oracle_sql(num_hashes, source)
+    guard = capped_pairs_sql_ctes(
+        "keyed_bands",
+        ["band_id", "band_key"],
+        "doc_id",
+        "sig_key",
+        max_bucket_size,
+        "doc_a",
+        "doc_b",
+    )
     return f"""
 WITH sigs AS ({sigs}),
 keys AS (
@@ -1038,30 +1037,12 @@ bands AS (
          md5(array_to_string(list_sort(list(minhash)), '|')) AS band_key
   FROM sigs GROUP BY doc_id, floor(hash_idx / {band_size})
 ),
-sized AS (
-  SELECT b.doc_id, b.band_id, b.band_key, k.sig_key,
-         count(*) OVER (PARTITION BY b.band_id, b.band_key) AS bucket_n
+keyed_bands AS (
+  SELECT b.doc_id, b.band_id, b.band_key, k.sig_key
   FROM bands b JOIN keys k USING (doc_id)
 ),
-small AS (SELECT * FROM sized WHERE bucket_n <= {max_bucket_size}),
-small_pairs AS (
-  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
-  FROM small l JOIN small r
-    ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
-),
-big AS (SELECT * FROM sized WHERE bucket_n > {max_bucket_size}),
-reps AS (
-  SELECT band_id, band_key, sig_key, min(doc_id) AS rep
-  FROM big GROUP BY band_id, band_key, sig_key
-),
-star_pairs AS (
-  SELECT r.rep AS doc_a, g.doc_id AS doc_b
-  FROM big g JOIN reps r USING (band_id, band_key, sig_key)
-  WHERE g.doc_id <> r.rep
-)
-SELECT DISTINCT doc_a, doc_b FROM (
-  SELECT * FROM small_pairs UNION ALL SELECT * FROM star_pairs
-)
+{guard}
+SELECT doc_a, doc_b FROM pairs
 """
 
 

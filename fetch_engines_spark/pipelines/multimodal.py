@@ -367,7 +367,9 @@ class _JpegBits:
                 raise ValueError("entropy stream exhausted")
             b = self.d[self.pos]
             if b == 0xFF:
-                nxt = self.d[self.pos + 1] if self.pos + 1 < len(self.d) else None
+                if self.pos + 1 >= len(self.d):
+                    raise ValueError("entropy stream ends on a bare 0xFF")
+                nxt = self.d[self.pos + 1]
                 if nxt != 0x00:
                     raise ValueError(f"marker 0xFF{nxt:02x} inside entropy data")
                 self.pos += 2
@@ -442,7 +444,13 @@ def decode_jpeg(payload: bytes) -> dict:
     Subset: 8-bit precision, 1 or 3 components, NO chroma subsampling
     (all sampling factors 1x1) — progressive (SOF2), arithmetic coding,
     and subsampled scans raise ValueError, which the Spark stage maps to
-    an error row.  Same 64M-pixel allocation cap as the PNG path."""
+    an error row.  The pixel cap is TIGHTER than the PNG path's 64M:
+    this decoder holds float64 planes (8 B/px/component, ~8x a PNG's
+    byte raster) and walks the entropy stream bit-by-bit in Python, so
+    4M pixels bounds a 3-component decode to ~100 MB of plane memory
+    and a predictable per-task runtime — an oversized-but-legal JPEG
+    becomes an error row, never an executor OOM or a stage-long
+    straggler."""
     import numpy as np
 
     if payload is None or len(payload) < 4 or payload[:2] != b"\xff\xd8":
@@ -519,8 +527,8 @@ def decode_jpeg(payload: bytes) -> dict:
     w, h, comps = frame
     if w == 0 or h == 0:
         raise ValueError(f"degenerate dimensions ({w}x{h})")
-    if w * h > 64_000_000:
-        raise ValueError(f"image too large ({w}x{h})")
+    if w * h > 4_000_000:
+        raise ValueError(f"image too large for pure-Python JPEG decode ({w}x{h})")
     sel, entropy_pos = scan
     if [c for c, _, _ in sel] != [cid for cid, _ in comps]:
         raise ValueError("scan/frame component mismatch")

@@ -620,9 +620,7 @@ def pq_topk(
         vqj = vecs.select("vid", F.slice("vq", j * width + 1, width).alias("vq"))
         cents_j = kmeans_codebook(vqj, ks, n_iter)
         sub_cents.append(cents_j)
-        cb_j = cents_j.agg(
-            F.array_sort(F.collect_list(F.struct("cent_id", "cv"))).alias(f"cb{j}")
-        )
+        cb_j = _centroid_arr(cents_j).withColumnRenamed("cb", f"cb{j}")
         cb_row = cb_j if cb_row is None else cb_row.crossJoin(cb_j)
 
     # encode: per-vector per-subspace argmin against the broadcast
@@ -822,6 +820,17 @@ def embedding_pairs_capped_oracle_sql(
     )
     t_cols = ", ".join(f"t{t}" for t in range(num_tables))
     thresh = f"WHERE cosine_bp >= {threshold_bp}" if threshold_bp is not None else ""
+    from .candidates import capped_pairs_sql_ctes
+
+    guard = capped_pairs_sql_ctes(
+        "tabled",
+        ["table_id", "bucket"],
+        "vid",
+        "sig_key",
+        max_bucket_size,
+        "vec_a",
+        "vec_b",
+    )
     return f"""
 WITH base AS (
   SELECT vec_id AS vid,
@@ -834,30 +843,7 @@ wide AS (
 tabled AS (
   {tabled}
 ),
-sized AS (
-  SELECT *, count(*) OVER (PARTITION BY table_id, bucket) AS bucket_n FROM tabled
-),
-small AS (SELECT * FROM sized WHERE bucket_n <= {max_bucket_size}),
-small_pairs AS (
-  SELECT l.vid AS vec_a, r.vid AS vec_b
-  FROM small l JOIN small r
-    ON l.table_id = r.table_id AND l.bucket = r.bucket AND l.vid < r.vid
-),
-big AS (SELECT * FROM sized WHERE bucket_n > {max_bucket_size}),
-reps AS (
-  SELECT table_id, bucket, sig_key, min(vid) AS rep
-  FROM big GROUP BY table_id, bucket, sig_key
-),
-star_pairs AS (
-  SELECT r.rep AS vec_a, g.vid AS vec_b
-  FROM big g JOIN reps r USING (table_id, bucket, sig_key)
-  WHERE g.vid <> r.rep
-),
-pairs AS (
-  SELECT DISTINCT vec_a, vec_b FROM (
-    SELECT * FROM small_pairs UNION ALL SELECT * FROM star_pairs
-  )
-),
+{guard},
 verified AS (
   SELECT p.vec_a, p.vec_b, {cosine_bp_sql('a.embedding', 'b.embedding')} AS cosine_bp
   FROM pairs p
