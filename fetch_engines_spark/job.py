@@ -52,6 +52,20 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--band-size", type=int, default=8)
     p.add_argument("--max-bucket-size", type=int, default=2000)
     p.add_argument("--jaccard-threshold-bp", type=int, default=7000)
+    p.add_argument(
+        "--dedup-method",
+        default="minhash",
+        choices=("minhash", "simhash64"),
+        help="candidate generator for --stage dedup: MinHash-LSH bands "
+        "(shingle near-dups) or 64-bit SimHash pigeonhole blocks "
+        "(hamming near-dups; cheaper signatures, no shingle explode)",
+    )
+    p.add_argument(
+        "--max-hamming",
+        type=int,
+        default=3,
+        help="simhash64 verify threshold (pigeonhole-exact for < 4)",
+    )
     return p.parse_args(argv)
 
 
@@ -79,18 +93,28 @@ def _run_dedup(spark, args) -> dict:
         connected_components_star,
         minhash_candidate_pairs_fast,
         ngram_jaccard,
+        simhash_candidate_pairs64,
     )
 
     docs = spark.read.parquet(args.input)
-    pairs = minhash_candidate_pairs_fast(
-        docs,
-        num_hashes=args.minhash_perms,
-        band_size=args.band_size,
-        max_bucket_size=args.max_bucket_size,
-    )
-    verified = ngram_jaccard(docs, pairs).filter(
-        F.col("jaccard_bp") >= args.jaccard_threshold_bp
-    )
+    if args.dedup_method == "simhash64":
+        # pigeonhole candidates + integer hamming verify (already in the
+        # pair output — no second verify pass needed)
+        verified = simhash_candidate_pairs64(
+            docs,
+            max_hamming=args.max_hamming,
+            max_bucket_size=args.max_bucket_size,
+        ).select("doc_a", "doc_b")
+    else:
+        pairs = minhash_candidate_pairs_fast(
+            docs,
+            num_hashes=args.minhash_perms,
+            band_size=args.band_size,
+            max_bucket_size=args.max_bucket_size,
+        )
+        verified = ngram_jaccard(docs, pairs).filter(
+            F.col("jaccard_bp") >= args.jaccard_threshold_bp
+        )
     verified.write.mode("overwrite").parquet(f"{args.output}/pairs")
     verified = spark.read.parquet(f"{args.output}/pairs")
     clusters = connected_components_star(verified)
@@ -102,6 +126,7 @@ def _run_dedup(spark, args) -> dict:
     keepers.write.mode("overwrite").parquet(f"{args.output}/keepers")
     return {
         "stage": "dedup",
+        "method": args.dedup_method,
         "n_input": docs.count(),
         "n_dup_pairs": verified.count(),
         "n_clustered": clusters.count(),

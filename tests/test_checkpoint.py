@@ -134,3 +134,33 @@ def test_resume_with_mismatched_n_buckets_fails_fast(spark, documents, tmp_path)
     # a different run_id with a different bucketing is fine
     summary = run_extraction_job(spark, documents, root, run_id="nb2", n_buckets=8)
     assert summary["processed_buckets"] == 8
+
+
+def test_dedup_stage_cli_both_methods(spark, tmp_path):
+    """The --stage dedup CLI with both candidate generators: MinHash-LSH
+    (jaccard-verified) and 64-bit SimHash (hamming-verified, pigeonhole
+    candidates) must both catch the planted exact duplicates, cluster
+    them, and elect keepers."""
+    import os
+
+    from fetch_engines_spark import job
+
+    src = os.path.join(os.path.dirname(__file__), "..", "data", "fixtures", "neardup.parquet")
+    for method in ("minhash", "simhash64"):
+        args = job.parse_args(
+            [
+                "--input", src,
+                "--output", str(tmp_path / method),
+                "--run-id", "t",
+                "--stage", "dedup",
+                "--dedup-method", method,
+                "--minhash-perms", "24",
+                "--band-size", "2",
+            ]
+        )
+        summary = job._run_dedup(spark, args)
+        assert summary["method"] == method
+        assert summary["n_dup_pairs"] >= 30  # 30 planted exact pairs
+        assert summary["n_keepers"] < summary["n_input"]
+        clusters = spark.read.parquet(str(tmp_path / method / "clusters"))
+        assert clusters.filter("is_keeper").count() < summary["n_input"]
