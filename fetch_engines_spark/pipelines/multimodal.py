@@ -441,10 +441,11 @@ def decode_jpeg(payload: bytes) -> dict:
     parse, Huffman entropy decode (DC DPCM, AC run/size with EOB+ZRL,
     byte unstuffing, DRI/RSTn restarts), dequantize, de-zigzag, float64
     IDCT, level shift + clamp, and JFIF YCbCr→RGB for 3-component scans.
-    Subset: 8-bit precision, 1 or 3 components, NO chroma subsampling
-    (all sampling factors 1x1) — progressive (SOF2), arithmetic coding,
-    and subsampled scans raise ValueError, which the Spark stage maps to
-    an error row.  The pixel cap is TIGHTER than the PNG path's 64M:
+    Subset: 8-bit precision, 1 or 3 components, luma sampling factors up
+    to 2x2 with 1x1 chroma (covers 4:4:4, 4:2:2, 4:4:0, and the dominant
+    web format 4:2:0; chroma upsampled by sample replication) —
+    progressive (SOF2), arithmetic coding, and other sampling layouts
+    raise ValueError, which the Spark stage maps to an error row.  The pixel cap is TIGHTER than the PNG path's 64M:
     this decoder holds float64 planes (8 B/px/component, ~8x a PNG's
     byte raster) and walks the entropy stream bit-by-bit in Python, so
     4M pixels bounds a 3-component decode to ~100 MB of plane memory
@@ -504,9 +505,12 @@ def decode_jpeg(payload: bytes) -> dict:
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
-                if hv != 0x11:
-                    raise ValueError("chroma subsampling not supported (4:4:4 only)")
-                comps.append((cid, tq))
+                hs, vs = hv >> 4, hv & 15
+                if hs not in (1, 2) or vs not in (1, 2):
+                    raise ValueError(f"unsupported sampling factors {hs}x{vs}")
+                if i > 0 and (hs, vs) != (1, 1):
+                    raise ValueError("chroma sampling factors must be 1x1")
+                comps.append((cid, tq, hs, vs))
             frame = (w, h, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"non-baseline SOF 0x{marker:02x} not supported")
@@ -530,48 +534,72 @@ def decode_jpeg(payload: bytes) -> dict:
     if w * h > 4_000_000:
         raise ValueError(f"image too large for pure-Python JPEG decode ({w}x{h})")
     sel, entropy_pos = scan
-    if [c for c, _, _ in sel] != [cid for cid, _ in comps]:
+    if [c for c, _, _ in sel] != [cid for cid, _, _, _ in comps]:
         raise ValueError("scan/frame component mismatch")
     nc = len(comps)
-    bx, by = (w + 7) // 8, (h + 7) // 8
+    hmax = max(hs for _, _, hs, _ in comps)
+    vmax = max(vs for _, _, _, vs in comps)
+    # MCU grid covers the luma raster; each component holds (v_i × h_i)
+    # blocks per MCU at its own (subsampled) resolution
+    mx, my = (w + 8 * hmax - 1) // (8 * hmax), (h + 8 * vmax - 1) // (8 * vmax)
     basis = _jpeg_idct_basis()
-    planes = [np.empty((by * 8, bx * 8), dtype=np.float64) for _ in range(nc)]
+    planes = [
+        np.empty((my * vs * 8, mx * hs * 8), dtype=np.float64)
+        for _, _, hs, vs in comps
+    ]
     reader = _JpegBits(payload, entropy_pos)
     pred = [0] * nc
     mcu = 0
-    for yb in range(by):
-        for xb in range(bx):
+    for yb in range(my):
+        for xb in range(mx):
             if dri and mcu and mcu % dri == 0:
                 reader.sync_restart(mcu // dri - 1)
                 pred = [0] * nc
             for ci in range(nc):
                 _cid, td, ta = sel[ci]
-                q = qt.get(comps[ci][1])
+                _, tq, hs, vs = comps[ci]
+                q = qt.get(tq)
                 if q is None:
                     raise ValueError("missing quant table")
-                coeffs = np.zeros(64, dtype=np.float64)
-                s = reader.huff(hdc.get(td) or _raise("missing DC table"))
-                pred[ci] += _jpeg_extend(reader.receive(s), s)
-                coeffs[0] = pred[ci] * q[0]
-                k = 1
-                while k < 64:
-                    rs = reader.huff(hac.get(ta) or _raise("missing AC table"))
-                    r, s = rs >> 4, rs & 15
-                    if s == 0:
-                        if r == 15:  # ZRL
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += r
-                    if k > 63:
-                        raise ValueError("AC run past block end")
-                    coeffs[_JPEG_ZZ[k]] = _jpeg_extend(reader.receive(s), s) * q[k]
-                    k += 1
-                block = basis.T @ coeffs.reshape(8, 8) @ basis
-                planes[ci][yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8] = block
+                for v in range(vs):
+                    for u in range(hs):
+                        coeffs = np.zeros(64, dtype=np.float64)
+                        s = reader.huff(hdc.get(td) or _raise("missing DC table"))
+                        pred[ci] += _jpeg_extend(reader.receive(s), s)
+                        coeffs[0] = pred[ci] * q[0]
+                        k = 1
+                        while k < 64:
+                            rs = reader.huff(
+                                hac.get(ta) or _raise("missing AC table")
+                            )
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            coeffs[_JPEG_ZZ[k]] = (
+                                _jpeg_extend(reader.receive(s), s) * q[k]
+                            )
+                            k += 1
+                        block = basis.T @ coeffs.reshape(8, 8) @ basis
+                        r0 = (yb * vs + v) * 8
+                        c0 = (xb * hs + u) * 8
+                        planes[ci][r0 : r0 + 8, c0 : c0 + 8] = block
             mcu += 1
-    # level shift, crop to declared dims, color-convert
-    out = [np.clip(np.round(p[:h, :w] + 128.0), 0, 255) for p in planes]
+    # per-plane level shift + sample rounding at the component's native
+    # resolution, THEN nearest-neighbor upsample to luma resolution
+    # (sample replication — the baseline upsampling rule, mirrored by the
+    # fixture generator), then crop + color-convert
+    out = []
+    for ci, (_, _, hs, vs) in enumerate(comps):
+        p = np.clip(np.round(planes[ci] + 128.0), 0, 255)
+        if hs != hmax or vs != vmax:
+            p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        out.append(p[:h, :w])
     if nc == 1:
         px = out[0].astype(np.uint8).tobytes()
     else:

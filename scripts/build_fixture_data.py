@@ -989,19 +989,27 @@ def _jpeg_bytes(
     qtables: list[list[int]],
     dri: int = 0,
     sof: int = 0xC0,
+    sampling: list[tuple[int, int]] | None = None,
 ) -> bytes:
     """Minimal baseline-JPEG encoder for fixtures: ``comps`` holds, per
     component, a list of 64-entry QUANTIZED coefficient blocks in NATURAL
-    (row-major 8x8) order, block-raster order; ``qtables`` are per-
-    component quant tables in natural order (written to DQT in zigzag
-    order, as the spec requires).  4:4:4 only, shared DC/AC Huffman
+    (row-major 8x8) order, in the COMPONENT's own block-raster order
+    (padded to the MCU grid); ``qtables`` are per-component quant tables
+    in natural order (written to DQT in zigzag order, as the spec
+    requires).  ``sampling`` gives per-component (h, v) factors (default
+    all 1x1 = 4:4:4; [(2,2),(1,1),(1,1)] = 4:2:0).  Shared DC/AC Huffman
     tables built from the symbols actually emitted."""
     import struct as _s
 
     zz = _jz()
     nc = len(comps)
-    bx, by = (width + 7) // 8, (height + 7) // 8
-    assert all(len(c) == bx * by for c in comps)
+    sampling = sampling or [(1, 1)] * nc
+    hmax = max(hs for hs, _ in sampling)
+    vmax = max(vs for _, vs in sampling)
+    mx = (width + 8 * hmax - 1) // (8 * hmax)
+    my = (height + 8 * vmax - 1) // (8 * vmax)
+    for ci, (hs, vs) in enumerate(sampling):
+        assert len(comps[ci]) == (my * vs) * (mx * hs), (ci, len(comps[ci]))
 
     def category(v: int) -> int:
         return v if v == 0 else len(bin(abs(v))) - 2
@@ -1010,29 +1018,37 @@ def _jpeg_bytes(
         """One MCU walk shared by symbol collection and bit emission —
         restart intervals reset the DC predictors in BOTH passes."""
         pred = [0] * nc
-        for mcu in range(bx * by):
-            if dri and mcu and mcu % dri == 0:
-                pred = [0] * nc
-                yield ("rst", mcu // dri - 1)
-            for ci in range(nc):
-                blk = comps[ci][mcu]
-                diff = blk[0] - pred[ci]
-                pred[ci] = blk[0]
-                on_dc(diff)
-                run = 0
-                last_nz = max((k for k in range(1, 64) if blk[zz[k]] != 0), default=0)
-                for k in range(1, last_nz + 1):
-                    v = blk[zz[k]]
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        on_ac(0xF0, None)
-                        run -= 16
-                    on_ac((run << 4) | category(v), v)
-                    run = 0
-                if last_nz < 63:
-                    on_ac(0x00, None)
+        mcu = 0
+        for ym in range(my):
+            for xm in range(mx):
+                if dri and mcu and mcu % dri == 0:
+                    pred = [0] * nc
+                    yield ("rst", mcu // dri - 1)
+                for ci, (hs, vs) in enumerate(sampling):
+                    bx_i = mx * hs
+                    for v_ in range(vs):
+                        for u_ in range(hs):
+                            blk = comps[ci][(ym * vs + v_) * bx_i + (xm * hs + u_)]
+                            diff = blk[0] - pred[ci]
+                            pred[ci] = blk[0]
+                            on_dc(diff)
+                            run = 0
+                            last_nz = max(
+                                (k for k in range(1, 64) if blk[zz[k]] != 0), default=0
+                            )
+                            for k in range(1, last_nz + 1):
+                                v = blk[zz[k]]
+                                if v == 0:
+                                    run += 1
+                                    continue
+                                while run > 15:
+                                    on_ac(0xF0, None)
+                                    run -= 16
+                                on_ac((run << 4) | category(v), v)
+                                run = 0
+                            if last_nz < 63:
+                                on_ac(0x00, None)
+                mcu += 1
 
     # first pass: collect the DC-size and AC-(run,size) symbols in use
     dc_syms, ac_syms = [], [0x00]
@@ -1051,7 +1067,8 @@ def _jpeg_bytes(
         out += seg(0xDB, bytes([tq]) + bytes(q[zz[k]] for k in range(64)))
     sof_body = bytes([8]) + _s.pack(">HH", height, width) + bytes([nc])
     for ci in range(nc):
-        sof_body += bytes([ci + 1, 0x11, ci if ci < len(qtables) else 0])
+        hs, vs = sampling[ci]
+        sof_body += bytes([ci + 1, (hs << 4) | vs, ci if ci < len(qtables) else 0])
     out += seg(sof, sof_body)
     out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
     out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
@@ -1089,29 +1106,43 @@ def _jpeg_bytes(
 
 
 def _jpeg_expected_pixels(
-    width: int, height: int, comps: list[list[list[int]]], qtables: list[list[int]]
+    width: int,
+    height: int,
+    comps: list[list[list[int]]],
+    qtables: list[list[int]],
+    sampling: list[tuple[int, int]] | None = None,
 ):
     """Ground-truth decode of the quantized coefficients by the public
     IDCT/JFIF definitions (independent of the pipeline's entropy decoder):
-    dequantize, A.T @ F @ A per block, +128, round/clamp per plane, then
-    YCbCr→RGB for 3 components."""
+    dequantize, A.T @ F @ A per block, +128, round/clamp per plane at its
+    native (subsampled) resolution, nearest-neighbor chroma upsample,
+    then YCbCr→RGB for 3 components."""
     import numpy as np
 
+    sampling = sampling or [(1, 1)] * len(comps)
+    hmax = max(hs for hs, _ in sampling)
+    vmax = max(vs for _, vs in sampling)
+    mx = (width + 8 * hmax - 1) // (8 * hmax)
+    my = (height + 8 * vmax - 1) // (8 * vmax)
     a = np.empty((8, 8))
     for u in range(8):
         cu = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
         for x in range(8):
             a[u, x] = cu / 2.0 * np.cos((2 * x + 1) * u * np.pi / 16.0)
-    bx, by = (width + 7) // 8, (height + 7) // 8
     planes = []
     for ci, blocks in enumerate(comps):
+        hs, vs = sampling[ci]
+        bx_i, by_i = mx * hs, my * vs
         q = np.array(qtables[ci if ci < len(qtables) else 0], dtype=np.float64)
-        plane = np.empty((by * 8, bx * 8))
+        plane = np.empty((by_i * 8, bx_i * 8))
         for i, blk in enumerate(blocks):
             dq = (np.array(blk, dtype=np.float64) * q).reshape(8, 8)
-            yb, xb = divmod(i, bx)
+            yb, xb = divmod(i, bx_i)
             plane[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8] = a.T @ dq @ a
-        planes.append(np.clip(np.round(plane[:height, :width] + 128.0), 0, 255))
+        p = np.clip(np.round(plane + 128.0), 0, 255)
+        if hs != hmax or vs != vmax:
+            p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        planes.append(p[:height, :width])
     if len(planes) == 1:
         return planes[0].astype(np.uint8).tobytes()
     y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
@@ -1185,14 +1216,36 @@ def build_jpegs() -> None:
         assert (got["width"], got["height"]) == (w, h), mid
         assert got["pixels"] == px, f"{mid}: writer/decoder pixel disagreement"
         rows.append((mid, payload, w, h, len(comps), sum(px), None))
-    # error rows: progressive SOF2, truncation, chroma subsampling
+    # chroma-subsampled color: 4:2:0 (the dominant web layout — 4 Y
+    # blocks + 1 Cb + 1 Cr per MCU, chroma upsampled by replication) and
+    # 4:2:2 (2 Y + 1 + 1); Y carries per-block DC steps + an AC ripple
+    sub_cases = []
+    y420 = [dc_block(v) for v in (60, 180, 120, 240)]
+    y420[0][1] = 30
+    sub_cases.append(
+        ("jpeg-420", 16, 16, [y420, [dc_block(90)], [dc_block(170)]],
+         [flat1, flat1, flat1], [(2, 2), (1, 1), (1, 1)])
+    )
+    y422 = [dc_block(v) for v in (40, 220)]
+    y422[1][8] = -12
+    sub_cases.append(
+        ("jpeg-422", 16, 8, [y422, [dc_block(140)], [dc_block(100)]],
+         [flat1, flat1, flat1], [(2, 1), (1, 1), (1, 1)])
+    )
+    for mid, w, h, comps, qts, samp in sub_cases:
+        payload = _jpeg_bytes(w, h, comps, qts, sampling=samp)
+        px = _jpeg_expected_pixels(w, h, comps, qts, sampling=samp)
+        got = decode_jpeg(payload)
+        assert got["pixels"] == px, f"{mid}: writer/decoder pixel disagreement"
+        rows.append((mid, payload, w, h, len(comps), sum(px), None))
+    # error rows: progressive SOF2, truncation, unsupported chroma sampling
     rows.append(
         ("jpeg-progressive", _jpeg_bytes(8, 8, [[dc_block(50)]], [flat1], sof=0xC2), None, None, None, None, "ERR_IMG")
     )
     rows.append(("jpeg-truncated", rows[0][1][:30], None, None, None, None, "ERR_IMG"))
-    sub = bytearray(_jpeg_bytes(8, 8, [[dc_block(50)]], [flat1]))
+    sub = bytearray(_jpeg_bytes(16, 16, [y420, [dc_block(90)], [dc_block(170)]], [flat1, flat1, flat1], sampling=[(2, 2), (1, 1), (1, 1)]))
     sof_at = sub.find(b"\xff\xc0")
-    sub[sof_at + 11] = 0x22  # sampling factors 2x2
+    sub[sof_at + 14] = 0x22  # CHROMA sampling 2x2 — out of the supported set
     rows.append(("jpeg-subsampled", bytes(sub), None, None, None, None, "ERR_IMG"))
 
     pq.write_table(

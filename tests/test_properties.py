@@ -255,26 +255,37 @@ def test_wav_writer_decoder_roundtrip_arbitrary(samples, channels):
     st.integers(0, 5),
     st.sampled_from([1, 3]),
     st.integers(0, 2),
+    st.sampled_from([None, (2, 2), (2, 1), (1, 2)]),
     st.integers(0, 2**31 - 1),
 )
 @settings(max_examples=40, deadline=None)
-def test_jpeg_writer_decoder_roundtrip_arbitrary(bw, bh, crop, nc, dri, seed):
+def test_jpeg_writer_decoder_roundtrip_arbitrary(bw, bh, crop, nc, dri, ysamp, seed):
     """JPEG property: arbitrary quantized coefficients (random sparsity →
     every DC category, AC run/size, ZRL, EOB path), varied quant tables,
-    gray + YCbCr, non-multiple-of-8 crops, and restart intervals decode
-    to exactly the spec-IDCT expected pixels."""
+    gray + YCbCr, non-multiple-of-8 crops, restart intervals, and chroma
+    subsampling (4:2:0 / 4:2:2 / 4:4:0) decode to exactly the spec-IDCT
+    expected pixels."""
     from scripts.build_fixture_data import _jpeg_bytes, _jpeg_expected_pixels
 
     from fetch_engines_spark.pipelines.multimodal import decode_jpeg
 
-    w, h = bw * 8 - crop, bh * 8 - (crop % 3)
+    sampling = None
+    if nc == 3 and ysamp is not None:
+        sampling = [ysamp, (1, 1), (1, 1)]
+    hmax = sampling[0][0] if sampling else 1
+    vmax = sampling[0][1] if sampling else 1
+    # dims measured in MCUs so every sampling layout stays block-aligned
+    # to the grid; crop still exercises non-multiple-of-8 edges
+    w, h = bw * 8 * hmax - crop, bh * 8 * vmax - (crop % 3)
     qts = [
         [1 + (seed + ci * 7 + i) % 5 for i in range(64)] for ci in range(nc)
     ]
     comps = []
     for ci in range(nc):
+        hs, vs = (sampling[ci] if sampling else (1, 1))
+        n_blocks = (bw * hs) * (bh * vs)
         blocks = []
-        for b in range(bw * bh):
+        for b in range(n_blocks):
             blk = [0] * 64
             blk[0] = ((seed >> 3) + b * 37 + ci * 101) % 1024 - 512
             for j in range((seed + b) % 4):
@@ -282,10 +293,10 @@ def test_jpeg_writer_decoder_roundtrip_arbitrary(bw, bh, crop, nc, dri, seed):
                 blk[pos] = ((seed >> (j + 2)) % 64) - 32
             blocks.append(blk)
         comps.append(blocks)
-    payload = _jpeg_bytes(w, h, comps, qts, dri=dri)
+    payload = _jpeg_bytes(w, h, comps, qts, dri=dri, sampling=sampling)
     img = decode_jpeg(payload)
     assert (img["width"], img["height"], img["channels"]) == (w, h, nc)
-    assert img["pixels"] == _jpeg_expected_pixels(w, h, comps, qts)
+    assert img["pixels"] == _jpeg_expected_pixels(w, h, comps, qts, sampling=sampling)
 
 
 @given(
