@@ -1482,6 +1482,18 @@ def _q_embedding_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, k=5, m=4, ks=8, query_ids=list(range(10)))
 
 
+def _q_embedding_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition: coarse k-means cells prune candidates, PQ
+    asymmetric distance over the RESIDUAL scores them — the classic
+    Jégou construction, integer-exact end-to-end."""
+    from fetch_engines_spark.pipelines.similarity import ivfpq_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb, k=5, n_centroids=8, n_probe=2, m=4, ks=8, query_ids=list(range(10))
+    )
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dup clusters over the planted corpus: LSH candidate pairs →
     connected components → keeper election (the pairs→clusters→keepers
@@ -1682,6 +1694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixed_extract": _q_mixed_extract,
         "url_domain_stats": _q_url_domain_stats,
         "dedup_clusters_chain": _q_dedup_clusters_chain,
+        "embedding_topk_ivfpq": _q_embedding_topk_ivfpq,
     }
 
 
@@ -2199,6 +2212,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk_pq": __import__(
             "fetch_engines_spark.pipelines.similarity", fromlist=["x"]
         ).pq_topk_sql(k=5, m=4, ks=8, dims=64, nq=10),
+        "embedding_topk_ivfpq": __import__(
+            "fetch_engines_spark.pipelines.similarity", fromlist=["x"]
+        ).ivfpq_topk_sql(k=5, n_centroids=8, n_probe=2, m=4, ks=8, dims=64, nq=10),
         "media_metadata": f"""
             SELECT media_id, exp_kind AS kind,
                    exp_width AS width, exp_height AS height,

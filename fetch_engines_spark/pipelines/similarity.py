@@ -677,6 +677,158 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    ks: int = 8,
+    dims: int = 64,
+    query_ids: list[int] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iter: int = 2,
+) -> DataFrame:
+    """IVF-PQ ANN (Jégou et al., "Product Quantization for Nearest
+    Neighbor Search"): coarse k-means cells prune the candidate set, and
+    candidates are scored by PQ asymmetric distance over the RESIDUAL
+    (vector − its cell centroid) — the composition both building blocks
+    (ivf_topk, pq_topk) document as the production shape.
+
+    All in the floor(x·1024) integer domain end-to-end (coarse Lloyd,
+    residuals, per-subspace residual sub-codebooks, ADC sums), so the
+    DuckDB twin (``ivfpq_topk_sql``) replays it exactly.  Scale shape:
+    codebooks are broadcast rows, assignment/encoding/probing are
+    shuffle-free argmin expressions over the scan, the corpus is stored
+    as (cell, m byte codes) — ~dims·4/m compression — and scoring is
+    broadcast equi-joins on (cell, code_j): a neighbor is scored iff its
+    cell is among the query's ``n_probe`` probed cells.  The corpus
+    never shuffles and float vectors never rematerialize."""
+    width = dims // m
+    vecs = embeddings.select(
+        F.col(id_col).alias("vid"), _quantize_vec(F.col(vec_col)).alias("vq")
+    )
+    coarse = kmeans_codebook(vecs, n_centroids, n_iter)
+    cb = _centroid_arr(coarse)
+
+    # cell assignment + integer residual, shuffle-free (coarse cent_ids
+    # are the dense init ids 0..n-1, so the sorted codebook array is
+    # indexable by cell)
+    withcb = vecs.crossJoin(F.broadcast(cb))
+    assigned = withcb.select(
+        "vid",
+        "vq",
+        _nearest(F.col("cb"), F.col("vq"))["cent_id"].alias("cell"),
+        F.col("cb"),
+    ).select(
+        "vid",
+        "vq",
+        "cell",
+        F.zip_with(
+            "vq",
+            F.element_at(F.col("cb"), F.col("cell").cast("int") + 1)["cv"],
+            lambda a, b: a - b,
+        ).alias("res"),
+    )
+
+    # per-subspace sub-codebooks trained on the residual slices
+    sub_cents = []
+    cb_row = None
+    for j in range(m):
+        rj = assigned.select(
+            "vid", F.slice("res", j * width + 1, width).alias("vq")
+        )
+        cents_j = kmeans_codebook(rj, ks, n_iter)
+        sub_cents.append(cents_j)
+        cb_j = _centroid_arr(cents_j).withColumnRenamed("cb", f"cb{j}")
+        cb_row = cb_j if cb_row is None else cb_row.crossJoin(cb_j)
+
+    enc = assigned.crossJoin(F.broadcast(cb_row)).select(
+        "vid",
+        "cell",
+        *[
+            _nearest(F.col(f"cb{j}"), F.slice("res", j * width + 1, width))[
+                "cent_id"
+            ].alias(f"code{j}")
+            for j in range(m)
+        ],
+    )
+
+    # queries: probe n_probe nearest cells, build per-(query, cell)
+    # residual distance tables to each sub-centroid
+    q = vecs.crossJoin(F.broadcast(cb))
+    if query_ids is not None:
+        q = q.filter(F.col("vid").isin(query_ids))
+    q_cells = q.select(
+        F.col("vid").alias("query_id"),
+        "vq",
+        F.col("cb"),
+        F.explode(
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        F.col("cb"),
+                        lambda c: F.named_struct(
+                            F.lit("d"),
+                            _int_l2(F.col("vq"), c["cv"]),
+                            F.lit("cent_id"),
+                            c["cent_id"],
+                        ),
+                    )
+                ),
+                1,
+                n_probe,
+            )
+        ).alias("probe"),
+    ).select(
+        "query_id",
+        F.col("probe")["cent_id"].alias("cell"),
+        F.zip_with(
+            "vq",
+            F.element_at(F.col("cb"), F.col("probe")["cent_id"].cast("int") + 1)[
+                "cv"
+            ],
+            lambda a, b: a - b,
+        ).alias("qres"),
+    )
+
+    scored = enc
+    for j in range(m):
+        qd_j = q_cells.crossJoin(
+            F.broadcast(
+                sub_cents[j].select(
+                    F.col("cent_id").alias(f"code{j}"), F.col("cv").alias("cvj")
+                )
+            )
+        ).select(
+            "query_id",
+            "cell",
+            F.col(f"code{j}"),
+            _int_l2(F.slice("qres", j * width + 1, width), F.col("cvj")).alias(
+                f"adc{j}"
+            ),
+        )
+        on = ["cell", f"code{j}"] if j == 0 else ["query_id", "cell", f"code{j}"]
+        if query_ids is not None:
+            qd_j = F.broadcast(qd_j)  # bounded query set only
+        scored = scored.join(qd_j, on)
+    adc = F.col("adc0")
+    for j in range(1, m):
+        adc = adc + F.col(f"adc{j}")
+    scored = scored.filter(F.col("query_id") != F.col("vid")).select(
+        "query_id",
+        F.col("vid").alias("neighbor_id"),
+        adc.cast("long").alias("adc_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rnk")
+    )
+
+
 # --- DuckDB oracle twin -------------------------------------------------------
 
 def cosine_bp_sql(a: str, b: str) -> str:
@@ -972,6 +1124,108 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, neighbor_id, cosine_bp, rnk FROM ranked WHERE rnk <= {k}
+"""
+
+
+def ivfpq_topk_sql(
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    ks: int = 8,
+    dims: int = 64,
+    nq: int = 10,
+    n_iter: int = 2,
+) -> str:
+    """DuckDB twin of ivfpq_topk: same integer coarse k-means, same
+    residuals, same per-subspace residual sub-codebooks (unrolled Lloyd
+    chains), same (cell ∩ probed-cells, code) scoring joins."""
+    width = dims // m
+    d_coarse = _int_l2_sql("v.vq", "c.cv", dims)
+    cte_parts = [
+        f"vq AS (SELECT vec_id AS vid, {_quant_sql('embedding', dims)} AS vq FROM embeddings)",
+        kmeans_ctes("vq", n_centroids, n_iter, dims, prefix="g"),
+        f"""assigned AS (
+  SELECT vid, vq, cell FROM (
+    SELECT v.vid, v.vq, c.cent_id AS cell,
+           row_number() OVER (PARTITION BY v.vid ORDER BY {d_coarse} ASC, c.cent_id ASC) AS rn
+    FROM vq v CROSS JOIN gc{n_iter} c
+  ) WHERE rn = 1
+)""",
+        f"""resid AS (
+  SELECT a.vid, a.cell,
+         list_transform(range(1, {dims} + 1), i -> a.vq[i] - c.cv[i]) AS res
+  FROM assigned a JOIN gc{n_iter} c ON a.cell = c.cent_id
+)""",
+        f"""q_cells AS (
+  SELECT query_id, cell FROM (
+    SELECT v.vid AS query_id, c.cent_id AS cell,
+           row_number() OVER (PARTITION BY v.vid ORDER BY {d_coarse} ASC, c.cent_id ASC) AS rn
+    FROM vq v CROSS JOIN gc{n_iter} c
+    WHERE v.vid < {nq}
+  ) WHERE rn <= {n_probe}
+)""",
+        f"""qres AS (
+  SELECT q.query_id, q.cell,
+         list_transform(range(1, {dims} + 1), i -> v.vq[i] - c.cv[i]) AS res
+  FROM q_cells q
+  JOIN gc{n_iter} c ON q.cell = c.cent_id
+  JOIN vq v ON v.vid = q.query_id
+)""",
+    ]
+    for j in range(m):
+        lo = j * width + 1
+        slice_expr = (
+            f"list_transform(range(1, {width} + 1), i -> res[{lo} + i - 1])"
+        )
+        cte_parts.append(
+            f"s{j}res AS (SELECT vid, {slice_expr} AS vq FROM resid)"
+        )
+        cte_parts.append(kmeans_ctes(f"s{j}res", ks, n_iter, width, prefix=f"s{j}"))
+        d = _int_l2_sql("v.vq", "c.cv", width)
+        cte_parts.append(
+            f"""enc{j} AS (
+  SELECT vid, cent_id AS code{j} FROM (
+    SELECT v.vid, c.cent_id,
+           row_number() OVER (PARTITION BY v.vid ORDER BY {d} ASC, c.cent_id ASC) AS rn
+    FROM s{j}res v CROSS JOIN s{j}c{n_iter} c
+  ) WHERE rn = 1
+)"""
+        )
+        dq = _int_l2_sql("qs.vq", "c.cv", width)
+        cte_parts.append(
+            f"""qd{j} AS (
+  SELECT qs.query_id, qs.cell, c.cent_id, CAST({dq} AS BIGINT) AS d{j}
+  FROM (SELECT query_id, cell, {slice_expr} AS vq FROM qres) qs
+  CROSS JOIN s{j}c{n_iter} c
+)"""
+        )
+    enc_join = " ".join(f"JOIN enc{j} USING (vid)" for j in range(1, m))
+    code_cols = ", ".join(f"code{j}" for j in range(m))
+    qd_joins = "\n  ".join(
+        f"JOIN qd{j} q{j} ON q{j}.query_id = q0.query_id AND q{j}.cell = enc.cell AND q{j}.cent_id = enc.code{j}"
+        for j in range(1, m)
+    )
+    adc = " + ".join(f"q{j}.d{j}" for j in range(m))
+    ctes = ",\n".join(cte_parts)
+    return f"""
+WITH {ctes},
+enc AS (
+  SELECT r.vid, r.cell, {code_cols}
+  FROM resid r JOIN enc0 USING (vid) {enc_join}
+),
+scored AS (
+  SELECT q0.query_id, enc.vid AS neighbor_id,
+    CAST({adc} AS BIGINT) AS adc_dist
+  FROM enc
+  JOIN qd0 q0 ON q0.cell = enc.cell AND q0.cent_id = enc.code0
+  {qd_joins}
+  WHERE enc.vid <> q0.query_id
+)
+SELECT query_id, neighbor_id, adc_dist, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= {k}
 """
 
 

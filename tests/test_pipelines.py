@@ -1186,6 +1186,49 @@ def test_kmeans_codebook_reduces_distortion(spark):
     assert d2 < d0 * 0.5, (d0, d2)  # poor init must be substantially repaired
 
 
+def test_ivfpq_topk_recall_and_cell_pruning(spark):
+    """IVF-PQ: with every cell probed and fine residual quantization the
+    top-5 must substantially overlap the exact cosine top-5 on a
+    clustered corpus; with a single probed cell the result set must be a
+    subset of the exhaustive-probe candidates (pruning, not scoring,
+    changes) with dense per-query ranks."""
+    import numpy as np
+
+    from fetch_engines_spark.pipelines.similarity import brute_force_topk, ivfpq_topk
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(8, 64)
+    rows = []
+    for i in range(80):
+        c = centers[i % 8]
+        rows.append((i, (c + 0.15 * rng.randn(64)).astype(float).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = brute_force_topk(emb, k=5, query_ids=list(range(8))).collect()
+    full = ivfpq_topk(
+        emb, k=5, n_centroids=4, n_probe=4, m=8, ks=16, query_ids=list(range(8))
+    ).collect()
+    exact_sets: dict[int, set] = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    full_sets: dict[int, set] = {}
+    for r in full:
+        full_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact_sets[q] & full_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+    pruned = ivfpq_topk(
+        emb, k=5, n_centroids=4, n_probe=1, m=8, ks=16, query_ids=list(range(8))
+    ).collect()
+    by_q: dict[int, list] = {}
+    for r in pruned:
+        by_q.setdefault(r.query_id, []).append(r.rnk)
+    for q, rnks in by_q.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1))
+
+
 def test_url_canonicalize_idempotent(spark):
     """canonicalize(canonicalize(u)) == canonicalize(u) over a generated
     URL corpus (random case, ports, params, fragments, junk)."""
