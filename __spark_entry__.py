@@ -513,6 +513,19 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard(docs, pairs)
 
 
+def _q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric (containment) verification over the same deterministic
+    pair set as the Jaccard query — catches quote-style duplication
+    Jaccard dilutes (|A∩B| / min set size)."""
+    from fetch_engines_spark.pipelines.dedup import ngram_containment
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = docs.select(F.col("doc_id").alias("doc_a")).filter(
+        F.col("doc_a") < 40
+    ).withColumn("doc_b", F.col("doc_a") + 1)
+    return ngram_containment(docs, pairs)
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fetch_engines_spark.pipelines.dedup import simhash
 
@@ -1695,6 +1708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_domain_stats": _q_url_domain_stats,
         "dedup_clusters_chain": _q_dedup_clusters_chain,
         "embedding_topk_ivfpq": _q_embedding_topk_ivfpq,
+        "dedup_ngram_containment": _q_ngram_containment,
     }
 
 
@@ -2099,6 +2113,11 @@ def oracle_sql() -> dict[str, str]:
                    / greatest(len(list_distinct(list_concat(a.s, b.s))), 1)) AS BIGINT) AS jaccard_bp
             FROM pairs p JOIN sh a ON p.doc_a = a.doc_id JOIN sh b ON p.doc_b = b.doc_id
         """,
+        "dedup_ngram_containment": __import__(
+            "fetch_engines_spark.pipelines.dedup", fromlist=["x"]
+        ).ngram_containment_oracle_sql(
+            "SELECT doc_id AS doc_a, doc_id + 1 AS doc_b FROM documents WHERE doc_id < 40"
+        ),
         "dedup_planted": __import__("fetch_engines_spark.pipelines.dedup", fromlist=["x"]).candidate_pairs_oracle_sql(
             source=f"read_parquet('{os.path.join(FIXTURES_DIR, 'neardup.parquet')}')",
             num_hashes=6,

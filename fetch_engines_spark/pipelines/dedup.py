@@ -613,6 +613,61 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text") -> Da
     )
 
 
+def ngram_containment(
+    df: DataFrame, pairs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Asymmetric near-duplicate verify: n-gram containment
+    |A∩B| / min(|A|, |B|) for candidate pairs, in basis points.
+
+    Jaccard misses quote-style duplication — a short document fully
+    contained in a long one has |A∩B|/|A∪B| ≈ |A|/|B| → 0 as the host
+    grows, while containment stays ≈ 1.  The standard companion verify
+    for training-data dedup (catches boilerplate reuse, quoted articles,
+    concatenated shards).  Same shape as ngram_jaccard: runs on the
+    bucketed candidate pairs only, two equi-joins by doc id, set ops as
+    JVM array functions."""
+    docs = df.select(
+        F.col("doc_id"), F.array_distinct(shingles(F.col(text_col))).alias("sh")
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    return (
+        pairs.join(a, pairs.doc_a == F.col("a.doc_id"))
+        .join(b, pairs.doc_b == F.col("b.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(
+                F.size(F.array_intersect("a.sh", "b.sh"))
+                * 10000
+                / F.greatest(
+                    F.least(F.size("a.sh"), F.size("b.sh")), F.lit(1)
+                )
+            ).alias("containment_bp"),
+        )
+    )
+
+
+def ngram_containment_oracle_sql(pairs_sql: str, source: str = "documents") -> str:
+    """DuckDB twin of ngram_containment over an arbitrary pair query."""
+    sh = (
+        "list_distinct(CASE WHEN len(string_split(text,' ')) >= 3 THEN "
+        "list_transform(range(0, len(string_split(text,' ')) - 3 + 1), "
+        "i -> array_to_string(list_slice(string_split(text,' '), i + 1, i + 3), ' ')) "
+        "ELSE [array_to_string(string_split(text,' '), ' ')] END)"
+    )
+    return f"""
+WITH pairs AS ({pairs_sql}),
+docs AS (SELECT doc_id, {sh} AS sh FROM {source})
+SELECT p.doc_a, p.doc_b,
+       CAST(floor(len(list_intersect(a.sh, b.sh)) * 10000
+            / greatest(least(len(a.sh), len(b.sh)), 1)) AS BIGINT) AS containment_bp
+FROM pairs p
+JOIN docs a ON p.doc_a = a.doc_id
+JOIN docs b ON p.doc_b = b.doc_id
+"""
+
+
 def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
     """SimHash document fingerprint (bit-majority over token hashes).
 

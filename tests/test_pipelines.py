@@ -1324,3 +1324,20 @@ def test_doc_sentences_segmentation(spark):
         (1, 2, "Third?"),
         (1, 3, "Trailing without end"),
     ]
+
+
+def test_ngram_containment_catches_quote_duplication(spark):
+    """A short doc fully quoted inside a long host: Jaccard dilutes to
+    ~|A|/|B| while containment reads ~10000 — the asymmetric-dup signal."""
+    from fetch_engines_spark.pipelines.dedup import ngram_containment, ngram_jaccard
+
+    short = " ".join(f"tok{i}" for i in range(30))
+    host = short + " " + " ".join(f"pad{i}" for i in range(300))
+    docs = spark.createDataFrame(
+        [(1, short), (2, host)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    cont = ngram_containment(docs, pairs).collect()[0].containment_bp
+    jac = ngram_jaccard(docs, pairs).collect()[0].jaccard_bp
+    assert cont == 10000  # every shingle of the quote appears in the host
+    assert jac < 2000  # Jaccard can't see it
