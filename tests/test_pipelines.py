@@ -1341,3 +1341,25 @@ def test_ngram_containment_catches_quote_duplication(spark):
     jac = ngram_jaccard(docs, pairs).collect()[0].jaccard_bp
     assert cont == 10000  # every shingle of the quote appears in the host
     assert jac < 2000  # Jaccard can't see it
+
+
+def test_kmeans_codebook_empty_cells_carry_previous_centroid(spark):
+    """When the init points are identical, every vector assigns to cell 0
+    (lowest-id tiebreak) and cells 1..3 get no members — the update must
+    carry their previous centroids (the coalesce path both engines
+    implement) and still return one row per centroid."""
+    from fetch_engines_spark.pipelines.similarity import kmeans_codebook
+    from pyspark.sql import functions as F  # noqa: F401
+
+    rows = [(i, [float(7)] * 4 if i < 4 else [float(i % 5)] * 4) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vid long, embedding array<float>")
+    vq = emb.select(
+        "vid",
+        F.transform("embedding", lambda x: F.floor(x.cast("double") * 1024).cast("long")).alias("vq"),
+    )
+    cents = {r.cent_id: r.cv for r in kmeans_codebook(vq, n_centroids=4, n_iter=2).collect()}
+    assert sorted(cents) == [0, 1, 2, 3]
+    # empty cells 1..3 keep the identical init centroid
+    assert cents[1] == cents[2] == cents[3] == [7 * 1024] * 4
+    # cell 0 moved toward the data mean (strictly below the init value)
+    assert all(v < 7 * 1024 for v in cents[0])
