@@ -99,12 +99,13 @@ def _run_dedup(spark, args) -> dict:
     docs = spark.read.parquet(args.input)
     if args.dedup_method == "simhash64":
         # pigeonhole candidates + integer hamming verify (already in the
-        # pair output — no second verify pass needed)
+        # pair output — no second verify pass needed; the hamming score
+        # column is kept in the pairs parquet, mirroring jaccard_bp)
         verified = simhash_candidate_pairs64(
             docs,
             max_hamming=args.max_hamming,
             max_bucket_size=args.max_bucket_size,
-        ).select("doc_a", "doc_b")
+        )
     else:
         pairs = minhash_candidate_pairs_fast(
             docs,

@@ -589,27 +589,32 @@ FROM reach GROUP BY node
 """
 
 
-def ngram_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Exact n-gram Jaccard similarity for candidate pairs (verification
-    stage after LSH): |A∩B| / |A∪B| over 3-word shingle sets, in basis
-    points (integer, oracle-stable)."""
+def _pair_shingle_join(df: DataFrame, pairs: DataFrame, text_col: str) -> DataFrame:
+    """Shared scaffold for the pair-set verify metrics: per-doc distinct
+    shingle sets joined onto the candidate pairs as a.sh / b.sh (two
+    equi-joins by doc id — runs on the bucketed candidates only)."""
     docs = df.select(
         F.col("doc_id"), F.array_distinct(shingles(F.col(text_col))).alias("sh")
     )
     a = docs.alias("a")
     b = docs.alias("b")
-    return (
-        pairs.join(a, pairs.doc_a == F.col("a.doc_id"))
-        .join(b, pairs.doc_b == F.col("b.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.floor(
-                F.size(F.array_intersect("a.sh", "b.sh"))
-                * 10000
-                / F.greatest(F.size(F.array_union("a.sh", "b.sh")), F.lit(1))
-            ).alias("jaccard_bp"),
-        )
+    return pairs.join(a, pairs.doc_a == F.col("a.doc_id")).join(
+        b, pairs.doc_b == F.col("b.doc_id")
+    )
+
+
+def ngram_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs (verification
+    stage after LSH): |A∩B| / |A∪B| over 3-word shingle sets, in basis
+    points (integer, oracle-stable)."""
+    return _pair_shingle_join(df, pairs, text_col).select(
+        "doc_a",
+        "doc_b",
+        F.floor(
+            F.size(F.array_intersect("a.sh", "b.sh"))
+            * 10000
+            / F.greatest(F.size(F.array_union("a.sh", "b.sh")), F.lit(1))
+        ).alias("jaccard_bp"),
     )
 
 
@@ -623,28 +628,17 @@ def ngram_containment(
     contained in a long one has |A∩B|/|A∪B| ≈ |A|/|B| → 0 as the host
     grows, while containment stays ≈ 1.  The standard companion verify
     for training-data dedup (catches boilerplate reuse, quoted articles,
-    concatenated shards).  Same shape as ngram_jaccard: runs on the
-    bucketed candidate pairs only, two equi-joins by doc id, set ops as
-    JVM array functions."""
-    docs = df.select(
-        F.col("doc_id"), F.array_distinct(shingles(F.col(text_col))).alias("sh")
-    )
-    a = docs.alias("a")
-    b = docs.alias("b")
-    return (
-        pairs.join(a, pairs.doc_a == F.col("a.doc_id"))
-        .join(b, pairs.doc_b == F.col("b.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.floor(
-                F.size(F.array_intersect("a.sh", "b.sh"))
-                * 10000
-                / F.greatest(
-                    F.least(F.size("a.sh"), F.size("b.sh")), F.lit(1)
-                )
-            ).alias("containment_bp"),
-        )
+    concatenated shards).  Same shape as ngram_jaccard (shared
+    _pair_shingle_join scaffold): runs on the bucketed candidate pairs
+    only, set ops as JVM array functions."""
+    return _pair_shingle_join(df, pairs, text_col).select(
+        "doc_a",
+        "doc_b",
+        F.floor(
+            F.size(F.array_intersect("a.sh", "b.sh"))
+            * 10000
+            / F.greatest(F.least(F.size("a.sh"), F.size("b.sh")), F.lit(1))
+        ).alias("containment_bp"),
     )
 
 

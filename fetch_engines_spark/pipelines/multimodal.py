@@ -511,6 +511,13 @@ def decode_jpeg(payload: bytes) -> dict:
                 if i > 0 and (hs, vs) != (1, 1):
                     raise ValueError("chroma sampling factors must be 1x1")
                 comps.append((cid, tq, hs, vs))
+            if nc == 1:
+                # T.81 A.2: a single-component scan is NON-interleaved —
+                # one block per MCU in raster order regardless of the
+                # declared sampling factors (which only shape multi-
+                # component interleave); honoring 2x2 here would decode
+                # real grayscale files scrambled
+                comps = [(comps[0][0], comps[0][1], 1, 1)]
             frame = (w, h, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"non-baseline SOF 0x{marker:02x} not supported")

@@ -582,6 +582,81 @@ def ivf_topk(
     )
 
 
+def _pq_adc_scan(
+    src: DataFrame,
+    qsrc: DataFrame,
+    m: int,
+    ks: int,
+    width: int,
+    n_iter: int,
+    keys: list[str],
+    bounded_queries: bool,
+    k: int,
+) -> DataFrame:
+    """Shared PQ train-encode-score scaffold (used by pq_topk and
+    ivfpq_topk — one implementation so the ADC join shape, tie-breaks,
+    and broadcast hints cannot drift between the raw and residual
+    variants).  ``src`` is (vid, res: array<long> [, *keys]); ``qsrc`` is
+    (query_id, qres [, *keys]).  Trains per-subspace integer k-means
+    sub-codebooks on src.res slices, encodes src shuffle-free, scores
+    via per-subspace distance-table equi-joins on (*keys, code_j), and
+    returns the ranked (query_id, neighbor_id, adc_dist, rnk) top-k."""
+    sub_cents = []
+    cb_row = None
+    for j in range(m):
+        rj = src.select("vid", F.slice("res", j * width + 1, width).alias("vq"))
+        cents_j = kmeans_codebook(rj, ks, n_iter)
+        sub_cents.append(cents_j)
+        cb_j = _centroid_arr(cents_j).withColumnRenamed("cb", f"cb{j}")
+        cb_row = cb_j if cb_row is None else cb_row.crossJoin(cb_j)
+
+    enc = src.crossJoin(F.broadcast(cb_row)).select(
+        "vid",
+        *keys,
+        *[
+            _nearest(F.col(f"cb{j}"), F.slice("res", j * width + 1, width))[
+                "cent_id"
+            ].alias(f"code{j}")
+            for j in range(m)
+        ],
+    )
+
+    scored = enc
+    for j in range(m):
+        qd_j = qsrc.crossJoin(
+            F.broadcast(
+                sub_cents[j].select(
+                    F.col("cent_id").alias(f"code{j}"), F.col("cv").alias("cvj")
+                )
+            )
+        ).select(
+            "query_id",
+            *keys,
+            F.col(f"code{j}"),
+            _int_l2(F.slice("qres", j * width + 1, width), F.col("cvj")).alias(
+                f"adc{j}"
+            ),
+        )
+        on = [*keys, f"code{j}"] if j == 0 else ["query_id", *keys, f"code{j}"]
+        if bounded_queries:
+            qd_j = F.broadcast(qd_j)  # per-query distance tables stay small
+        scored = scored.join(qd_j, on)
+    adc = F.col("adc0")
+    for j in range(1, m):
+        adc = adc + F.col(f"adc{j}")
+    scored = scored.filter(F.col("query_id") != F.col("vid")).select(
+        "query_id",
+        F.col("vid").alias("neighbor_id"),
+        adc.cast("long").alias("adc_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rnk")
+    )
+
+
 def pq_topk(
     embeddings: DataFrame,
     k: int = 5,
@@ -612,68 +687,15 @@ def pq_topk(
     """
     width = dims // m
     vecs = embeddings.select(
-        F.col(id_col).alias("vid"), _quantize_vec(F.col(vec_col)).alias("vq")
+        F.col(id_col).alias("vid"), _quantize_vec(F.col(vec_col)).alias("res")
     )
-    sub_cents = []
-    cb_row = None
-    for j in range(m):
-        vqj = vecs.select("vid", F.slice("vq", j * width + 1, width).alias("vq"))
-        cents_j = kmeans_codebook(vqj, ks, n_iter)
-        sub_cents.append(cents_j)
-        cb_j = _centroid_arr(cents_j).withColumnRenamed("cb", f"cb{j}")
-        cb_row = cb_j if cb_row is None else cb_row.crossJoin(cb_j)
-
-    # encode: per-vector per-subspace argmin against the broadcast
-    # codebooks — one shuffle-free expression row-wise over the corpus
-    enc = vecs.crossJoin(F.broadcast(cb_row)).select(
-        "vid",
-        *[
-            _nearest(F.col(f"cb{j}"), F.slice("vq", j * width + 1, width))[
-                "cent_id"
-            ].alias(f"code{j}")
-            for j in range(m)
-        ],
-    )
-
     q = vecs
     if query_ids is not None:
         q = q.filter(F.col("vid").isin(query_ids))
-
-    scored = enc
-    for j in range(m):
-        qd_j = (
-            q.crossJoin(
-                F.broadcast(
-                    sub_cents[j].select(
-                        F.col("cent_id").alias(f"code{j}"), F.col("cv").alias("cvj")
-                    )
-                )
-            )
-            .select(
-                F.col("vid").alias("query_id"),
-                F.col(f"code{j}"),
-                _int_l2(F.slice("vq", j * width + 1, width), F.col("cvj")).alias(
-                    f"adc{j}"
-                ),
-            )
-        )
-        on = ["query_id", f"code{j}"] if j > 0 else [f"code{j}"]
-        if query_ids is not None:
-            qd_j = F.broadcast(qd_j)  # per-query distance tables stay small
-        scored = scored.join(qd_j, on)
-    adc = F.col("adc0")
-    for j in range(1, m):
-        adc = adc + F.col(f"adc{j}")
-    scored = scored.filter(F.col("query_id") != F.col("vid")).select(
-        "query_id",
-        F.col("vid").alias("neighbor_id"),
-        adc.cast("long").alias("adc_dist"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", "adc_dist", "rnk")
+    qsrc = q.select(F.col("vid").alias("query_id"), F.col("res").alias("qres"))
+    return _pq_adc_scan(
+        vecs, qsrc, m, ks, width, n_iter,
+        keys=[], bounded_queries=query_ids is not None, k=k,
     )
 
 
@@ -732,31 +754,8 @@ def ivfpq_topk(
         ).alias("res"),
     )
 
-    # per-subspace sub-codebooks trained on the residual slices
-    sub_cents = []
-    cb_row = None
-    for j in range(m):
-        rj = assigned.select(
-            "vid", F.slice("res", j * width + 1, width).alias("vq")
-        )
-        cents_j = kmeans_codebook(rj, ks, n_iter)
-        sub_cents.append(cents_j)
-        cb_j = _centroid_arr(cents_j).withColumnRenamed("cb", f"cb{j}")
-        cb_row = cb_j if cb_row is None else cb_row.crossJoin(cb_j)
-
-    enc = assigned.crossJoin(F.broadcast(cb_row)).select(
-        "vid",
-        "cell",
-        *[
-            _nearest(F.col(f"cb{j}"), F.slice("res", j * width + 1, width))[
-                "cent_id"
-            ].alias(f"code{j}")
-            for j in range(m)
-        ],
-    )
-
     # queries: probe n_probe nearest cells, build per-(query, cell)
-    # residual distance tables to each sub-centroid
+    # integer residuals for the shared ADC scaffold
     q = vecs.crossJoin(F.broadcast(cb))
     if query_ids is not None:
         q = q.filter(F.col("vid").isin(query_ids))
@@ -793,39 +792,11 @@ def ivfpq_topk(
         ).alias("qres"),
     )
 
-    scored = enc
-    for j in range(m):
-        qd_j = q_cells.crossJoin(
-            F.broadcast(
-                sub_cents[j].select(
-                    F.col("cent_id").alias(f"code{j}"), F.col("cv").alias("cvj")
-                )
-            )
-        ).select(
-            "query_id",
-            "cell",
-            F.col(f"code{j}"),
-            _int_l2(F.slice("qres", j * width + 1, width), F.col("cvj")).alias(
-                f"adc{j}"
-            ),
-        )
-        on = ["cell", f"code{j}"] if j == 0 else ["query_id", "cell", f"code{j}"]
-        if query_ids is not None:
-            qd_j = F.broadcast(qd_j)  # bounded query set only
-        scored = scored.join(qd_j, on)
-    adc = F.col("adc0")
-    for j in range(1, m):
-        adc = adc + F.col(f"adc{j}")
-    scored = scored.filter(F.col("query_id") != F.col("vid")).select(
-        "query_id",
-        F.col("vid").alias("neighbor_id"),
-        adc.cast("long").alias("adc_dist"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", "adc_dist", "rnk")
+    return _pq_adc_scan(
+        assigned.select("vid", "res", "cell"),
+        q_cells,
+        m, ks, width, n_iter,
+        keys=["cell"], bounded_queries=query_ids is not None, k=k,
     )
 
 

@@ -1223,10 +1223,23 @@ def test_ivfpq_topk_recall_and_cell_pruning(spark):
         emb, k=5, n_centroids=4, n_probe=1, m=8, ks=16, query_ids=list(range(8))
     ).collect()
     by_q: dict[int, list] = {}
+    pruned_sets: dict[int, set] = {}
     for r in pruned:
         by_q.setdefault(r.query_id, []).append(r.rnk)
+        pruned_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
     for q, rnks in by_q.items():
         assert sorted(rnks) == list(range(1, len(rnks) + 1))
+    # the pruning subset property: every n_probe=1 neighbor must be in
+    # the exhaustive-probe CANDIDATE set (k=80 ranks all candidates) —
+    # a wrong (cell, code) join key that scores unprobed cells fails here
+    all_cand = ivfpq_topk(
+        emb, k=80, n_centroids=4, n_probe=4, m=8, ks=16, query_ids=list(range(8))
+    ).collect()
+    cand_sets: dict[int, set] = {}
+    for r in all_cand:
+        cand_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for q, s in pruned_sets.items():
+        assert s <= cand_sets[q], (q, s - cand_sets[q])
 
 
 def test_url_canonicalize_idempotent(spark):
@@ -1363,3 +1376,26 @@ def test_kmeans_codebook_empty_cells_carry_previous_centroid(spark):
     assert cents[1] == cents[2] == cents[3] == [7 * 1024] * 4
     # cell 0 moved toward the data mean (strictly below the init value)
     assert all(v < 7 * 1024 for v in cents[0])
+
+
+def test_jpeg_gray_sampling_factors_ignored():
+    """T.81 A.2: a single-component scan is non-interleaved, so declared
+    luma sampling factors must NOT change the block layout — a grayscale
+    stream encoded 1x1 but declaring 2x2 decodes identically."""
+    import scripts.build_fixture_data as bfd
+
+    from fetch_engines_spark.pipelines.multimodal import decode_jpeg
+
+    blocks = []
+    for b in range(8):  # 32x16 → 4x2 blocks
+        blk = [0] * 64
+        blk[0] = (b * 31 - 100) % 1024 - 512
+        blk[1] = 9
+        blocks.append(blk)
+    payload = bfd._jpeg_bytes(32, 16, [blocks], [[1] * 64])
+    base = decode_jpeg(payload)
+    mutated = bytearray(payload)
+    sof = mutated.find(b"\xff\xc0")
+    assert mutated[sof + 11] == 0x11
+    mutated[sof + 11] = 0x22  # declare 2x2 luma factors
+    assert decode_jpeg(bytes(mutated))["pixels"] == base["pixels"]
