@@ -80,3 +80,51 @@ def test_truncated_golden_obeys_m13_rules():
         # prefix property: the truncated body is a prefix of the full text
         assert f.startswith(body.rstrip(".") [:10])
     assert truncated_docs >= 5  # fixture corpus genuinely exercises M13
+
+
+def test_driver_window_covers_every_operator_family():
+    """The driver verifies only the FIRST 50 queries() entries
+    (CORRECTNESS window, round-3 verdict item 1): every operator family
+    must keep a representative inside that window, and every registered
+    query must carry an oracle twin.  Fails when a future edit pushes a
+    family representative past the window or registers an oracle-less
+    query."""
+    import __spark_entry__ as e
+
+    q = list(e.queries())
+    window = set(q[:50])
+    required = {
+        # extraction / classification / routing
+        "extract_spans_fixture", "extract_markdown_fixture",
+        "classifier_assessment", "routing_decisions", "mime_split",
+        "pdf_extract",
+        # sources / checkpoint / streaming / structured
+        "jsonl_ingest", "resume_anti_join", "streaming_windowed_counts",
+        "streaming_interval_join", "streaming_extract",
+        "structured_validation",
+        # relational / events
+        "pricing_summary", "events_daily", "events_user_sessions",
+        "events_asof_attribution", "events_range_join", "events_rollup",
+        "events_kmv_distinct", "salted_join", "bucketed_join",
+        "url_canonicalize",
+        # text analysis
+        "lang_id", "text_quality", "text_repetition", "doc_winnowing",
+        "doc_tfidf_topk", "doc_hashed_embedding", "vocab_topk",
+        "doc_chunks", "source_cap", "sample_by_hash",
+        # dedup
+        "dedup_exact", "dedup_minhash_prod", "dedup_minhash_capped",
+        "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_capped",
+        "dedup_substring", "decontaminate", "dedup_clusters",
+        "dedup_embedding_capped",
+        # ANN
+        "embedding_topk", "embedding_topk_lsh", "embedding_topk_ivf",
+        "embedding_topk_pq",
+        # multimodal + composite
+        "media_metadata", "media_pixel_stats", "media_audio_stats",
+        "training_pipeline_full",
+    }
+    assert len(required) == 50
+    missing = required - window
+    assert not missing, f"family representatives outside the driver window: {missing}"
+    oracles = e.oracle_sql()
+    assert all(n in oracles for n in q), [n for n in q if n not in oracles]
