@@ -513,6 +513,22 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard(docs, pairs)
 
 
+def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: even-id docs form the persisted corpus index,
+    odd-id docs arrive as the new crawl increment; candidates are
+    new-vs-index (band-key join against the index, historical corpus
+    never rescanned) plus new-vs-new."""
+    from fetch_engines_spark.pipelines.dedup import (
+        incremental_candidate_pairs,
+        minhash_index,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    return incremental_candidate_pairs(new, minhash_index(old))
+
+
 def _q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric (containment) verification over the same deterministic
     pair set as the Jaccard query — catches quote-style duplication
@@ -1709,6 +1725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_chain": _q_dedup_clusters_chain,
         "embedding_topk_ivfpq": _q_embedding_topk_ivfpq,
         "dedup_ngram_containment": _q_ngram_containment,
+        "dedup_incremental": _q_dedup_incremental,
     }
 
 
@@ -2117,6 +2134,12 @@ def oracle_sql() -> dict[str, str]:
             "fetch_engines_spark.pipelines.dedup", fromlist=["x"]
         ).ngram_containment_oracle_sql(
             "SELECT doc_id AS doc_a, doc_id + 1 AS doc_b FROM documents WHERE doc_id < 40"
+        ),
+        "dedup_incremental": __import__(
+            "fetch_engines_spark.pipelines.dedup", fromlist=["x"]
+        ).incremental_pairs_oracle_sql(
+            old_source="(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+            new_source="(SELECT * FROM documents WHERE doc_id % 2 = 1)",
         ),
         "dedup_planted": __import__("fetch_engines_spark.pipelines.dedup", fromlist=["x"]).candidate_pairs_oracle_sql(
             source=f"read_parquet('{os.path.join(FIXTURES_DIR, 'neardup.parquet')}')",

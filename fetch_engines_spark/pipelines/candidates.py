@@ -110,6 +110,62 @@ def bucket_pairs(
     return small_pairs.unionByName(star_pairs).distinct()
 
 
+def cross_bucket_pairs(
+    left_buckets: DataFrame,
+    right_buckets: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    sig_col: str | None = None,
+    max_bucket_size: int | None = None,
+    out_a: str = "id_a",
+    out_b: str = "id_b",
+) -> DataFrame:
+    """Distinct (left_id, right_id) pairs co-bucketed on ``key_cols``
+    across TWO bucket tables — the incremental-dedup join (a new crawl
+    increment against a persisted corpus index) where the quadratic risk
+    is n_left × n_right per bucket.
+
+    ``max_bucket_size`` applies the same degenerate-bucket guard
+    INDEPENDENTLY to each side: a side's oversized buckets collapse to
+    one representative per ``sig_col`` signature group before the cross
+    join, so per-bucket work is bounded by (cap + #distinct signatures)²
+    instead of n_left × n_right.  Same recall tradeoff as
+    :func:`bucket_pairs`, same contract (sig_col required when capped).
+    """
+
+    def _capped_side(b: DataFrame) -> DataFrame:
+        if max_bucket_size is None:
+            return b
+        sized = b.withColumn(
+            "bucket_n", F.count("*").over(Window.partitionBy(*key_cols))
+        )
+        small = sized.filter(F.col("bucket_n") <= max_bucket_size).drop("bucket_n")
+        reps = (
+            sized.filter(F.col("bucket_n") > max_bucket_size)
+            .groupBy(*key_cols, sig_col)
+            .agg(F.min(id_col).alias(id_col))
+        )
+        return small.select(id_col, *key_cols, sig_col).unionByName(
+            reps.select(id_col, *key_cols, sig_col)
+        )
+
+    if max_bucket_size is not None and sig_col is None:
+        raise ValueError(
+            "max_bucket_size requires sig_col (full-signature digest) for the star path"
+        )
+    left = _capped_side(left_buckets).alias("l")
+    right = _capped_side(right_buckets).alias("r")
+    cond = F.lit(True)
+    for k in key_cols:
+        cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
+    return (
+        left.join(right, cond)
+        .filter(F.col(f"l.{id_col}") != F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias(out_a), F.col(f"r.{id_col}").alias(out_b))
+        .distinct()
+    )
+
+
 def capped_pairs_sql_ctes(
     src_cte: str,
     key_cols: list[str],

@@ -249,6 +249,97 @@ def _pairs_from_buckets(b: DataFrame, max_bucket_size: int | None) -> DataFrame:
     )
 
 
+def minhash_index(
+    df: DataFrame, text_col: str = "text", num_hashes: int = 4, band_size: int = 2
+) -> DataFrame:
+    """Persistable LSH band-key index (doc_id, sig_key, band_id,
+    band_key) — write this once per corpus snapshot; incremental dedup
+    joins each new crawl increment against it WITHOUT rescanning the
+    historical corpus (the daily-increment pattern at 100 TB: the index
+    is ~num_bands small rows per doc, bucketable by band_key)."""
+    return minhash_lsh_buckets(
+        df, text_col, num_hashes, band_size, include_sig_key=True
+    )
+
+
+def incremental_candidate_pairs(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 4,
+    band_size: int = 2,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Incremental near-dup candidates for a NEW crawl increment: pairs
+    of new documents against the persisted corpus ``index``
+    (:func:`minhash_index` output) PLUS pairs within the increment
+    itself — the historical corpus is never rescanned; only its small
+    band-key index joins.
+
+    Returns (doc_a, doc_b, vs_index): ``vs_index`` rows pair an indexed
+    (historical) doc_a with a new doc_b; the rest are new-vs-new.  The
+    shared degenerate-bucket guard applies to BOTH joins — within the
+    increment via bucket_pairs' star path, and across via
+    cross_bucket_pairs' per-side signature-representative collapse
+    (work per bucket bounded by cap², not n_index × n_new)."""
+    from .candidates import bucket_pairs, cross_bucket_pairs
+
+    new_b = minhash_lsh_buckets(
+        new_docs, text_col, num_hashes, band_size, include_sig_key=True
+    ).localCheckpoint(eager=True)
+    cross = cross_bucket_pairs(
+        index,
+        new_b,
+        ["band_id", "band_key"],
+        "doc_id",
+        sig_col="sig_key",
+        max_bucket_size=max_bucket_size,
+        out_a="doc_a",
+        out_b="doc_b",
+    ).withColumn("vs_index", F.lit(True))
+    within = bucket_pairs(
+        new_b,
+        ["band_id", "band_key"],
+        "doc_id",
+        sig_col="sig_key",
+        max_bucket_size=max_bucket_size,
+        out_a="doc_a",
+        out_b="doc_b",
+    ).withColumn("vs_index", F.lit(False))
+    return cross.unionByName(within)
+
+
+def incremental_pairs_oracle_sql(
+    old_source: str,
+    new_source: str,
+    num_hashes: int = 4,
+    band_size: int = 2,
+) -> str:
+    """DuckDB twin of incremental_candidate_pairs (uncapped): the index
+    side recomputed from ``old_source`` with the same banding."""
+
+    def bands(src: str, name: str) -> str:
+        sigs = minhash_oracle_sql(num_hashes, src)
+        return f"""{name}_sigs AS ({sigs}),
+{name}_bands AS (
+  SELECT doc_id, CAST(floor(hash_idx / {band_size}) AS BIGINT) AS band_id,
+         md5(array_to_string(list_sort(list(minhash)), '|')) AS band_key
+  FROM {name}_sigs GROUP BY doc_id, floor(hash_idx / {band_size})
+)"""
+
+    return f"""
+WITH {bands(old_source, 'old')},
+{bands(new_source, 'new')}
+SELECT DISTINCT o.doc_id AS doc_a, n.doc_id AS doc_b, true AS vs_index
+FROM old_bands o JOIN new_bands n
+  ON o.band_id = n.band_id AND o.band_key = n.band_key AND o.doc_id <> n.doc_id
+UNION ALL
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b, false AS vs_index
+FROM new_bands l JOIN new_bands r
+  ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+"""
+
+
 def duplicated_ngram_stats(df: DataFrame, text_col: str = "text", n: int = 8) -> DataFrame:
     """Substring-level dedup signal (the distributed shape of Lee et al.'s
     "Deduplicating Training Data Makes Language Models Better" exact

@@ -1399,3 +1399,54 @@ def test_jpeg_gray_sampling_factors_ignored():
     assert mutated[sof + 11] == 0x11
     mutated[sof + 11] = 0x22  # declare 2x2 luma factors
     assert decode_jpeg(bytes(mutated))["pixels"] == base["pixels"]
+
+
+def test_incremental_dedup_equals_full_corpus_restricted(spark):
+    """Incremental candidates (new increment vs persisted index + within
+    the increment) must equal the FULL-corpus candidate set restricted
+    to pairs touching a new doc — re-running dedup over the historical
+    corpus buys nothing the index join doesn't already find."""
+    from fetch_engines_spark.pipelines.dedup import (
+        incremental_candidate_pairs,
+        minhash_candidate_pairs,
+        minhash_index,
+    )
+
+    docs = spark.read.parquet("data/fixtures/neardup.parquet")
+    old = docs.filter(F.substring("doc_id", 1, 4) != "copy")
+    new = docs.filter(F.substring("doc_id", 1, 4) == "copy")
+    old_ids = {r.doc_id for r in old.select("doc_id").collect()}
+
+    inc = incremental_candidate_pairs(new, minhash_index(old))
+    got = {frozenset((r.doc_a, r.doc_b)) for r in inc.collect()}
+
+    full = minhash_candidate_pairs(docs)
+    want = {
+        frozenset((r.doc_a, r.doc_b))
+        for r in full.collect()
+        if r.doc_a not in old_ids or r.doc_b not in old_ids
+    }
+    assert got == want and want  # 30 planted copies guarantee non-trivial
+
+
+def test_incremental_dedup_cross_cap_bounds_hot_bucket(spark):
+    """The cross-side guard: 5000 identical indexed docs x identical new
+    docs must NOT produce an n_index x n_new join — each side's hot
+    bucket collapses to one signature representative."""
+    from fetch_engines_spark.pipelines.dedup import (
+        incremental_candidate_pairs,
+        minhash_index,
+    )
+
+    docs = spark.read.parquet("data/fixtures/adversarial.parquet")
+    old = docs.filter(F.col("doc_id").startswith("boiler"))
+    new = old.limit(100).withColumn(
+        "doc_id", F.concat(F.lit("new-"), F.col("doc_id"))
+    )
+    pairs = incremental_candidate_pairs(
+        new, minhash_index(old), max_bucket_size=50
+    )
+    n = pairs.filter("vs_index").count()
+    # uncapped this would be 5000 x 100 = 500k; with per-side signature
+    # collapse the hot bucket contributes rep x 100 = 100 cross pairs
+    assert 0 < n <= 200, n
