@@ -66,6 +66,17 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         default=3,
         help="simhash64 verify threshold (pigeonhole-exact for < 4)",
     )
+    p.add_argument(
+        "--incremental-index",
+        default=None,
+        help="path to a prior dedup run's {output}/index parquet: the "
+        "input is treated as a NEW crawl increment — signature-identical "
+        "docs vs the index are dropped without rescanning the historical "
+        "corpus, band-collision candidates are written for auditing, and "
+        "a MERGED index (prior + this increment's keepers) is written "
+        "for the next run.  minhash method only; index and increment "
+        "must share --minhash-perms/--band-size.",
+    )
     return p.parse_args(argv)
 
 
@@ -92,11 +103,42 @@ def _run_dedup(spark, args) -> dict:
     from .pipelines.dedup import (
         connected_components_star,
         minhash_candidate_pairs_fast,
+        minhash_index,
         ngram_jaccard,
         simhash_candidate_pairs64,
     )
 
     docs = spark.read.parquet(args.input)
+    sig_dropped = 0
+    prior_index = None
+    if args.incremental_index:
+        if args.dedup_method != "minhash":
+            raise ValueError("--incremental-index requires --dedup-method minhash")
+        prior_index = spark.read.parquet(args.incremental_index)
+        from .pipelines.dedup import incremental_candidate_pairs
+
+        # band-collision candidates vs the historical index (audit output;
+        # the index carries no text, so cross pairs can't be
+        # jaccard-verified here — signature identity is the drop rule)
+        cross = incremental_candidate_pairs(
+            docs,
+            prior_index,
+            num_hashes=args.minhash_perms,
+            band_size=args.band_size,
+            max_bucket_size=args.max_bucket_size,
+            fast=True,
+        ).filter(F.col("vs_index"))
+        cross.write.mode("overwrite").parquet(f"{args.output}/cross_candidates")
+        # signature-identical new docs are dups of the historical corpus
+        new_sigs = minhash_index(
+            docs, num_hashes=args.minhash_perms, band_size=args.band_size, fast=True
+        ).select("doc_id", "sig_key").distinct()
+        dup_ids = new_sigs.join(
+            prior_index.select("sig_key").distinct(), "sig_key"
+        ).select("doc_id").distinct()
+        n_input_total = docs.count()
+        docs = docs.join(dup_ids, "doc_id", "left_anti")
+        sig_dropped = n_input_total - docs.count()
     if args.dedup_method == "simhash64":
         # pigeonhole candidates + integer hamming verify (already in the
         # pair output — no second verify pass needed; the hamming score
@@ -125,14 +167,32 @@ def _run_dedup(spark, args) -> dict:
         clusters.filter(~F.col("is_keeper")).select("doc_id"), "doc_id", "left_anti"
     )
     keepers.write.mode("overwrite").parquet(f"{args.output}/keepers")
-    return {
+    if args.dedup_method == "minhash":
+        # index of this run's keepers — with --incremental-index, merged
+        # with the prior index so the next increment deduplicates against
+        # the full history without rescanning it
+        idx = minhash_index(
+            spark.read.parquet(f"{args.output}/keepers"),
+            num_hashes=args.minhash_perms,
+            band_size=args.band_size,
+            fast=True,
+        )
+        if prior_index is not None:
+            idx = prior_index.unionByName(idx)
+        idx.write.mode("overwrite").parquet(f"{args.output}/index")
+    summary = {
         "stage": "dedup",
         "method": args.dedup_method,
-        "n_input": docs.count(),
+        # with --incremental-index, docs was already filtered: report the
+        # pre-drop increment size
+        "n_input": (docs.count() + sig_dropped),
         "n_dup_pairs": verified.count(),
         "n_clustered": clusters.count(),
         "n_keepers": spark.read.parquet(f"{args.output}/keepers").count(),
     }
+    if args.incremental_index:
+        summary["n_sig_dropped_vs_index"] = sig_dropped
+    return summary
 
 
 def main(argv: list[str] | None = None) -> int:

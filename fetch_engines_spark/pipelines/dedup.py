@@ -250,16 +250,22 @@ def _pairs_from_buckets(b: DataFrame, max_bucket_size: int | None) -> DataFrame:
 
 
 def minhash_index(
-    df: DataFrame, text_col: str = "text", num_hashes: int = 4, band_size: int = 2
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 4,
+    band_size: int = 2,
+    fast: bool = False,
 ) -> DataFrame:
     """Persistable LSH band-key index (doc_id, sig_key, band_id,
     band_key) — write this once per corpus snapshot; incremental dedup
     joins each new crawl increment against it WITHOUT rescanning the
     historical corpus (the daily-increment pattern at 100 TB: the index
-    is ~num_bands small rows per doc, bucketable by band_key)."""
-    return minhash_lsh_buckets(
-        df, text_col, num_hashes, band_size, include_sig_key=True
-    )
+    is ~num_bands small rows per doc, bucketable by band_key).
+    ``fast`` selects the production affine-permutation MinHash (128
+    perms — the CLI's path); index and increment MUST use the same
+    construction and parameters or band keys won't collide."""
+    fn = minhash_lsh_buckets_fast if fast else minhash_lsh_buckets
+    return fn(df, text_col, num_hashes, band_size, include_sig_key=True)
 
 
 def incremental_candidate_pairs(
@@ -269,6 +275,7 @@ def incremental_candidate_pairs(
     num_hashes: int = 4,
     band_size: int = 2,
     max_bucket_size: int | None = None,
+    fast: bool = False,
 ) -> DataFrame:
     """Incremental near-dup candidates for a NEW crawl increment: pairs
     of new documents against the persisted corpus ``index``
@@ -284,8 +291,8 @@ def incremental_candidate_pairs(
     (work per bucket bounded by cap², not n_index × n_new)."""
     from .candidates import bucket_pairs, cross_bucket_pairs
 
-    new_b = minhash_lsh_buckets(
-        new_docs, text_col, num_hashes, band_size, include_sig_key=True
+    new_b = minhash_index(
+        new_docs, text_col, num_hashes, band_size, fast=fast
     ).localCheckpoint(eager=True)
     cross = cross_bucket_pairs(
         index,
