@@ -111,35 +111,84 @@ def _run_dedup(spark, args) -> dict:
     docs = spark.read.parquet(args.input)
     sig_dropped = 0
     prior_index = None
+    inc_verified = None
     if args.incremental_index:
+        import os as _os
+
         if args.dedup_method != "minhash":
             raise ValueError("--incremental-index requires --dedup-method minhash")
+        if _os.path.abspath(args.incremental_index) == _os.path.abspath(
+            f"{args.output}/index"
+        ):
+            # overwriting the path being read would destroy the only copy
+            # of the history index AFTER the expensive run completed
+            raise ValueError(
+                "--incremental-index must not point at this run's own "
+                f"{args.output}/index — use a fresh --output per increment"
+            )
         prior_index = spark.read.parquet(args.incremental_index)
-        from .pipelines.dedup import incremental_candidate_pairs
+        # the banding parameters are part of the persisted contract: a
+        # mismatched index yields ZERO collisions (silent no-op dedup),
+        # so the index self-describes and the run fails loudly instead
+        if "mh_perms" not in prior_index.columns:
+            raise ValueError(
+                "--incremental-index parquet lacks mh_perms/mh_band_size "
+                "metadata columns — not a {output}/index written by this job"
+            )
+        meta = prior_index.select("mh_perms", "mh_band_size").first()
+        if meta and (
+            meta["mh_perms"] != args.minhash_perms
+            or meta["mh_band_size"] != args.band_size
+        ):
+            raise ValueError(
+                f"index was built with --minhash-perms {meta['mh_perms']} "
+                f"--band-size {meta['mh_band_size']}; this run uses "
+                f"{args.minhash_perms}/{args.band_size} — band keys would "
+                "never collide"
+            )
+        from .pipelines.candidates import cross_bucket_pairs
+        from .pipelines.dedup import candidate_pairs_from_index
 
-        # band-collision candidates vs the historical index (audit output;
-        # the index carries no text, so cross pairs can't be
-        # jaccard-verified here — signature identity is the drop rule)
-        cross = incremental_candidate_pairs(
-            docs,
-            prior_index,
-            num_hashes=args.minhash_perms,
-            band_size=args.band_size,
-            max_bucket_size=args.max_bucket_size,
-            fast=True,
-        ).filter(F.col("vs_index"))
-        cross.write.mode("overwrite").parquet(f"{args.output}/cross_candidates")
-        # signature-identical new docs are dups of the historical corpus
-        new_sigs = minhash_index(
+        # ONE signature pass over the increment: every downstream join
+        # (cross candidates, sig drop, within-increment pairs) reads the
+        # materialized index instead of re-deriving signatures from text
+        new_buckets = minhash_index(
             docs, num_hashes=args.minhash_perms, band_size=args.band_size, fast=True
-        ).select("doc_id", "sig_key").distinct()
-        dup_ids = new_sigs.join(
-            prior_index.select("sig_key").distinct(), "sig_key"
-        ).select("doc_id").distinct()
-        n_input_total = docs.count()
+        ).localCheckpoint(eager=True)
+        dup_ids = (
+            new_buckets.select("doc_id", "sig_key")
+            .distinct()
+            .join(prior_index.select("sig_key").distinct(), "sig_key")
+            .select("doc_id")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sig_dropped = dup_ids.count()
+        # audit output: band collisions that are NOT already resolved by
+        # the signature-identity drop (the index carries no text, so
+        # these are what a downstream verifier still needs to look at)
+        cross = cross_bucket_pairs(
+            prior_index,
+            new_buckets,
+            ["band_id", "band_key"],
+            "doc_id",
+            sig_col="sig_key",
+            max_bucket_size=args.max_bucket_size,
+            out_a="doc_a",
+            out_b="doc_b",
+        )
+        cross.join(
+            dup_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_anti"
+        ).write.mode("overwrite").parquet(f"{args.output}/cross_candidates")
         docs = docs.join(dup_ids, "doc_id", "left_anti")
-        sig_dropped = n_input_total - docs.count()
-    if args.dedup_method == "simhash64":
+        kept_buckets = new_buckets.join(dup_ids, "doc_id", "left_anti")
+        inc_pairs = candidate_pairs_from_index(kept_buckets, args.max_bucket_size)
+        inc_verified = ngram_jaccard(docs, inc_pairs).filter(
+            F.col("jaccard_bp") >= args.jaccard_threshold_bp
+        )
+    if args.incremental_index:
+        verified = inc_verified
+    elif args.dedup_method == "simhash64":
         # pigeonhole candidates + integer hamming verify (already in the
         # pair output — no second verify pass needed; the hamming score
         # column is kept in the pairs parquet, mirroring jaccard_bp)
@@ -170,12 +219,18 @@ def _run_dedup(spark, args) -> dict:
     if args.dedup_method == "minhash":
         # index of this run's keepers — with --incremental-index, merged
         # with the prior index so the next increment deduplicates against
-        # the full history without rescanning it
-        idx = minhash_index(
-            spark.read.parquet(f"{args.output}/keepers"),
-            num_hashes=args.minhash_perms,
-            band_size=args.band_size,
-            fast=True,
+        # the full history without rescanning it.  The banding params ride
+        # as metadata columns so a future run with mismatched parameters
+        # fails loudly instead of silently finding zero collisions.
+        idx = (
+            minhash_index(
+                spark.read.parquet(f"{args.output}/keepers"),
+                num_hashes=args.minhash_perms,
+                band_size=args.band_size,
+                fast=True,
+            )
+            .withColumn("mh_perms", F.lit(args.minhash_perms))
+            .withColumn("mh_band_size", F.lit(args.band_size))
         )
         if prior_index is not None:
             idx = prior_index.unionByName(idx)

@@ -256,8 +256,8 @@ def minhash_index(
     band_size: int = 2,
     fast: bool = False,
 ) -> DataFrame:
-    """Persistable LSH band-key index (doc_id, sig_key, band_id,
-    band_key) — write this once per corpus snapshot; incremental dedup
+    """Persistable LSH band-key index — columns (doc_id, band_id,
+    band_key, sig_key) — write this once per corpus snapshot; incremental dedup
     joins each new crawl increment against it WITHOUT rescanning the
     historical corpus (the daily-increment pattern at 100 TB: the index
     is ~num_bands small rows per doc, bucketable by band_key).
@@ -287,8 +287,9 @@ def incremental_candidate_pairs(
     (historical) doc_a with a new doc_b; the rest are new-vs-new.  The
     shared degenerate-bucket guard applies to BOTH joins — within the
     increment via bucket_pairs' star path, and across via
-    cross_bucket_pairs' per-side signature-representative collapse
-    (work per bucket bounded by cap², not n_index × n_new)."""
+    cross_bucket_pairs (oversized buckets emit only signature-identical
+    rep pairs plus one bucket-rep pair — strictly linear even when the
+    hot bucket holds n distinct signatures; see candidates.py)."""
     from .candidates import bucket_pairs, cross_bucket_pairs
 
     new_b = minhash_index(
@@ -314,6 +315,17 @@ def incremental_candidate_pairs(
         out_b="doc_b",
     ).withColumn("vs_index", F.lit(False))
     return cross.unionByName(within)
+
+
+def candidate_pairs_from_index(
+    buckets: DataFrame, max_bucket_size: int | None = None
+) -> DataFrame:
+    """Within-corpus candidate pairs from an ALREADY-COMPUTED band index
+    (:func:`minhash_index` output) — lets a job that materialized the
+    index reuse it instead of re-deriving signatures from text (the
+    incremental CLI path computes the increment's index once and feeds
+    every downstream join from it)."""
+    return _pairs_from_buckets(buckets, max_bucket_size)
 
 
 def incremental_pairs_oracle_sql(

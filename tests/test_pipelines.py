@@ -1430,9 +1430,11 @@ def test_incremental_dedup_equals_full_corpus_restricted(spark):
 
 
 def test_incremental_dedup_cross_cap_bounds_hot_bucket(spark):
-    """The cross-side guard: 5000 identical indexed docs x identical new
-    docs must NOT produce an n_index x n_new join — each side's hot
-    bucket collapses to one signature representative."""
+    """The cross-side guard, signature-IDENTICAL pathology: 5000
+    identical indexed docs x 100 identical new docs share every band
+    bucket; an oversized bucket emits only one sig-matched rep pair
+    plus one bucket-rep pair per band — a handful of pairs, not the
+    500k of the raw cross join."""
     from fetch_engines_spark.pipelines.dedup import (
         incremental_candidate_pairs,
         minhash_index,
@@ -1447,6 +1449,36 @@ def test_incremental_dedup_cross_cap_bounds_hot_bucket(spark):
         new, minhash_index(old), max_bucket_size=50
     )
     n = pairs.filter("vs_index").count()
-    # uncapped this would be 5000 x 100 = 500k; with per-side signature
-    # collapse the hot bucket contributes rep x 100 = 100 cross pairs
-    assert 0 < n <= 200, n
+    assert 0 < n <= 10, n  # ≤ (1 sig pair + 1 rep pair) per band
+
+
+def test_cross_bucket_pairs_sig_diverse_hot_bucket_stays_linear(spark):
+    """The cross-side guard, signature-DIVERSE pathology (the harder
+    case): 300 indexed + 300 new docs share ONE bucket but every doc
+    has a UNIQUE signature — per-sig rep retention would keep all 600
+    reps and the join would be 300x300=90k pairs; the strict guard must
+    emit only the sig-matched pairs (none here) plus one bucket-rep
+    pair.  Small buckets elsewhere must still cross-join fully."""
+    from fetch_engines_spark.pipelines.candidates import cross_bucket_pairs
+
+    left = spark.createDataFrame(
+        [(f"old{i:03d}", 0, "hot", f"lsig{i}") for i in range(300)]
+        + [(f"old-s{i}", 1, "cold", f"csig{i}") for i in range(3)],
+        "doc_id string, band_id long, band_key string, sig_key string",
+    )
+    right = spark.createDataFrame(
+        [(f"new{i:03d}", 0, "hot", f"rsig{i}") for i in range(300)]
+        + [(f"new-s{i}", 1, "cold", f"dsig{i}") for i in range(2)],
+        "doc_id string, band_id long, band_key string, sig_key string",
+    )
+    pairs = cross_bucket_pairs(
+        left, right, ["band_id", "band_key"], "doc_id",
+        sig_col="sig_key", max_bucket_size=50,
+        out_a="doc_a", out_b="doc_b",
+    ).collect()
+    hot = [r for r in pairs if r.doc_a.startswith("old0") or r.doc_a == "old000"]
+    hot = [r for r in pairs if not r.doc_a.startswith("old-s")]
+    assert len(hot) == 1  # ONE bucket-rep pair, not 90,000
+    assert (hot[0].doc_a, hot[0].doc_b) == ("old000", "new000")
+    cold = [r for r in pairs if r.doc_a.startswith("old-s")]
+    assert len(cold) == 6  # 3 x 2 full cross join below the cap
