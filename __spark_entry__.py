@@ -1589,6 +1589,21 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, bench, n=8)
 
 
+def _q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup benchmark decontamination: the eval set is built as
+    slightly-truncated copies of every 25th document (the paraphrase-ish
+    leakage shape exact 8-word windows can miss after edits); MinHash
+    band candidates + exact Jaccard flag the sources."""
+    from fetch_engines_spark.pipelines.dedup import decontaminate_fuzzy
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0).select(
+        "doc_id",
+        F.expr("substring(text, 1, greatest(length(text) - 30, 50))").alias("text"),
+    )
+    return decontaminate_fuzzy(docs, bench, threshold_bp=5000)
+
+
 def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentence-aligned training-chunk packing (~24 whitespace tokens per
     chunk, fixed-budget rule) over the extracted-markdown corpus (the
@@ -1726,6 +1741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_ivfpq": _q_embedding_topk_ivfpq,
         "dedup_ngram_containment": _q_ngram_containment,
         "dedup_incremental": _q_dedup_incremental,
+        "decontaminate_fuzzy": _q_decontaminate_fuzzy,
     }
 
 
@@ -2140,6 +2156,16 @@ def oracle_sql() -> dict[str, str]:
         ).incremental_pairs_oracle_sql(
             old_source="(SELECT * FROM documents WHERE doc_id % 2 = 0)",
             new_source="(SELECT * FROM documents WHERE doc_id % 2 = 1)",
+        ),
+        "decontaminate_fuzzy": __import__(
+            "fetch_engines_spark.pipelines.dedup", fromlist=["x"]
+        ).decontaminate_fuzzy_oracle_sql(
+            docs_sql="SELECT doc_id, text FROM documents",
+            benchmark_sql=(
+                "SELECT doc_id, substring(text, 1, greatest(length(text) - 30, 50))"
+                " AS text FROM documents WHERE doc_id % 25 = 0"
+            ),
+            threshold_bp=5000,
         ),
         "dedup_planted": __import__("fetch_engines_spark.pipelines.dedup", fromlist=["x"]).candidate_pairs_oracle_sql(
             source=f"read_parquet('{os.path.join(FIXTURES_DIR, 'neardup.parquet')}')",

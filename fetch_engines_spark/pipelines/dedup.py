@@ -451,6 +451,120 @@ def decontaminate(
     )
 
 
+def decontaminate_fuzzy(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 4,
+    band_size: int = 2,
+    threshold_bp: int = 5000,
+) -> DataFrame:
+    """NEAR-duplicate benchmark decontamination: flags training documents
+    whose shingle sets are Jaccard-similar to an eval/benchmark item —
+    the paraphrased/reformatted leakage the exact n-gram window rule
+    (:func:`decontaminate`) misses (whitespace edits, shuffled
+    sentences, small rewrites break 8-word windows but not MinHash
+    similarity).
+
+    Scale shape (10^12 training docs vs a ~10^5-item benchmark): the
+    benchmark's band-key index is SMALL and broadcast; candidates form
+    by band-key equality (the corpus never shuffles for the join — each
+    corpus row meets at most the benchmark rows in its bucket, bounded
+    by the benchmark size), then one broadcast text join computes exact
+    Jaccard for the candidates only.  Returns one row per contaminated
+    doc: (doc_id, bench_id, jaccard_bp) for the best-matching benchmark
+    item with jaccard ≥ ``threshold_bp`` (lowest bench_id tiebreak).
+    """
+    bench_b = minhash_lsh_buckets(benchmark, text_col, num_hashes, band_size).select(
+        F.col("doc_id").alias("bench_id"), "band_id", "band_key"
+    )
+    corpus_b = minhash_lsh_buckets(docs, text_col, num_hashes, band_size)
+    cand = (
+        corpus_b.join(F.broadcast(bench_b), ["band_id", "band_key"])
+        .select("doc_id", "bench_id")
+        .distinct()
+    )
+    bench_sh = benchmark.select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_distinct(shingles(F.col(text_col))).alias("bsh"),
+    )
+    doc_sh = docs.select(
+        "doc_id", F.array_distinct(shingles(F.col(text_col))).alias("dsh")
+    )
+    scored = (
+        cand.join(doc_sh, "doc_id")
+        .join(F.broadcast(bench_sh), "bench_id")
+        .select(
+            "doc_id",
+            "bench_id",
+            F.floor(
+                F.size(F.array_intersect("dsh", "bsh"))
+                * 10000
+                / F.greatest(F.size(F.array_union("dsh", "bsh")), F.lit(1))
+            ).alias("jaccard_bp"),
+        )
+        .filter(F.col("jaccard_bp") >= threshold_bp)
+    )
+    best = F.max(F.struct(F.col("jaccard_bp"), (-F.col("bench_id")).alias("nb")))
+    return (
+        scored.groupBy("doc_id")
+        .agg(best.alias("m"))
+        .select(
+            "doc_id",
+            (-F.col("m.nb")).alias("bench_id"),
+            F.col("m.jaccard_bp").alias("jaccard_bp"),
+        )
+    )
+
+
+def decontaminate_fuzzy_oracle_sql(
+    docs_sql: str, benchmark_sql: str, num_hashes: int = 4, band_size: int = 2,
+    threshold_bp: int = 5000,
+) -> str:
+    """DuckDB twin of decontaminate_fuzzy: same banding, same candidate
+    join, same Jaccard, same best-match (max jaccard, lowest bench_id)."""
+    sh = (
+        "list_distinct(CASE WHEN len(string_split(text,' ')) >= 3 THEN "
+        "list_transform(range(0, len(string_split(text,' ')) - 3 + 1), "
+        "i -> array_to_string(list_slice(string_split(text,' '), i + 1, i + 3), ' ')) "
+        "ELSE [array_to_string(string_split(text,' '), ' ')] END)"
+    )
+
+    def bands(src_cte: str, name: str) -> str:
+        sigs = minhash_oracle_sql(num_hashes, src_cte)
+        return f"""{name}_sigs AS ({sigs}),
+{name}_bands AS (
+  SELECT doc_id, CAST(floor(hash_idx / {band_size}) AS BIGINT) AS band_id,
+         md5(array_to_string(list_sort(list(minhash)), '|')) AS band_key
+  FROM {name}_sigs GROUP BY doc_id, floor(hash_idx / {band_size})
+)"""
+
+    return f"""
+WITH bench AS ({benchmark_sql}),
+corpus AS ({docs_sql}),
+{bands('bench', 'b')},
+{bands('corpus', 'c')},
+cand AS (
+  SELECT DISTINCT c.doc_id, b.doc_id AS bench_id
+  FROM c_bands c JOIN b_bands b ON c.band_id = b.band_id AND c.band_key = b.band_key
+),
+dsh AS (SELECT doc_id, {sh} AS s FROM corpus),
+bsh AS (SELECT doc_id AS bench_id, {sh} AS s FROM bench),
+scored AS (
+  SELECT cand.doc_id, cand.bench_id,
+         CAST(floor(len(list_intersect(d.s, b.s)) * 10000
+              / greatest(len(list_distinct(list_concat(d.s, b.s))), 1)) AS BIGINT) AS jaccard_bp
+  FROM cand JOIN dsh d ON cand.doc_id = d.doc_id JOIN bsh b ON cand.bench_id = b.bench_id
+  WHERE CAST(floor(len(list_intersect(d.s, b.s)) * 10000
+        / greatest(len(list_distinct(list_concat(d.s, b.s))), 1)) AS BIGINT) >= {threshold_bp}
+)
+SELECT doc_id, bench_id, jaccard_bp FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY jaccard_bp DESC, bench_id ASC) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
 def decontaminate_oracle_sql(
     docs_sql: str, benchmark_sql: str, n: int = 8
 ) -> str:

@@ -1482,3 +1482,30 @@ def test_cross_bucket_pairs_sig_diverse_hot_bucket_stays_linear(spark):
     assert (hot[0].doc_a, hot[0].doc_b) == ("old000", "new000")
     cold = [r for r in pairs if r.doc_a.startswith("old-s")]
     assert len(cold) == 6  # 3 x 2 full cross join below the cap
+
+
+def test_fuzzy_decontamination_catches_edited_leakage(spark):
+    """A benchmark item leaked with a junk token inserted every 6 words:
+    no 8-word window survives, so EXACT decontamination sees nothing —
+    fuzzy (MinHash bands + Jaccard) must still flag the source."""
+    from fetch_engines_spark.pipelines.dedup import decontaminate, decontaminate_fuzzy
+
+    base_words = [f"w{i}" for i in range(60)]
+    bench_text = " ".join(base_words)
+    edited = []
+    for i, w in enumerate(base_words):
+        edited.append(w)
+        if i % 6 == 5:
+            edited.append(f"x{i}")
+    docs = spark.createDataFrame(
+        [(1, " ".join(edited)), (2, "entirely unrelated text about nothing at all here")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    exact = decontaminate(docs, bench, n=8).filter("is_contaminated").count()
+    assert exact == 0  # every 8-word window is broken by the inserts
+    fuzzy = decontaminate_fuzzy(
+        docs, bench, num_hashes=6, band_size=1, threshold_bp=3000
+    ).collect()
+    assert [(r.doc_id, r.bench_id) for r in fuzzy] == [(1, 100)]
+    assert fuzzy[0].jaccard_bp >= 3000
