@@ -1589,6 +1589,19 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, bench, n=8)
 
 
+_CMS_PROBES = ["the", "and", "of", "to", "in", "data", "spark", "zzz-absent-token"]
+
+
+def _q_vocab_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point queries for a fixed probe set over the
+    documents corpus: bounded-memory frequency summary (≤ depth·width
+    cells regardless of corpus size), never underestimates."""
+    from fetch_engines_spark.pipelines.text import cms_estimate, count_min_sketch
+
+    docs = _read(spark, sf_dir, "documents")
+    return cms_estimate(count_min_sketch(docs), _CMS_PROBES)
+
+
 def _q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup benchmark decontamination: the eval set is built as
     slightly-truncated copies of every 25th document (the paraphrase-ish
@@ -1742,6 +1755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_containment": _q_ngram_containment,
         "dedup_incremental": _q_dedup_incremental,
         "decontaminate_fuzzy": _q_decontaminate_fuzzy,
+        "vocab_cms": _q_vocab_cms,
     }
 
 
@@ -2157,6 +2171,9 @@ def oracle_sql() -> dict[str, str]:
             old_source="(SELECT * FROM documents WHERE doc_id % 2 = 0)",
             new_source="(SELECT * FROM documents WHERE doc_id % 2 = 1)",
         ),
+        "vocab_cms": __import__(
+            "fetch_engines_spark.pipelines.text", fromlist=["x"]
+        ).count_min_estimate_sql(_CMS_PROBES),
         "decontaminate_fuzzy": __import__(
             "fetch_engines_spark.pipelines.dedup", fromlist=["x"]
         ).decontaminate_fuzzy_oracle_sql(

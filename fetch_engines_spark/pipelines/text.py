@@ -456,6 +456,129 @@ def kmv_distinct(
     )
 
 
+def count_min_sketch(
+    df: DataFrame, text_col: str = "text", depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-min sketch of token frequencies: a ``depth`` × ``width``
+    counter grid as (row, col, n) rows — the mergeable, bounded-memory
+    frequency summary (Cormode & Muthukrishnan).  Output size is
+    ≤ depth·width rows REGARDLESS of corpus size (vs the unbounded
+    distinct-token aggregation of exact counting); two sketches merge by
+    summing cells, so per-day/per-shard sketches roll up for free.
+
+    Engine-portable: row r's hash is the first 12 hex digits of
+    md5("r{r}|" || token) mod width — integer arithmetic both engines
+    replay exactly (``count_min_sketch_sql``).  Plan shape: one token
+    explode → one map-side-combinable groupBy on (row, col); the
+    combine collapses to ≤ depth·width partial cells per task, which is
+    the sketch's bounded-memory property realized in the shuffle."""
+    toks = df.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    rows = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(F.concat(F.lit(f"r{r}|"), F.col("tok"))),
+                                    1,
+                                    12,
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % width
+                        ).alias("col"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rc")
+    )
+    return (
+        rows.select(F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+        .groupBy("row", "col")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, tokens: list[str], depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Point-query the count-min sketch for a fixed probe set: estimate =
+    min over rows of the token's cell (never underestimates; overshoots
+    by at most ~corpus_tokens/width with high probability).  The probe
+    side is a literal-derived tiny frame; the sketch side joins on its
+    (row, col) key — broadcast either way at any scale."""
+    spark = sketch.sparkSession
+    probes = spark.createDataFrame([(t,) for t in tokens], "token string")
+    cells = probes.select(
+        "token",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(F.concat(F.lit(f"r{r}|"), F.col("token"))),
+                                    1,
+                                    12,
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % width
+                        ).alias("col"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rc"),
+    ).select("token", F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+    return (
+        F.broadcast(cells)
+        .join(sketch, ["row", "col"], "left")
+        .groupBy("token")
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_estimate"))
+    )
+
+
+def count_min_estimate_sql(
+    tokens: list[str],
+    source: str = "documents",
+    depth: int = 4,
+    width: int = 1024,
+) -> str:
+    """DuckDB twin of count_min_sketch + cms_estimate for a probe set."""
+    probe_rows = ", ".join(f"('{t}')" for t in tokens)
+    row_branches = "\nUNION ALL\n".join(
+        f"SELECT {r} AS row, CAST('0x' || substr(md5('r{r}|' || tok), 1, 12) AS BIGINT) % {width} AS col FROM toks"
+        for r in range(depth)
+    )
+    probe_branches = "\nUNION ALL\n".join(
+        f"SELECT token, {r} AS row, CAST('0x' || substr(md5('r{r}|' || token), 1, 12) AS BIGINT) % {width} AS col FROM probes"
+        for r in range(depth)
+    )
+    return f"""
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM {source}),
+cells AS (
+  {row_branches}
+),
+sketch AS (SELECT row, col, count(*) AS n FROM cells GROUP BY row, col),
+probes AS (SELECT * FROM (VALUES {probe_rows}) AS t(token)),
+pcells AS (
+  {probe_branches}
+)
+SELECT p.token, min(coalesce(s.n, 0)) AS cms_estimate
+FROM pcells p LEFT JOIN sketch s ON p.row = s.row AND p.col = s.col
+GROUP BY p.token
+"""
+
+
 def kmv_distinct_sql(
     group_col: str, key_col: str, k: int = 64, source: str = "events"
 ) -> str:

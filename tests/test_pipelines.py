@@ -1509,3 +1509,33 @@ def test_fuzzy_decontamination_catches_edited_leakage(spark):
     ).collect()
     assert [(r.doc_id, r.bench_id) for r in fuzzy] == [(1, 100)]
     assert fuzzy[0].jaccard_bp >= 3000
+
+
+def test_count_min_never_underestimates_and_merges(spark):
+    """CMS invariants: estimates are >= true counts (never under), an
+    absent token reads (near) zero at this sparsity, the grid never
+    exceeds depth*width cells, and summing two shard sketches cell-wise
+    equals the whole-corpus sketch (mergeability — the property that
+    lets per-day sketches roll up without reprocessing)."""
+    from fetch_engines_spark.pipelines.text import cms_estimate, count_min_sketch
+
+    rows = [(i, ("alpha " * 20 + "beta " * 5 + f"uniq{i}").strip()) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sketch = count_min_sketch(docs, depth=4, width=512)
+    assert sketch.count() <= 4 * 512
+    est = {
+        r.token: r.cms_estimate
+        for r in cms_estimate(
+            sketch, ["alpha", "beta", "uniq3", "never-seen"], depth=4, width=512
+        ).collect()
+    }
+    assert est["alpha"] >= 800 and est["beta"] >= 200 and est["uniq3"] >= 1
+    assert est["alpha"] <= 800 + 50 and est["never-seen"] <= 5  # sparse grid
+
+    a = count_min_sketch(docs.filter("doc_id < 20"), depth=4, width=512)
+    b = count_min_sketch(docs.filter("doc_id >= 20"), depth=4, width=512)
+    merged = (
+        a.unionByName(b).groupBy("row", "col").agg(F.sum("n").alias("n"))
+    )
+    whole = {(r.row, r.col): r.n for r in sketch.collect()}
+    assert {(r.row, r.col): r.n for r in merged.collect()} == whole
