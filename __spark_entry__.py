@@ -1012,6 +1012,24 @@ def _q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + nearest-neighbor 8x8 resize fused in one Arrow stage over
+    the PNG+GIF+JPEG corpus — the thumbnail/pre-crop step of a
+    multimodal pipeline; thumbnail pixel sums verified against the
+    generator's independent plain-Python resize of the raw pixels."""
+    from fetch_engines_spark.pipelines.multimodal import image_resize_stats
+
+    imgs = (
+        _fixture(spark, "pngs")
+        .unionByName(_fixture(spark, "gifs"))
+        .unionByName(_fixture(spark, "jpegs"))
+    )
+    return image_resize_stats(imgs, out_w=8, out_h=8).select(
+        "media_id", "width", "height", "channels", "resized_sum",
+        F.substring(F.col("error"), 1, 7).alias("error_prefix"),
+    )
+
+
 def _q_media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode over the WAV fixture corpus: RIFF chunk walk +
     PCM16 parse → integer peak/energy per clip, verified against the
@@ -1756,6 +1774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": _q_dedup_incremental,
         "decontaminate_fuzzy": _q_decontaminate_fuzzy,
         "vocab_cms": _q_vocab_cms,
+        "media_resize": _q_media_resize,
     }
 
 
@@ -2314,6 +2333,14 @@ def oracle_sql() -> dict[str, str]:
         "media_pixel_stats": f"""
             SELECT media_id, exp_width AS width, exp_height AS height,
                    exp_channels AS channels, exp_pixel_sum AS pixel_sum,
+                   exp_error_prefix AS error_prefix
+            FROM read_parquet(['{os.path.join(FIXTURES_DIR, "pngs.parquet")}',
+                               '{os.path.join(FIXTURES_DIR, "gifs.parquet")}',
+                               '{os.path.join(FIXTURES_DIR, "jpegs.parquet")}'])
+        """,
+        "media_resize": f"""
+            SELECT media_id, exp_width AS width, exp_height AS height,
+                   exp_channels AS channels, exp_resize8_sum AS resized_sum,
                    exp_error_prefix AS error_prefix
             FROM read_parquet(['{os.path.join(FIXTURES_DIR, "pngs.parquet")}',
                                '{os.path.join(FIXTURES_DIR, "gifs.parquet")}',

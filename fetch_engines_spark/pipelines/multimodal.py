@@ -798,6 +798,80 @@ def png_pixel_stats(media: DataFrame) -> DataFrame:
     )
 
 
+def resize_nearest(
+    pixels: bytes, w: int, h: int, ch: int, out_w: int, out_h: int
+) -> bytes:
+    """Nearest-neighbor resize of an interleaved raster: output pixel
+    (x, y) samples source (floor(x·w/out_w), floor(y·h/out_h)) — the
+    deterministic integer rule both the pipeline and the fixture
+    generator implement, so resized stats are writer/decoder-exact
+    (no interpolation arithmetic to diverge)."""
+    import numpy as np
+
+    a = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, ch)
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return a[ys][:, xs].tobytes()
+
+
+RESIZE_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("resized_sum", LongType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def image_resize_stats(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """media(media_id, payload) → decode (PNG/GIF/JPEG by signature) +
+    nearest-neighbor resize to (out_w, out_h) + integer pixel sum of the
+    thumbnail; one Arrow-batched stage, never-fail contract.  The
+    resize step of a multimodal training pipeline (thumbnail features,
+    vision-encoder pre-crops) with the decode fused into the same
+    pass — pixels never leave the worker."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {k: [] for k in RESIZE_STATS_SCHEMA.names}
+            for row in pdf.itertuples(index=False):
+                width = height = channels = rsum = None
+                err = None
+                try:
+                    payload = bytes(row.payload) if row.payload is not None else None
+                    if payload is not None and payload[:6] in (b"GIF87a", b"GIF89a"):
+                        img = decode_gif(payload)
+                        channels = 3
+                    elif payload is not None and payload[:3] == b"\xff\xd8\xff":
+                        img = decode_jpeg(payload)
+                        channels = img["channels"]
+                    else:
+                        img = decode_png(payload)
+                        channels = img["channels"]
+                    width, height = img["width"], img["height"]
+                    rsum = sum(
+                        resize_nearest(
+                            img["pixels"], width, height, channels, out_w, out_h
+                        )
+                    )
+                except Exception as exc:
+                    err = f"ERR_IMG: {type(exc).__name__}: {exc}"[:200]
+                out["media_id"].append(row.media_id)
+                out["width"].append(width)
+                out["height"].append(height)
+                out["channels"].append(channels)
+                out["resized_sum"].append(rsum)
+                out["error"].append(err)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=RESIZE_STATS_SCHEMA
+    )
+
+
 def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out: dict[str, list] = {k: [] for k in MEDIA_META_SCHEMA.names}

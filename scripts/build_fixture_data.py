@@ -832,6 +832,20 @@ def _gif_bytes(width: int, height: int, palette: list[tuple[int, int, int]], ind
     return bytes(out)
 
 
+def _resize8_sum(px: bytes, w: int, h: int, ch: int) -> int:
+    """Expected 8x8 nearest-neighbor thumbnail pixel sum, computed with a
+    plain-Python loop INDEPENDENT of the pipeline's numpy resize (same
+    floor(i*src/8) sampling rule)."""
+    total = 0
+    for y in range(8):
+        sy = (y * h) // 8
+        for x in range(8):
+            sx = (x * w) // 8
+            for c in range(ch):
+                total += px[(sy * w + sx) * ch + c]
+    return total
+
+
 def build_pngs() -> None:
     """Real-PNG decode fixture: generator-written PNGs (every filter type,
     gray/RGB/RGBA) with the expected width/height/channels/pixel_sum
@@ -856,9 +870,9 @@ def build_pngs() -> None:
     for mid, w, h, ct, seed, filters in cases:
         ch = {0: 1, 2: 3, 6: 4}[ct]
         px = gradient(w, h, ch, seed)
-        rows.append((mid, _png_bytes(w, h, ct, px, filters), w, h, ch, sum(px), None))
-    rows.append(("png-truncated", rows[0][1][:40], None, None, None, None, "ERR_IMG"))
-    rows.append(("png-not-a-png", b"JFIF not a png", None, None, None, None, "ERR_IMG"))
+        rows.append((mid, _png_bytes(w, h, ct, px, filters), w, h, ch, sum(px), None, _resize8_sum(px, w, h, ch)))
+    rows.append(("png-truncated", rows[0][1][:40], None, None, None, None, "ERR_IMG", None))
+    rows.append(("png-not-a-png", b"JFIF not a png", None, None, None, None, "ERR_IMG", None))
 
     pq.write_table(
         pa.table(
@@ -870,6 +884,7 @@ def build_pngs() -> None:
                 "exp_channels": pa.array([r[4] for r in rows], pa.int32()),
                 "exp_pixel_sum": pa.array([r[5] for r in rows], pa.int64()),
                 "exp_error_prefix": [r[6] for r in rows],
+                "exp_resize8_sum": pa.array([r[7] for r in rows], pa.int64()),
             }
         ),
         os.path.join(OUT, "pngs.parquet"),
@@ -897,14 +912,14 @@ def build_gifs() -> None:
             idx = bytes(((x * 7 + y * 13 + seed) % ncolors) for y in range(h) for x in range(w))
         payload = _gif_bytes(w, h, palette, idx, with_extension=ext)
         px = b"".join(bytes(palette[i]) for i in idx)
-        rows.append((mid, payload, w, h, 3, sum(px), None))
-    rows.append(("gif-truncated", rows[0][1][:20], None, None, None, None, "ERR_IMG"))
-    rows.append(("gif-interlaced-flag", rows[0][1].replace(b"\x2c", b"\x2c", 1), None, None, None, None, None))
+        rows.append((mid, payload, w, h, 3, sum(px), None, _resize8_sum(px, w, h, 3)))
+    rows.append(("gif-truncated", rows[0][1][:20], None, None, None, None, "ERR_IMG", None))
+    rows.append(("gif-interlaced-flag", rows[0][1].replace(b"\x2c", b"\x2c", 1), None, None, None, None, None, None))
     # build a genuinely interlaced-flagged image: flip the interlace bit
     base = bytearray(rows[0][1])
     desc = base.find(b"\x2c")
     base[desc + 9] |= 0x40
-    rows[-1] = ("gif-interlaced", bytes(base), None, None, None, None, "ERR_IMG")
+    rows[-1] = ("gif-interlaced", bytes(base), None, None, None, None, "ERR_IMG", None)
 
     pq.write_table(
         pa.table(
@@ -916,6 +931,7 @@ def build_gifs() -> None:
                 "exp_channels": pa.array([r[4] for r in rows], pa.int32()),
                 "exp_pixel_sum": pa.array([r[5] for r in rows], pa.int64()),
                 "exp_error_prefix": [r[6] for r in rows],
+                "exp_resize8_sum": pa.array([r[7] for r in rows], pa.int64()),
             }
         ),
         os.path.join(OUT, "gifs.parquet"),
@@ -1215,7 +1231,7 @@ def build_jpegs() -> None:
         got = decode_jpeg(payload)
         assert (got["width"], got["height"]) == (w, h), mid
         assert got["pixels"] == px, f"{mid}: writer/decoder pixel disagreement"
-        rows.append((mid, payload, w, h, len(comps), sum(px), None))
+        rows.append((mid, payload, w, h, len(comps), sum(px), None, _resize8_sum(px, w, h, len(comps))))
     # chroma-subsampled color: 4:2:0 (the dominant web layout — 4 Y
     # blocks + 1 Cb + 1 Cr per MCU, chroma upsampled by replication) and
     # 4:2:2 (2 Y + 1 + 1); Y carries per-block DC steps + an AC ripple
@@ -1237,16 +1253,16 @@ def build_jpegs() -> None:
         px = _jpeg_expected_pixels(w, h, comps, qts, sampling=samp)
         got = decode_jpeg(payload)
         assert got["pixels"] == px, f"{mid}: writer/decoder pixel disagreement"
-        rows.append((mid, payload, w, h, len(comps), sum(px), None))
+        rows.append((mid, payload, w, h, len(comps), sum(px), None, _resize8_sum(px, w, h, len(comps))))
     # error rows: progressive SOF2, truncation, unsupported chroma sampling
     rows.append(
-        ("jpeg-progressive", _jpeg_bytes(8, 8, [[dc_block(50)]], [flat1], sof=0xC2), None, None, None, None, "ERR_IMG")
+        ("jpeg-progressive", _jpeg_bytes(8, 8, [[dc_block(50)]], [flat1], sof=0xC2), None, None, None, None, "ERR_IMG", None)
     )
-    rows.append(("jpeg-truncated", rows[0][1][:30], None, None, None, None, "ERR_IMG"))
+    rows.append(("jpeg-truncated", rows[0][1][:30], None, None, None, None, "ERR_IMG", None))
     sub = bytearray(_jpeg_bytes(16, 16, [y420, [dc_block(90)], [dc_block(170)]], [flat1, flat1, flat1], sampling=[(2, 2), (1, 1), (1, 1)]))
     sof_at = sub.find(b"\xff\xc0")
     sub[sof_at + 14] = 0x22  # CHROMA sampling 2x2 — out of the supported set
-    rows.append(("jpeg-subsampled", bytes(sub), None, None, None, None, "ERR_IMG"))
+    rows.append(("jpeg-subsampled", bytes(sub), None, None, None, None, "ERR_IMG", None))
 
     pq.write_table(
         pa.table(
@@ -1258,6 +1274,7 @@ def build_jpegs() -> None:
                 "exp_channels": pa.array([r[4] for r in rows], pa.int32()),
                 "exp_pixel_sum": pa.array([r[5] for r in rows], pa.int64()),
                 "exp_error_prefix": [r[6] for r in rows],
+                "exp_resize8_sum": pa.array([r[7] for r in rows], pa.int64()),
             }
         ),
         os.path.join(OUT, "jpegs.parquet"),

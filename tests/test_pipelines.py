@@ -1539,3 +1539,19 @@ def test_count_min_never_underestimates_and_merges(spark):
     )
     whole = {(r.row, r.col): r.n for r in sketch.collect()}
     assert {(r.row, r.col): r.n for r in merged.collect()} == whole
+
+
+def test_resize_nearest_identity_and_sampling():
+    """resize to the same dims is the identity; a 4x4 -> 2x2 resize picks
+    exactly the floor(i*src/dst) grid points."""
+    from fetch_engines_spark.pipelines.multimodal import resize_nearest
+
+    px = bytes(range(48))  # 4x4x3
+    assert resize_nearest(px, 4, 4, 3, 4, 4) == px
+    small = resize_nearest(px, 4, 4, 3, 2, 2)
+    # rows 0,2 and cols 0,2 -> pixels (0,0),(0,2),(2,0),(2,2)
+    expect = b"".join(px[(y * 4 + x) * 3 : (y * 4 + x) * 3 + 3] for y in (0, 2) for x in (0, 2))
+    assert small == expect
+    # upsample replicates
+    up = resize_nearest(bytes([10, 200]), 2, 1, 1, 4, 1)
+    assert up == bytes([10, 10, 200, 200])
