@@ -458,6 +458,7 @@ def decontaminate_fuzzy(
     num_hashes: int = 4,
     band_size: int = 2,
     threshold_bp: int = 5000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """NEAR-duplicate benchmark decontamination: flags training documents
     whose shingle sets are Jaccard-similar to an eval/benchmark item —
@@ -479,6 +480,18 @@ def decontaminate_fuzzy(
         F.col("doc_id").alias("bench_id"), "band_id", "band_key"
     )
     corpus_b = minhash_lsh_buckets(docs, text_col, num_hashes, band_size)
+    if max_bucket_size is not None:
+        # degenerate-band guard: a band key shared by a huge slice of the
+        # corpus (empty/boilerplate texts hash identically) would score
+        # Jaccard for every one of them against every matching benchmark
+        # item; such keys carry no discriminative signal, so their
+        # buckets are excluded (true near-dups still collide on their
+        # other, non-degenerate bands)
+        from pyspark.sql import Window
+
+        corpus_b = corpus_b.withColumn(
+            "bucket_n", F.count("*").over(Window.partitionBy("band_id", "band_key"))
+        ).filter(F.col("bucket_n") <= max_bucket_size)
     cand = (
         corpus_b.join(F.broadcast(bench_b), ["band_id", "band_key"])
         .select("doc_id", "bench_id")
@@ -488,7 +501,10 @@ def decontaminate_fuzzy(
         F.col("doc_id").alias("bench_id"),
         F.array_distinct(shingles(F.col(text_col))).alias("bsh"),
     )
-    doc_sh = docs.select(
+    # semi-join the corpus down to candidate docs BEFORE shingling: the
+    # scoring pass must not re-shingle the 10^12-doc corpus for the tiny
+    # candidate set
+    doc_sh = docs.join(cand.select("doc_id").distinct(), "doc_id").select(
         "doc_id", F.array_distinct(shingles(F.col(text_col))).alias("dsh")
     )
     scored = (
@@ -498,7 +514,7 @@ def decontaminate_fuzzy(
             "doc_id",
             "bench_id",
             F.floor(
-                F.size(F.array_intersect("dsh", "bsh"))
+                F.size(F.array_intersect("dsh", "bsh")).cast("long")
                 * 10000
                 / F.greatest(F.size(F.array_union("dsh", "bsh")), F.lit(1))
             ).alias("jaccard_bp"),
@@ -835,7 +851,7 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text") -> Da
         "doc_a",
         "doc_b",
         F.floor(
-            F.size(F.array_intersect("a.sh", "b.sh"))
+            F.size(F.array_intersect("a.sh", "b.sh")).cast("long")
             * 10000
             / F.greatest(F.size(F.array_union("a.sh", "b.sh")), F.lit(1))
         ).alias("jaccard_bp"),
@@ -859,7 +875,7 @@ def ngram_containment(
         "doc_a",
         "doc_b",
         F.floor(
-            F.size(F.array_intersect("a.sh", "b.sh"))
+            F.size(F.array_intersect("a.sh", "b.sh")).cast("long")
             * 10000
             / F.greatest(F.least(F.size("a.sh"), F.size("b.sh")), F.lit(1))
         ).alias("containment_bp"),

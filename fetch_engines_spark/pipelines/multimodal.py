@@ -758,6 +758,20 @@ PNG_STATS_SCHEMA = StructType(
 )
 
 
+def _decode_image(payload) -> tuple[dict, int]:
+    """Signature-dispatched image decode (GIF / JPEG / PNG) → (img dict,
+    channels) — the ONE dispatch both pixel-stats and resize stages use,
+    so a new format or error-contract change lands in every consumer."""
+    payload = bytes(payload) if payload is not None else None
+    if payload is not None and payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload), 3
+    if payload is not None and payload[:3] == b"\xff\xd8\xff":
+        img = decode_jpeg(payload)
+        return img, img["channels"]
+    img = decode_png(payload)
+    return img, img["channels"]
+
+
 def _png_stats_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out: dict[str, list] = {k: [] for k in PNG_STATS_SCHEMA.names}
@@ -765,16 +779,7 @@ def _png_stats_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             width = height = channels = pixel_sum = None
             err = None
             try:
-                payload = bytes(row.payload) if row.payload is not None else None
-                if payload is not None and payload[:6] in (b"GIF87a", b"GIF89a"):
-                    img = decode_gif(payload)
-                    channels = 3
-                elif payload is not None and payload[:3] == b"\xff\xd8\xff":
-                    img = decode_jpeg(payload)
-                    channels = img["channels"]
-                else:
-                    img = decode_png(payload)
-                    channels = img["channels"]
+                img, channels = _decode_image(row.payload)
                 width, height = img["width"], img["height"]
                 pixel_sum = sum(img["pixels"])
             except Exception as exc:
@@ -841,16 +846,7 @@ def image_resize_stats(media: DataFrame, out_w: int = 8, out_h: int = 8) -> Data
                 width = height = channels = rsum = None
                 err = None
                 try:
-                    payload = bytes(row.payload) if row.payload is not None else None
-                    if payload is not None and payload[:6] in (b"GIF87a", b"GIF89a"):
-                        img = decode_gif(payload)
-                        channels = 3
-                    elif payload is not None and payload[:3] == b"\xff\xd8\xff":
-                        img = decode_jpeg(payload)
-                        channels = img["channels"]
-                    else:
-                        img = decode_png(payload)
-                        channels = img["channels"]
+                    img, channels = _decode_image(row.payload)
                     width, height = img["width"], img["height"]
                     rsum = sum(
                         resize_nearest(

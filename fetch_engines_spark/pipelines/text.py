@@ -456,92 +456,82 @@ def kmv_distinct(
     )
 
 
+def _cms_cells(token_col, depth: int, width: int):
+    """The (row, col) cell array for one token — row r's hash is the
+    first 12 hex digits of md5("r{r}|" || token) mod width (the ONE
+    shared definition both the sketch build and the point queries use)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"r{r}|"), token_col)), 1, 12
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % width
+                ).alias("col"),
+            )
+            for r in range(depth)
+        ]
+    )
+
+
 def count_min_sketch(
     df: DataFrame, text_col: str = "text", depth: int = 4, width: int = 1024
 ) -> DataFrame:
     """Count-min sketch of token frequencies: a ``depth`` × ``width``
-    counter grid as (row, col, n) rows — the mergeable, bounded-memory
-    frequency summary (Cormode & Muthukrishnan).  Output size is
-    ≤ depth·width rows REGARDLESS of corpus size (vs the unbounded
-    distinct-token aggregation of exact counting); two sketches merge by
-    summing cells, so per-day/per-shard sketches roll up for free.
+    counter grid as (row, col, n, depth, width) rows — the mergeable,
+    bounded-memory frequency summary (Cormode & Muthukrishnan).  Output
+    size is ≤ depth·width rows REGARDLESS of corpus size (vs the
+    unbounded distinct-token aggregation of exact counting); two
+    sketches merge by summing cells, so per-day/per-shard sketches roll
+    up for free.  The grid is SELF-DESCRIBING: depth/width ride as
+    metadata columns so ``cms_estimate`` probes with the parameters the
+    sketch was actually built with (a silent mismatch would hash probes
+    into never-populated cells and report 0 — breaking the
+    never-underestimate guarantee without an error).
 
-    Engine-portable: row r's hash is the first 12 hex digits of
-    md5("r{r}|" || token) mod width — integer arithmetic both engines
-    replay exactly (``count_min_sketch_sql``).  Plan shape: one token
-    explode → one map-side-combinable groupBy on (row, col); the
-    combine collapses to ≤ depth·width partial cells per task, which is
-    the sketch's bounded-memory property realized in the shuffle."""
+    Engine-portable hashing (``_cms_cells``) both engines replay exactly
+    (``count_min_estimate_sql``).  Plan shape: one token explode → one
+    map-side-combinable groupBy on (row, col); the combine collapses to
+    ≤ depth·width partial cells per task, which is the sketch's
+    bounded-memory property realized in the shuffle."""
     toks = df.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
-    rows = toks.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("row"),
-                        (
-                            F.conv(
-                                F.substring(
-                                    F.md5(F.concat(F.lit(f"r{r}|"), F.col("tok"))),
-                                    1,
-                                    12,
-                                ),
-                                16,
-                                10,
-                            ).cast("long")
-                            % width
-                        ).alias("col"),
-                    )
-                    for r in range(depth)
-                ]
-            )
-        ).alias("rc")
-    )
+    rows = toks.select(F.explode(_cms_cells(F.col("tok"), depth, width)).alias("rc"))
     return (
         rows.select(F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
         .groupBy("row", "col")
         .agg(F.count("*").alias("n"))
+        .withColumn("depth", F.lit(depth))
+        .withColumn("width", F.lit(width))
     )
 
 
-def cms_estimate(
-    sketch: DataFrame, tokens: list[str], depth: int = 4, width: int = 1024
-) -> DataFrame:
+def cms_estimate(sketch: DataFrame, tokens: list[str]) -> DataFrame:
     """Point-query the count-min sketch for a fixed probe set: estimate =
     min over rows of the token's cell (never underestimates; overshoots
-    by at most ~corpus_tokens/width with high probability).  The probe
-    side is a literal-derived tiny frame; the sketch side joins on its
-    (row, col) key — broadcast either way at any scale."""
+    by at most ~corpus_tokens/width with high probability).  depth/width
+    come FROM the sketch's metadata columns — callers cannot probe with
+    mismatched parameters.  The probe side is a literal-derived tiny
+    frame; the bounded (≤ depth·width row) sketch is the broadcast/build
+    side of the left join, so the probe lookup never shuffles."""
+    meta = sketch.select("depth", "width").first()
+    if meta is None:
+        raise ValueError("empty sketch (no cells — was the corpus empty?)")
+    depth, width = meta["depth"], meta["width"]
     spark = sketch.sparkSession
     probes = spark.createDataFrame([(t,) for t in tokens], "token string")
     cells = probes.select(
-        "token",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("row"),
-                        (
-                            F.conv(
-                                F.substring(
-                                    F.md5(F.concat(F.lit(f"r{r}|"), F.col("token"))),
-                                    1,
-                                    12,
-                                ),
-                                16,
-                                10,
-                            ).cast("long")
-                            % width
-                        ).alias("col"),
-                    )
-                    for r in range(depth)
-                ]
-            )
-        ).alias("rc"),
+        "token", F.explode(_cms_cells(F.col("token"), depth, width)).alias("rc")
     ).select("token", F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
     return (
-        F.broadcast(cells)
-        .join(sketch, ["row", "col"], "left")
+        cells.join(
+            F.broadcast(sketch.select("row", "col", "n")), ["row", "col"], "left"
+        )
         .groupBy("token")
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_estimate"))
     )
@@ -554,7 +544,7 @@ def count_min_estimate_sql(
     width: int = 1024,
 ) -> str:
     """DuckDB twin of count_min_sketch + cms_estimate for a probe set."""
-    probe_rows = ", ".join(f"('{t}')" for t in tokens)
+    probe_rows = ", ".join("('{}')".format(t.replace("'", "''")) for t in tokens)
     row_branches = "\nUNION ALL\n".join(
         f"SELECT {r} AS row, CAST('0x' || substr(md5('r{r}|' || tok), 1, 12) AS BIGINT) % {width} AS col FROM toks"
         for r in range(depth)

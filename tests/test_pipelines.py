@@ -1526,7 +1526,7 @@ def test_count_min_never_underestimates_and_merges(spark):
     est = {
         r.token: r.cms_estimate
         for r in cms_estimate(
-            sketch, ["alpha", "beta", "uniq3", "never-seen"], depth=4, width=512
+            sketch, ["alpha", "beta", "uniq3", "never-seen"]
         ).collect()
     }
     assert est["alpha"] >= 800 and est["beta"] >= 200 and est["uniq3"] >= 1
@@ -1535,7 +1535,9 @@ def test_count_min_never_underestimates_and_merges(spark):
     a = count_min_sketch(docs.filter("doc_id < 20"), depth=4, width=512)
     b = count_min_sketch(docs.filter("doc_id >= 20"), depth=4, width=512)
     merged = (
-        a.unionByName(b).groupBy("row", "col").agg(F.sum("n").alias("n"))
+        a.unionByName(b)
+        .groupBy("row", "col", "depth", "width")
+        .agg(F.sum("n").alias("n"))
     )
     whole = {(r.row, r.col): r.n for r in sketch.collect()}
     assert {(r.row, r.col): r.n for r in merged.collect()} == whole
