@@ -1689,7 +1689,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_ingest": _q_jsonl_ingest,
         "resume_anti_join": _q_resume_anti_join,
         "streaming_windowed_counts": _q_streaming_windowed_counts,
-        "streaming_interval_join": _q_streaming_interval_join,
         "streaming_extract": _q_streaming_extract,
         "structured_validation": _q_structured_validation,
         # relational / events analytics
@@ -1699,7 +1698,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_attribution": _q_events_asof_attribution,
         "events_range_join": _q_events_range_join,
         "events_rollup": _q_events_rollup,
-        "events_kmv_distinct": _q_events_kmv_distinct,
         "salted_join": _q_salted_join,
         "bucketed_join": _q_bucketed_join,
         "url_canonicalize": _q_url_canonicalize,
@@ -1710,34 +1708,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnowing": _q_winnowing,
         "doc_tfidf_topk": _q_doc_tfidf_topk,
         "doc_hashed_embedding": _q_doc_hashed_embedding,
-        "vocab_topk": _q_vocab_topk,
         "doc_chunks": _q_doc_chunks,
         "source_cap": _q_source_cap,
-        "sample_by_hash": _q_sample_by_hash,
         # deduplication
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_prod": _q_dedup_minhash_prod,
         "dedup_minhash_capped": _q_dedup_minhash_capped,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
+        "dedup_ngram_containment": _q_ngram_containment,
         "dedup_simhash": _q_simhash,
-        "dedup_simhash_capped": _q_dedup_simhash_capped,
         "dedup_substring": _q_dedup_substring,
+        "dedup_incremental": _q_dedup_incremental,
         "decontaminate": _q_decontaminate,
+        "decontaminate_fuzzy": _q_decontaminate_fuzzy,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_embedding_capped": _q_dedup_embedding_capped,
+        "vocab_cms": _q_vocab_cms,
         # similarity search / ANN
         "embedding_topk": _q_embedding_topk,
         "embedding_topk_lsh": _q_embedding_topk_lsh,
         "embedding_topk_ivf": _q_embedding_topk_ivf,
-        "embedding_topk_pq": _q_embedding_topk_pq,
+        "embedding_topk_ivfpq": _q_embedding_topk_ivfpq,
         # multimodal
         "media_metadata": _q_media_metadata,
         "media_pixel_stats": _q_media_pixel_stats,
         "media_audio_stats": _q_media_audio_stats,
+        "media_resize": _q_media_resize,
         # end-to-end composite
         "training_pipeline_full": _q_training_pipeline_full,
         # --- past the driver window: variants + extra gates of families
-        # already driver-verified above (judge replica covers these) ------
+        # already driver-verified above (judge replica covers these).
+        # Rotated out in round 5 to make room for the round-4 operators
+        # (each already carries a round-4 driver verdict): ---------------
+        "dedup_simhash_capped": _q_dedup_simhash_capped,
+        "embedding_topk_pq": _q_embedding_topk_pq,
+        "streaming_interval_join": _q_streaming_interval_join,
+        "events_kmv_distinct": _q_events_kmv_distinct,
+        "vocab_topk": _q_vocab_topk,
+        "sample_by_hash": _q_sample_by_hash,
         "extract_markdown_truncated": _q_extract_markdown_truncated,
         "classifier_shell_score": _q_shell_score,
         "classifier_soft_block": _q_soft_block,
@@ -1769,12 +1777,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixed_extract": _q_mixed_extract,
         "url_domain_stats": _q_url_domain_stats,
         "dedup_clusters_chain": _q_dedup_clusters_chain,
-        "embedding_topk_ivfpq": _q_embedding_topk_ivfpq,
-        "dedup_ngram_containment": _q_ngram_containment,
-        "dedup_incremental": _q_dedup_incremental,
-        "decontaminate_fuzzy": _q_decontaminate_fuzzy,
-        "vocab_cms": _q_vocab_cms,
-        "media_resize": _q_media_resize,
     }
 
 

@@ -521,15 +521,19 @@ def decontaminate_fuzzy(
         )
         .filter(F.col("jaccard_bp") >= threshold_bp)
     )
-    best = F.max(F.struct(F.col("jaccard_bp"), (-F.col("bench_id")).alias("nb")))
+    # type-agnostic best-match: row_number over (jaccard desc, bench_id asc)
+    # mirrors the DuckDB twin's ORDER BY exactly and — unlike the previous
+    # max(struct(jaccard, -bench_id)) — works for STRING bench ids too
+    # (negating a string id fails with CAST_INVALID_INPUT on Spark 4.x)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("jaccard_bp").desc(), F.col("bench_id").asc()
+    )
     return (
-        scored.groupBy("doc_id")
-        .agg(best.alias("m"))
-        .select(
-            "doc_id",
-            (-F.col("m.nb")).alias("bench_id"),
-            F.col("m.jaccard_bp").alias("jaccard_bp"),
-        )
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "bench_id", "jaccard_bp")
     )
 
 
@@ -601,7 +605,7 @@ dw AS (SELECT doc_id, unnest({win}) AS w FROM docs),
 agg AS (
   SELECT dw.doc_id,
          count(*) AS n_windows,
-         sum(CASE WHEN bw.w IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated
+         CAST(sum(CASE WHEN bw.w IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
   FROM dw LEFT JOIN bw ON dw.w = bw.w
   GROUP BY dw.doc_id
 )

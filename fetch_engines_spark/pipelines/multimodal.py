@@ -463,12 +463,21 @@ def decode_jpeg(payload: bytes) -> dict:
     dri = 0
     frame = None  # (width, height, comps) ; comps = [(cid, tq)]
     scan = None  # [(cid, td, ta)], entropy start pos
-    while pos + 4 <= len(payload):
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / RSTn: standalone markers, no length field
+            pos += 2
+            continue
+        if pos + 4 > len(payload):
+            raise ValueError("truncated marker segment header")
         (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         seg = payload[pos + 4 : pos + 2 + seglen]
         if len(seg) != seglen - 2:

@@ -431,6 +431,16 @@ def _centroid_arr(cents: DataFrame):
     )
 
 
+def _cent_by_id(cb_col, cell_col):
+    """Centroid vector looked up BY cent_id (not array position): valid for
+    any cent_id domain — positional element_at(cb, cell+1) is only correct
+    when cent_ids are dense 0..n-1, which kmeans init (vid < n_centroids)
+    does not guarantee for non-dense / non-zero-based id columns."""
+    return F.element_at(
+        F.filter(cb_col, lambda c: c["cent_id"] == cell_col), 1
+    )["cv"]
+
+
 def _nearest(cb_col, vq_col):
     """argmin_{c in codebook} intL2(vq, c.cv) as a (d, cent_id) struct —
     lowest-id tiebreak via struct ordering; pure JVM expression, NO
@@ -470,6 +480,15 @@ def kmeans_codebook(
         .select(F.col("vid").alias("cent_id"), F.col("vq").alias("cv"))
         .localCheckpoint(eager=True)
     )
+    # the init contract is id-based (vid < n_centroids, replayed verbatim by
+    # the DuckDB twin); a corpus whose ids all start above n_centroids would
+    # otherwise train an EMPTY codebook and silently null every assignment
+    if not cents.take(1):
+        raise ValueError(
+            "kmeans init empty: no rows with vid < n_centroids "
+            f"({n_centroids}); re-id the corpus (e.g. zipWithIndex / "
+            "row_number) before training"
+        )
     for _ in range(n_iter):
         cb = _centroid_arr(cents)
         cells = vq.crossJoin(F.broadcast(cb)).select(
@@ -734,9 +753,9 @@ def ivfpq_topk(
     coarse = kmeans_codebook(vecs, n_centroids, n_iter)
     cb = _centroid_arr(coarse)
 
-    # cell assignment + integer residual, shuffle-free (coarse cent_ids
-    # are the dense init ids 0..n-1, so the sorted codebook array is
-    # indexable by cell)
+    # cell assignment + integer residual, shuffle-free; centroid lookup is
+    # BY cent_id (not array position), so non-dense / non-zero-based id
+    # columns (filtered or resharded corpora) assign correctly
     withcb = vecs.crossJoin(F.broadcast(cb))
     assigned = withcb.select(
         "vid",
@@ -749,7 +768,7 @@ def ivfpq_topk(
         "cell",
         F.zip_with(
             "vq",
-            F.element_at(F.col("cb"), F.col("cell").cast("int") + 1)["cv"],
+            _cent_by_id(F.col("cb"), F.col("cell")),
             lambda a, b: a - b,
         ).alias("res"),
     )
@@ -785,9 +804,7 @@ def ivfpq_topk(
         F.col("probe")["cent_id"].alias("cell"),
         F.zip_with(
             "vq",
-            F.element_at(F.col("cb"), F.col("probe")["cent_id"].cast("int") + 1)[
-                "cv"
-            ],
+            _cent_by_id(F.col("cb"), F.col("probe")["cent_id"]),
             lambda a, b: a - b,
         ).alias("qres"),
     )

@@ -20,23 +20,39 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def canon(df: pd.DataFrame) -> list[tuple]:
+    """Order-insensitive canonical rows, dtype-faithful to the driver's hash.
+
+    The driver stringifies pandas values, so int64 25 and float64 25.0 hash
+    DIFFERENTLY.  Round 4 shipped a red driver row (`decontaminate`) under a
+    green local "ALL OK" precisely because this function used to collapse
+    integral floats to `%.9g` ("25").  Floats now always carry a ".0" when
+    integral, so an uncast DuckDB HUGEINT->float64 aggregate paired against a
+    Spark int64 column fails locally exactly like it fails at the driver.
+    """
+    import numpy as np
+
     df = df[sorted(df.columns)].copy()
     rows = []
     for row in df.itertuples(index=False):
         vals = []
         for v in row:
-            if v is None or (isinstance(v, float) and pd.isna(v)):
+            if v is None or (isinstance(v, (float, np.floating)) and pd.isna(v)):
                 vals.append("∅")
             elif isinstance(v, Decimal):
                 vals.append(f"{v.normalize():f}")
-            elif isinstance(v, float):
-                vals.append(f"{v:.9g}")
+            elif isinstance(v, (bool, np.bool_)):
+                vals.append(str(bool(v)))
+            elif isinstance(v, (int, np.integer)):
+                vals.append(str(int(v)))
+            elif isinstance(v, (float, np.floating)):
+                s = f"{float(v):.9g}"
+                if s.lstrip("-").isdigit():
+                    s += ".0"
+                vals.append(s)
             elif isinstance(v, (pd.Timestamp,)):
                 vals.append(v.isoformat())
             elif hasattr(v, "isoformat"):
                 vals.append(v.isoformat())
-            elif isinstance(v, (bool,)):
-                vals.append(str(bool(v)))
             else:
                 vals.append(str(v))
         rows.append(tuple(vals))

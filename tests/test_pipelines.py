@@ -1557,3 +1557,112 @@ def test_resize_nearest_identity_and_sampling():
     # upsample replicates
     up = resize_nearest(bytes([10, 200]), 2, 1, 1, 4, 1)
     assert up == bytes([10, 10, 200, 200])
+
+
+def test_jpeg_fill_bytes_and_tem_marker_skipped():
+    """T.81 B.1.1.2: 0xFF fill bytes may pad the space before any marker,
+    and TEM (0xFF01) / RSTn are standalone (no length field) — legal
+    streams carrying either between header segments must decode
+    identically, not misparse the next two bytes as a segment length."""
+    import scripts.build_fixture_data as bfd
+
+    from fetch_engines_spark.pipelines.multimodal import decode_jpeg
+
+    blocks = []
+    for b in range(8):  # 32x16 -> 4x2 blocks
+        blk = [0] * 64
+        blk[0] = (b * 17 - 60) % 1024 - 512
+        blk[2] = -4
+        blocks.append(blk)
+    payload = bfd._jpeg_bytes(32, 16, [blocks], [[1] * 64])
+    base = decode_jpeg(payload)
+
+    sof = payload.find(b"\xff\xc0")
+    assert sof > 2
+    padded = payload[:sof] + b"\xff\xff\xff" + payload[sof:]  # fill bytes
+    assert decode_jpeg(padded)["pixels"] == base["pixels"]
+
+    with_tem = payload[:sof] + b"\xff\x01" + payload[sof:]  # standalone TEM
+    assert decode_jpeg(with_tem)["pixels"] == base["pixels"]
+
+    both = payload[:sof] + b"\xff\x01\xff\xff" + payload[sof:]
+    assert decode_jpeg(both)["pixels"] == base["pixels"]
+
+
+def test_fuzzy_decontamination_string_ids_and_tiebreak(spark):
+    """String doc/bench ids must work end-to-end (the previous best-match
+    negated bench_id, which CAST-fails on strings), and the tiebreak at
+    equal jaccard must pick the LOWEST bench_id — matching the DuckDB
+    twin's ORDER BY jaccard_bp DESC, bench_id ASC."""
+    from fetch_engines_spark.pipelines.dedup import decontaminate_fuzzy
+
+    text = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [("doc-a", text), ("doc-b", "totally different content on another topic")],
+        "doc_id string, text string",
+    )
+    # two benchmark items with IDENTICAL text -> identical jaccard tie
+    bench = spark.createDataFrame(
+        [("bench-z", text), ("bench-a", text)], "doc_id string, text string"
+    )
+    out = decontaminate_fuzzy(
+        docs, bench, num_hashes=6, band_size=1, threshold_bp=5000
+    ).collect()
+    assert [(r.doc_id, r.bench_id) for r in out] == [("doc-a", "bench-a")]
+    assert out[0].jaccard_bp == 10000
+
+
+def test_ivfpq_nondense_ids_assigns_correct_centroids(spark):
+    """Even-only vec_ids (0,2,4,...) make the trained cent_ids {0,2} —
+    non-dense — so a positional codebook lookup (element_at(cb, cell+1))
+    silently reads the wrong centroid or NULL for cell 2; the by-id
+    lookup must keep every query at exactly k results with real recall."""
+    import numpy as np
+
+    from fetch_engines_spark.pipelines.similarity import brute_force_topk, ivfpq_topk
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(4, 64)
+    rows = []
+    for i in range(60):
+        c = centers[i % 4]
+        rows.append((2 * i, (c + 0.1 * rng.randn(64)).astype(float).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = [0, 2]  # ids < n_centroids exist, so init is non-empty but sparse
+    exact = brute_force_topk(emb, k=5, query_ids=queries).collect()
+    got = ivfpq_topk(
+        emb, k=5, n_centroids=4, n_probe=4, m=8, ks=16, query_ids=queries
+    ).collect()
+    by_q: dict[int, set] = {}
+    for r in got:
+        by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(by_q) == set(queries)
+    for q in queries:
+        assert len(by_q[q]) == 5
+    exact_sets: dict[int, set] = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    # bar is structural-plus: the sparse init collapses 4 true clusters
+    # into 2 cells, so residuals are bimodal and PQ recall is genuinely
+    # lower than the dense-init recall test's 0.6 — the pre-fix positional
+    # lookup fails this test outright (ANSI element_at(cb, 3) on a 2-entry
+    # codebook throws INVALID_ARRAY_INDEX; verified), and measured
+    # post-fix recall here is 0.4-0.5
+    recalls = [len(exact_sets[q] & by_q[q]) / 5 for q in queries]
+    assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+
+def test_kmeans_empty_init_raises(spark):
+    """All ids above n_centroids -> empty id-based init must raise, not
+    train an empty codebook that nulls every downstream assignment."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from fetch_engines_spark.pipelines.similarity import kmeans_codebook
+
+    vq = spark.createDataFrame(
+        [(1000 + i, [i] * 4) for i in range(8)], "vid long, vq array<long>"
+    )
+    with _pytest.raises(ValueError, match="kmeans init empty"):
+        kmeans_codebook(vq, n_centroids=4, n_iter=1)
