@@ -435,23 +435,104 @@ def _jpeg_huff_table(bits: list[int], vals: bytes) -> dict:
     return table
 
 
+def _jpeg_ac_first(reader, blk, ss, se, al, table, eobrun):
+    """Progressive AC first scan for one block (T.81 G.1.2.2): run/size
+    coding at reduced precision (values << al) with EOBn end-of-band run
+    lengths shared across blocks.  Returns the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.huff(table)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = 1 << r
+            if r:
+                eobrun += reader.receive(r)
+            return eobrun - 1
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        blk[k] = _jpeg_extend(reader.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _jpeg_ac_refine(reader, blk, ss, se, al, table, eobrun):
+    """Progressive AC refinement for one block (T.81 G.1.2.3): newly
+    nonzero coefficients arrive as +-1<<al; already-nonzero coefficients
+    receive one correction bit each, including through ZRL runs and EOB
+    runs.  Returns the remaining EOB run."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.huff(table)
+            r, s = rs >> 4, rs & 15
+            s_val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                # r == 15: pass over 16 zero-history coefficients
+            elif s == 1:
+                s_val = p1 if reader.bit() else m1
+            else:
+                raise ValueError("refinement magnitude must be 1")
+            while k <= se:
+                c = int(blk[k])
+                if c != 0:
+                    if reader.bit() and (c & p1) == 0:
+                        blk[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                blk[k] = s_val
+            k += 1
+    if eobrun > 0:
+        # remainder of the current block: correction bits only
+        while k <= se:
+            c = int(blk[k])
+            if c != 0:
+                if reader.bit() and (c & p1) == 0:
+                    blk[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def decode_jpeg(payload: bytes) -> dict:
-    """Baseline sequential JPEG (SOF0) → {width, height, channels,
-    pixels: bytes} with the stdlib + a numpy IDCT: marker walk, DQT/DHT
-    parse, Huffman entropy decode (DC DPCM, AC run/size with EOB+ZRL,
-    byte unstuffing, DRI/RSTn restarts), dequantize, de-zigzag, float64
-    IDCT, level shift + clamp, and JFIF YCbCr→RGB for 3-component scans.
-    Subset: 8-bit precision, 1 or 3 components, luma sampling factors up
-    to 2x2 with 1x1 chroma (covers 4:4:4, 4:2:2, 4:4:0, and the dominant
-    web format 4:2:0; chroma upsampled by sample replication) —
-    progressive (SOF2), arithmetic coding, and other sampling layouts
-    raise ValueError, which the Spark stage maps to an error row.  The pixel cap is TIGHTER than the PNG path's 64M:
-    this decoder holds float64 planes (8 B/px/component, ~8x a PNG's
-    byte raster) and walks the entropy stream bit-by-bit in Python, so
-    4M pixels bounds a 3-component decode to ~100 MB of plane memory
-    and a predictable per-task runtime — an oversized-but-legal JPEG
-    becomes an error row, never an executor OOM or a stage-long
-    straggler."""
+    """Baseline (SOF0) and progressive (SOF2, Huffman) JPEG → {width,
+    height, channels, pixels: bytes} with the stdlib + a numpy IDCT:
+    marker walk, DQT/DHT parse, Huffman entropy decode (DC DPCM, AC
+    run/size with EOB+ZRL, byte unstuffing, DRI/RSTn restarts),
+    dequantize, de-zigzag, float64 IDCT, level shift + clamp, and JFIF
+    YCbCr→RGB for 3-component scans.  Progressive frames accumulate
+    quantized coefficients across scans per T.81 Annex G: spectral
+    selection (per-band AC scans with EOBn runs), successive
+    approximation (DC/AC first scans at reduced precision + single-bit
+    refinement scans), interleaved DC and non-interleaved AC walks, and
+    per-scan table redefinition.  Subset: 8-bit precision, 1 or 3
+    components, luma sampling factors up to 2x2 with 1x1 chroma (covers
+    4:4:4, 4:2:2, 4:4:0, and the dominant web format 4:2:0; chroma
+    upsampled by sample replication) — arithmetic coding (SOF9/SOF10)
+    and other sampling layouts raise ValueError, which the Spark stage
+    maps to an error row.  The pixel cap is TIGHTER than the PNG path's
+    64M: this decoder holds float64 planes (8 B/px/component, ~8x a
+    PNG's byte raster) and walks the entropy stream bit-by-bit in
+    Python, so 4M pixels bounds a 3-component decode to ~100 MB of
+    plane memory and a predictable per-task runtime — an
+    oversized-but-legal JPEG becomes an error row, never an executor
+    OOM or a stage-long straggler."""
     import numpy as np
 
     if payload is None or len(payload) < 4 or payload[:2] != b"\xff\xd8":
@@ -461,8 +542,11 @@ def decode_jpeg(payload: bytes) -> dict:
     hdc: dict[int, dict] = {}
     hac: dict[int, dict] = {}
     dri = 0
-    frame = None  # (width, height, comps) ; comps = [(cid, tq)]
-    scan = None  # [(cid, td, ta)], entropy start pos
+    frame = None  # (width, height, comps) ; comps = [(cid, tq, hs, vs)]
+    progressive = False
+    coefs = None  # per component: int32 (blocks_v, blocks_h, 64), zigzag order
+    mx = my = hmax = vmax = 0
+    n_scans = 0
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -503,7 +587,10 @@ def decode_jpeg(payload: bytes) -> dict:
                     raise ValueError("short Huffman table")
                 (hdc if tc == 0 else hac)[th] = _jpeg_huff_table(bits, vals)
                 p += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            if frame is not None:
+                raise ValueError("multiple SOF markers")
+            progressive = marker == 0xC2
             prec, h, w, nc = seg[0], struct.unpack(">H", seg[1:3])[0], struct.unpack(
                 ">H", seg[3:5]
             )[0], seg[5]
@@ -527,92 +614,79 @@ def decode_jpeg(payload: bytes) -> dict:
                 # component interleave); honoring 2x2 here would decode
                 # real grayscale files scrambled
                 comps = [(comps[0][0], comps[0][1], 1, 1)]
+            if w == 0 or h == 0:
+                raise ValueError(f"degenerate dimensions ({w}x{h})")
+            if w * h > 4_000_000:
+                raise ValueError(
+                    f"image too large for pure-Python JPEG decode ({w}x{h})"
+                )
             frame = (w, h, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError(f"non-baseline SOF 0x{marker:02x} not supported")
+            hmax = max(hs for _, _, hs, _ in comps)
+            vmax = max(vs for _, _, _, vs in comps)
+            mx = (w + 8 * hmax - 1) // (8 * hmax)
+            my = (h + 8 * vmax - 1) // (8 * vmax)
+            coefs = [
+                np.zeros((my * vs, mx * hs, 64), dtype=np.int32)
+                for _, _, hs, vs in comps
+            ]
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"unsupported SOF 0x{marker:02x}")
         elif marker == 0xDD:  # DRI
             (dri,) = struct.unpack(">H", seg[:2])
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — decode the scan eagerly (tables may
+            # be redefined between progressive scans)
+            if frame is None:
+                raise ValueError("SOS before SOF")
             ns = seg[0]
             sel = []
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
                 sel.append((cs, tdta >> 4, tdta & 15))
-            scan = (sel, pos + 2 + seglen)
-            break
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            entropy_pos = pos + 2 + seglen
+            if progressive:
+                pos = _jpeg_decode_scan_progressive(
+                    payload, entropy_pos, frame, sel, ss, se, ah, al,
+                    hdc, hac, dri, coefs, mx, my, hmax, vmax,
+                )
+            else:
+                pos = _jpeg_decode_scan_baseline(
+                    payload, entropy_pos, frame, sel, hdc, hac, dri,
+                    coefs, mx, my,
+                )
+            n_scans += 1
+            continue
         # APPn / COM / others: skip
         pos += 2 + seglen
-    if frame is None or scan is None:
-        raise ValueError("missing SOF0 or SOS")
+    if frame is None or n_scans == 0:
+        raise ValueError("missing SOF or SOS")
     w, h, comps = frame
-    if w == 0 or h == 0:
-        raise ValueError(f"degenerate dimensions ({w}x{h})")
-    if w * h > 4_000_000:
-        raise ValueError(f"image too large for pure-Python JPEG decode ({w}x{h})")
-    sel, entropy_pos = scan
-    if [c for c, _, _ in sel] != [cid for cid, _, _, _ in comps]:
-        raise ValueError("scan/frame component mismatch")
     nc = len(comps)
-    hmax = max(hs for _, _, hs, _ in comps)
-    vmax = max(vs for _, _, _, vs in comps)
-    # MCU grid covers the luma raster; each component holds (v_i × h_i)
-    # blocks per MCU at its own (subsampled) resolution
-    mx, my = (w + 8 * hmax - 1) // (8 * hmax), (h + 8 * vmax - 1) // (8 * vmax)
     basis = _jpeg_idct_basis()
-    planes = [
-        np.empty((my * vs * 8, mx * hs * 8), dtype=np.float64)
-        for _, _, hs, vs in comps
-    ]
-    reader = _JpegBits(payload, entropy_pos)
-    pred = [0] * nc
-    mcu = 0
-    for yb in range(my):
-        for xb in range(mx):
-            if dri and mcu and mcu % dri == 0:
-                reader.sync_restart(mcu // dri - 1)
-                pred = [0] * nc
-            for ci in range(nc):
-                _cid, td, ta = sel[ci]
-                _, tq, hs, vs = comps[ci]
-                q = qt.get(tq)
-                if q is None:
-                    raise ValueError("missing quant table")
-                for v in range(vs):
-                    for u in range(hs):
-                        coeffs = np.zeros(64, dtype=np.float64)
-                        s = reader.huff(hdc.get(td) or _raise("missing DC table"))
-                        pred[ci] += _jpeg_extend(reader.receive(s), s)
-                        coeffs[0] = pred[ci] * q[0]
-                        k = 1
-                        while k < 64:
-                            rs = reader.huff(
-                                hac.get(ta) or _raise("missing AC table")
-                            )
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC run past block end")
-                            coeffs[_JPEG_ZZ[k]] = (
-                                _jpeg_extend(reader.receive(s), s) * q[k]
-                            )
-                            k += 1
-                        block = basis.T @ coeffs.reshape(8, 8) @ basis
-                        r0 = (yb * vs + v) * 8
-                        c0 = (xb * hs + u) * 8
-                        planes[ci][r0 : r0 + 8, c0 : c0 + 8] = block
-            mcu += 1
-    # per-plane level shift + sample rounding at the component's native
-    # resolution, THEN nearest-neighbor upsample to luma resolution
-    # (sample replication — the baseline upsampling rule, mirrored by the
-    # fixture generator), then crop + color-convert
+    zz = _JPEG_ZZ
+    # dequantize + de-zigzag + IDCT per block at the component's native
+    # resolution, level shift + sample rounding, THEN nearest-neighbor
+    # upsample to luma resolution (sample replication — the baseline
+    # upsampling rule, mirrored by the fixture generator), then crop +
+    # color-convert
     out = []
-    for ci, (_, _, hs, vs) in enumerate(comps):
-        p = np.clip(np.round(planes[ci] + 128.0), 0, 255)
+    for ci, (_, tq, hs, vs) in enumerate(comps):
+        q = qt.get(tq)
+        if q is None:
+            raise ValueError("missing quant table")
+        qa = np.array(q, dtype=np.float64)
+        bh, bw = coefs[ci].shape[:2]
+        plane = np.empty((bh * 8, bw * 8), dtype=np.float64)
+        for by in range(bh):
+            for bx in range(bw):
+                nat = np.zeros(64, dtype=np.float64)
+                nat[zz] = coefs[ci][by, bx] * qa
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    basis.T @ nat.reshape(8, 8) @ basis
+                )
+        p = np.clip(np.round(plane + 128.0), 0, 255)
         if hs != hmax or vs != vmax:
             p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
         out.append(p[:h, :w])
@@ -627,6 +701,160 @@ def decode_jpeg(payload: bytes) -> dict:
             np.stack([r, g, b], axis=-1).astype(np.uint8).reshape(-1).tobytes()
         )
     return {"width": w, "height": h, "channels": nc, "pixels": px}
+
+
+def _jpeg_next_marker(payload: bytes, pos: int) -> int:
+    """Position of the next true marker at/after ``pos`` — skips entropy
+    bytes, stuffed 0xFF00, RSTn, and 0xFF fill runs."""
+    while pos + 1 < len(payload):
+        if (
+            payload[pos] == 0xFF
+            and payload[pos + 1] != 0x00
+            and not (0xD0 <= payload[pos + 1] <= 0xD7)
+        ):
+            return pos
+        pos += 1
+    return len(payload)
+
+
+def _jpeg_decode_scan_baseline(
+    payload, entropy_pos, frame, sel, hdc, hac, dri, coefs, mx, my
+):
+    """Baseline sequential scan: one interleaved pass over the MCU grid,
+    DC DPCM + AC run/size per block, into the coefficient store (zigzag
+    order, quantized).  Returns the stream position after the scan."""
+    w, h, comps = frame
+    if [c for c, _, _ in sel] != [cid for cid, _, _, _ in comps]:
+        raise ValueError("scan/frame component mismatch")
+    nc = len(comps)
+    reader = _JpegBits(payload, entropy_pos)
+    pred = [0] * nc
+    mcu = 0
+    for yb in range(my):
+        for xb in range(mx):
+            if dri and mcu and mcu % dri == 0:
+                reader.sync_restart(mcu // dri - 1)
+                pred = [0] * nc
+            for ci in range(nc):
+                _cid, td, ta = sel[ci]
+                _, _tq, hs, vs = comps[ci]
+                for v in range(vs):
+                    for u in range(hs):
+                        blk = coefs[ci][yb * vs + v, xb * hs + u]
+                        s = reader.huff(hdc.get(td) or _raise("missing DC table"))
+                        pred[ci] += _jpeg_extend(reader.receive(s), s)
+                        blk[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.huff(
+                                hac.get(ta) or _raise("missing AC table")
+                            )
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            blk[k] = _jpeg_extend(reader.receive(s), s)
+                            k += 1
+            mcu += 1
+    return _jpeg_next_marker(payload, reader.pos)
+
+
+def _jpeg_decode_scan_progressive(
+    payload, entropy_pos, frame, sel, ss, se, ah, al,
+    hdc, hac, dri, coefs, mx, my, hmax, vmax,
+):
+    """One progressive scan (T.81 Annex G) into the coefficient store:
+    DC scans (Ss=Se=0) walk the MCU grid interleaved (or the component
+    raster when single-component); AC scans are single-component over
+    the component's own block raster with EOBn runs.  Ah=0 scans code
+    values at precision Al; Ah=Al+1 scans refine one bit.  Returns the
+    stream position after the scan."""
+    w, h, comps = frame
+    ns = len(sel)
+    idxs = []
+    for cid, _td, _ta in sel:
+        matches = [i for i, c in enumerate(comps) if c[0] == cid]
+        if not matches:
+            raise ValueError("scan references unknown component")
+        idxs.append(matches[0])
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive scan with Ss=0 must have Se=0")
+    else:
+        if ns != 1:
+            raise ValueError("progressive AC scan must be non-interleaved")
+        if not (1 <= ss <= se <= 63):
+            raise ValueError(f"bad spectral band {ss}..{se}")
+    if ah != 0 and ah != al + 1:
+        raise ValueError(f"bad successive approximation Ah={ah} Al={al}")
+    reader = _JpegBits(payload, entropy_pos)
+    pred = [0] * ns
+    eobrun = 0
+    if ss == 0 and ns > 1:
+        # interleaved DC scan over the MCU grid
+        mcu = 0
+        for ym in range(my):
+            for xm in range(mx):
+                if dri and mcu and mcu % dri == 0:
+                    reader.sync_restart(mcu // dri - 1)
+                    pred = [0] * ns
+                for si, fi in enumerate(idxs):
+                    _, _, hs, vs = comps[fi]
+                    for v in range(vs):
+                        for u in range(hs):
+                            blk = coefs[fi][ym * vs + v, xm * hs + u]
+                            if ah == 0:
+                                td = sel[si][1]
+                                s = reader.huff(
+                                    hdc.get(td) or _raise("missing DC table")
+                                )
+                                pred[si] += _jpeg_extend(reader.receive(s), s)
+                                blk[0] = pred[si] << al
+                            elif reader.bit():
+                                blk[0] |= 1 << al
+                mcu += 1
+    else:
+        # non-interleaved: the single component's own block raster
+        fi = idxs[0]
+        _, _, hs, vs = comps[fi]
+        bw_n = (-(-(w * hs) // hmax) + 7) // 8
+        bh_n = (-(-(h * vs) // vmax) + 7) // 8
+        ta = sel[0][2]
+        unit = 0
+        for by in range(bh_n):
+            for bx in range(bw_n):
+                if dri and unit and unit % dri == 0:
+                    reader.sync_restart(unit // dri - 1)
+                    pred = [0] * ns
+                    eobrun = 0
+                blk = coefs[fi][by, bx]
+                if ss == 0:
+                    if ah == 0:
+                        td = sel[0][1]
+                        s = reader.huff(
+                            hdc.get(td) or _raise("missing DC table")
+                        )
+                        pred[0] += _jpeg_extend(reader.receive(s), s)
+                        blk[0] = pred[0] << al
+                    elif reader.bit():
+                        blk[0] |= 1 << al
+                elif ah == 0:
+                    eobrun = _jpeg_ac_first(
+                        reader, blk, ss, se, al,
+                        hac.get(ta) or _raise("missing AC table"), eobrun,
+                    )
+                else:
+                    eobrun = _jpeg_ac_refine(
+                        reader, blk, ss, se, al,
+                        hac.get(ta) or _raise("missing AC table"), eobrun,
+                    )
+                unit += 1
+    return _jpeg_next_marker(payload, reader.pos)
 
 
 def _raise(msg: str):

@@ -1121,6 +1121,249 @@ def _jpeg_bytes(
     return bytes(out)
 
 
+def _jpeg_bytes_progressive(
+    width: int,
+    height: int,
+    comps: list[list[list[int]]],
+    qtables: list[list[int]],
+    scans: list[tuple[list[int], int, int, int, int]],
+    sampling: list[tuple[int, int]] | None = None,
+    dri: int = 0,
+) -> bytes:
+    """Progressive-JPEG (SOF2) writer for fixtures — independent of the
+    pipeline decoder.  Same coefficient-block input format as
+    ``_jpeg_bytes``; ``scans`` is a scan script of (component index
+    list, Ss, Se, Ah, Al) tuples per T.81 Annex G: DC scans (Ss=Se=0)
+    interleave when multi-component; AC scans are single-component with
+    EOBn end-of-band runs; Ah=0 scans code values at precision Al
+    (arithmetic shift for DC, magnitude-truncation for AC) and Ah=Al+1
+    scans refine one bit (newly-nonzero run/1 symbols + buffered
+    correction bits, per G.1.2.3).  Progressive coding is lossless over
+    the quantized coefficients, so ``_jpeg_expected_pixels`` gives the
+    expected decode.  One fresh Huffman table per scan (slot 0,
+    redefined between scans).  ``dri`` emits RSTn every ``dri`` MCUs
+    (interleaved) / blocks (non-interleaved), flushing EOB runs first."""
+    import struct as _s
+
+    zz = _jz()
+    nc = len(comps)
+    sampling = sampling or [(1, 1)] * nc
+    hmax = max(hs for hs, _ in sampling)
+    vmax = max(vs for _, vs in sampling)
+    mx = (width + 8 * hmax - 1) // (8 * hmax)
+    my = (height + 8 * vmax - 1) // (8 * vmax)
+    for ci, (hs, vs) in enumerate(sampling):
+        assert len(comps[ci]) == (my * vs) * (mx * hs), (ci, len(comps[ci]))
+
+    def category(v: int) -> int:
+        return v if v == 0 else len(bin(abs(v))) - 2
+
+    def trunc(v: int, n: int) -> int:
+        return (abs(v) >> n) if v >= 0 else -(abs(v) >> n)
+
+    def comp_blocks(ci: int) -> list[list[int]]:
+        """The component's own (non-MCU-padded) block raster."""
+        hs, vs = sampling[ci]
+        bw_n = (-(-(width * hs) // hmax) + 7) // 8
+        bh_n = (-(-(height * vs) // vmax) + 7) // 8
+        stride = mx * hs
+        return [
+            comps[ci][by * stride + bx]
+            for by in range(bh_n)
+            for bx in range(bw_n)
+        ]
+
+    def gen_events(comp_list, ss, se, ah, al):
+        """Event list for one scan: ("sym", symbol, (bits, n)|None) |
+        ("raw", bits, n) | ("rst", n).  Stream-identical for the symbol
+        collection and the emit pass."""
+        ev = []
+        first = ah == 0
+        if ss == 0:  # DC scan
+            units = []
+            if len(comp_list) > 1:  # interleaved MCU walk
+                for ym in range(my):
+                    for xm in range(mx):
+                        blks = []
+                        for ci in comp_list:
+                            hs, vs = sampling[ci]
+                            for v_ in range(vs):
+                                for u_ in range(hs):
+                                    blks.append(
+                                        (ci, comps[ci][(ym * vs + v_) * (mx * hs) + (xm * hs + u_)])
+                                    )
+                        units.append(blks)
+            else:
+                ci = comp_list[0]
+                units = [[(ci, b)] for b in comp_blocks(ci)]
+            pred = {ci: 0 for ci in comp_list}
+            for ui, blks in enumerate(units):
+                if dri and ui and ui % dri == 0:
+                    ev.append(("rst", ui // dri - 1))
+                    pred = {ci: 0 for ci in comp_list}
+                for ci, blk in blks:
+                    if first:
+                        v = blk[0] >> al  # arithmetic shift (G.1.2.1)
+                        diff = v - pred[ci]
+                        pred[ci] = v
+                        s = category(diff)
+                        ev.append(
+                            ("sym", s,
+                             (diff if diff > 0 else diff + (1 << s) - 1, s) if s else None)
+                        )
+                    else:
+                        ev.append(("raw", (blk[0] >> al) & 1, 1))
+            return ev
+        # AC scan: single component
+        ci = comp_list[0]
+        blocks = comp_blocks(ci)
+        eobrun = 0
+        eob_bits: list[int] = []
+
+        def flush():
+            nonlocal eobrun, eob_bits
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                ev.append(("sym", r << 4, (eobrun - (1 << r), r) if r else None))
+                for b in eob_bits:
+                    ev.append(("raw", b, 1))
+                eobrun = 0
+                eob_bits = []
+
+        if first:
+            for bi, blk in enumerate(blocks):
+                if dri and bi and bi % dri == 0:
+                    flush()
+                    ev.append(("rst", bi // dri - 1))
+                vals = {k: trunc(blk[zz[k]], al) for k in range(ss, se + 1)}
+                nzk = [k for k in range(ss, se + 1) if vals[k] != 0]
+                if not nzk:
+                    eobrun += 1
+                    if eobrun == 32767:
+                        flush()
+                    continue
+                flush()
+                run = 0
+                for k in range(ss, nzk[-1] + 1):
+                    v = vals[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ev.append(("sym", 0xF0, None))
+                        run -= 16
+                    s = category(v)
+                    ev.append(
+                        ("sym", (run << 4) | s,
+                         (v if v > 0 else v + (1 << s) - 1, s))
+                    )
+                    run = 0
+                if nzk[-1] < se:
+                    eobrun += 1
+            flush()
+            return ev
+        # AC refinement (Ah = Al + 1)
+        for bi, blk in enumerate(blocks):
+            if dri and bi and bi % dri == 0:
+                flush()
+                ev.append(("rst", bi // dri - 1))
+            hist = {k: trunc(blk[zz[k]], ah) for k in range(ss, se + 1)}
+            newnz = [
+                k for k in range(ss, se + 1)
+                if hist[k] == 0 and trunc(blk[zz[k]], al) != 0
+            ]
+            if not newnz:
+                eobrun += 1
+                eob_bits += [
+                    (abs(blk[zz[k]]) >> al) & 1
+                    for k in range(ss, se + 1) if hist[k] != 0
+                ]
+                if eobrun == 32767:
+                    flush()
+                continue
+            flush()
+            run = 0
+            br: list[int] = []
+            last = newnz[-1]
+            for k in range(ss, last + 1):
+                if hist[k] != 0:
+                    br.append((abs(blk[zz[k]]) >> al) & 1)
+                elif trunc(blk[zz[k]], al) != 0:
+                    ev.append(("sym", (run << 4) | 1, None))
+                    ev.append(("raw", 1 if blk[zz[k]] > 0 else 0, 1))
+                    for b in br:
+                        ev.append(("raw", b, 1))
+                    br = []
+                    run = 0
+                else:
+                    run += 1
+                    if run == 16:
+                        # eager ZRL: its decoder pass covers exactly 16
+                        # zero-history coefficients plus the correction
+                        # bits buffered SO FAR — bits after the 16th zero
+                        # belong to the next symbol's pass
+                        ev.append(("sym", 0xF0, None))
+                        for b in br:
+                            ev.append(("raw", b, 1))
+                        br = []
+                        run = 0
+            tail = [
+                (abs(blk[zz[k]]) >> al) & 1
+                for k in range(last + 1, se + 1) if hist[k] != 0
+            ]
+            if last < se:
+                eobrun += 1
+                eob_bits += tail
+        flush()
+        return ev
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + _s.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    for tq, q in enumerate(qtables):
+        out += seg(0xDB, bytes([tq]) + bytes(q[zz[k]] for k in range(64)))
+    sof_body = bytes([8]) + _s.pack(">HH", height, width) + bytes([nc])
+    for ci in range(nc):
+        hs, vs = sampling[ci]
+        sof_body += bytes([ci + 1, (hs << 4) | vs, ci if ci < len(qtables) else 0])
+    out += seg(0xC2, sof_body)
+    if dri:
+        out += seg(0xDD, _s.pack(">H", dri))
+
+    for comp_list, ss, se, ah, al in scans:
+        ev = gen_events(comp_list, ss, se, ah, al)
+        syms = [e[1] for e in ev if e[0] == "sym"]
+        enc = {}
+        if syms:
+            tc = 0 if ss == 0 else 1
+            bits_l, vals_l, enc = _jpeg_huff(syms)
+            out += seg(0xC4, bytes([tc << 4]) + bytes(bits_l) + bytes(vals_l))
+        sos_body = bytes([len(comp_list)])
+        for ci in comp_list:
+            sos_body += bytes([ci + 1, 0x00])  # td=0 / ta=0 (slot 0)
+        sos_body += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos_body)
+        w = _JpegWriter()
+        for e in ev:
+            if e[0] == "sym":
+                code, ln = enc[e[1]]
+                w.write(code, ln)
+                if e[2] is not None:
+                    vbits, n = e[2]
+                    if n:
+                        w.write(vbits, n)
+            elif e[0] == "raw":
+                w.write(e[1], e[2])
+            else:
+                w.align()
+                w.out += bytes([0xFF, 0xD0 + (e[1] & 7)])
+        w.align()
+        out += w.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _jpeg_expected_pixels(
     width: int,
     height: int,
@@ -1254,9 +1497,49 @@ def build_jpegs() -> None:
         got = decode_jpeg(payload)
         assert got["pixels"] == px, f"{mid}: writer/decoder pixel disagreement"
         rows.append((mid, payload, w, h, len(comps), sum(px), None, _resize8_sum(px, w, h, len(comps))))
-    # error rows: progressive SOF2, truncation, unsupported chroma sampling
+    # progressive (SOF2): same quantized coefficients as a baseline encode
+    # — progressive coding is lossless over them, so expected pixels are
+    # identical; scripts exercise spectral selection, EOBn runs, DC+AC
+    # successive approximation (incl. 2-level luma refinement), ZRL in
+    # refinement, interleaved DC + non-interleaved AC walks, per-scan
+    # table redefinition, and DRI restarts mid-scan
+    b4 = dc_block(140)
+    b4[1], b4[8], b4[9], b4[63] = 22, -17, 9, 5
+    b5 = dc_block(100)
+    b5[2], b5[16], b5[33] = -30, 12, -3
+    prog_cases = [
+        ("jpeg-prog-gray", 16, 8, [[b4, b5]], [qv], None,
+         [([0], 0, 0, 0, 1), ([0], 1, 5, 0, 1), ([0], 6, 63, 0, 1),
+          ([0], 0, 0, 1, 0), ([0], 1, 5, 1, 0), ([0], 6, 63, 1, 0)], 0),
+        ("jpeg-prog-420", 16, 16, [y420, [dc_block(90)], [dc_block(170)]],
+         [flat1, flat1, flat1], [(2, 2), (1, 1), (1, 1)],
+         [([0, 1, 2], 0, 0, 0, 1),
+          ([0], 1, 63, 0, 2), ([1], 1, 63, 0, 1), ([2], 1, 63, 0, 1),
+          ([0], 1, 63, 2, 1),
+          ([0, 1, 2], 0, 0, 1, 0),
+          ([0], 1, 63, 1, 0), ([1], 1, 63, 1, 0), ([2], 1, 63, 1, 0)], 0),
+        ("jpeg-prog-spectral-dri", 32, 8,
+         [[dc_block(v) for v in (10, 20, 240, 130)]], [flat1], None,
+         [([0], 0, 0, 0, 0), ([0], 1, 5, 0, 0), ([0], 6, 63, 0, 0)], 2),
+    ]
+    for mid, w, h, comps, qts, samp, scans, pdri in prog_cases:
+        payload = _jpeg_bytes_progressive(
+            w, h, comps, qts, scans, sampling=samp, dri=pdri
+        )
+        px = _jpeg_expected_pixels(w, h, comps, qts, sampling=samp)
+        got = decode_jpeg(payload)
+        assert (got["width"], got["height"]) == (w, h), mid
+        assert got["pixels"] == px, f"{mid}: writer/decoder pixel disagreement"
+        rows.append((mid, payload, w, h, len(comps), sum(px), None, _resize8_sum(px, w, h, len(comps))))
+    # error rows: an SOF2 frame whose single scan claims the BASELINE
+    # band 0..63 (illegal in progressive: Ss=0 requires Se=0), an
+    # arithmetic-coded frame (SOF9), truncation, unsupported chroma
+    # sampling
     rows.append(
         ("jpeg-progressive", _jpeg_bytes(8, 8, [[dc_block(50)]], [flat1], sof=0xC2), None, None, None, None, "ERR_IMG", None)
+    )
+    rows.append(
+        ("jpeg-arithmetic", _jpeg_bytes(8, 8, [[dc_block(50)]], [flat1], sof=0xC9), None, None, None, None, "ERR_IMG", None)
     )
     rows.append(("jpeg-truncated", rows[0][1][:30], None, None, None, None, "ERR_IMG", None))
     sub = bytearray(_jpeg_bytes(16, 16, [y420, [dc_block(90)], [dc_block(170)]], [flat1, flat1, flat1], sampling=[(2, 2), (1, 1), (1, 1)]))

@@ -1666,3 +1666,42 @@ def test_kmeans_empty_init_raises(spark):
     )
     with _pytest.raises(ValueError, match="kmeans init empty"):
         kmeans_codebook(vq, n_centroids=4, n_iter=1)
+
+
+def test_fuzzy_decontamination_production_recall(spark):
+    """Recall gate at PRODUCTION parameters (128 perms / 16 bands of 8 —
+    banded similarity threshold ~(1/16)^(1/8) ≈ 0.71, tuned for ≥0.8
+    jaccard leaks), mirroring test_minhash_production_recall: 30 bench
+    items leaked with a word replaced every 40 words (true 3-shingle
+    jaccard ≈ 0.86) must be flagged with the right bench_id ≥ 95% of the
+    time, and unrelated docs must not be flagged at all.  The driver
+    query (`decontaminate_fuzzy`) runs DEMO parameters (4 hashes /
+    band 2) for oracle replay; this gate is the production evidence."""
+    import random
+
+    from fetch_engines_spark.pipelines.dedup import decontaminate_fuzzy
+
+    rng = random.Random(42)
+    bench_rows, doc_rows = [], []
+    for i in range(30):
+        vocab = [f"b{i}w{j}" for j in range(400)]
+        words = [vocab[rng.randrange(400)] for _ in range(200)]
+        bench_rows.append((f"bench{i:02d}", " ".join(words)))
+        leaked = list(words)
+        for p in range(20, 200, 40):  # 5 replacements -> J ~ 0.86
+            leaked[p] = f"junk{i}x{p}"
+        doc_rows.append((f"leak{i:02d}", " ".join(leaked)))
+    for i in range(30):
+        words = [f"u{i}w{rng.randrange(400)}" for _ in range(200)]
+        doc_rows.append((f"uniq{i:02d}", " ".join(words)))
+    docs = spark.createDataFrame(doc_rows, "doc_id string, text string")
+    bench = spark.createDataFrame(bench_rows, "doc_id string, text string")
+    out = decontaminate_fuzzy(
+        docs, bench, num_hashes=128, band_size=8, threshold_bp=7000
+    ).collect()
+    flagged = {r.doc_id: r.bench_id for r in out}
+    hits = sum(
+        1 for i in range(30) if flagged.get(f"leak{i:02d}") == f"bench{i:02d}"
+    )
+    assert hits >= 29, hits  # >=95% recall of edited leaks
+    assert not any(d.startswith("uniq") for d in flagged), flagged

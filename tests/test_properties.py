@@ -325,3 +325,73 @@ def test_media_decoders_never_crash_unexpectedly(data, sig):
         fn(sig + data)
     except Exception:
         pass
+
+
+@given(
+    st.integers(1, 3),
+    st.integers(1, 2),
+    st.integers(0, 5),
+    st.sampled_from([1, 3]),
+    st.integers(0, 2),
+    st.sampled_from([None, (2, 2), (2, 1)]),
+    st.sampled_from([(0, 0), (1, 1), (2, 1)]),
+    st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_progressive_roundtrip_arbitrary(bw, bh, crop, nc, dri, ysamp, approx, seed):
+    """Progressive-JPEG property: the same arbitrary quantized
+    coefficients as the baseline roundtrip, re-encoded as SOF2 scan
+    scripts — spectral selection, EOBn runs, DC/AC successive
+    approximation at (al_luma, al_chroma) levels, refinement correction
+    bits (incl. eager-ZRL splits), interleaved DC + per-component AC,
+    restart intervals — must decode to exactly the same spec-IDCT
+    pixels (progressive coding is lossless over the coefficients)."""
+    from scripts.build_fixture_data import (
+        _jpeg_bytes_progressive,
+        _jpeg_expected_pixels,
+    )
+
+    from fetch_engines_spark.pipelines.multimodal import decode_jpeg
+
+    sampling = None
+    if nc == 3 and ysamp is not None:
+        sampling = [ysamp, (1, 1), (1, 1)]
+    hmax = sampling[0][0] if sampling else 1
+    vmax = sampling[0][1] if sampling else 1
+    w, h = bw * 8 * hmax - crop, bh * 8 * vmax - (crop % 3)
+    qts = [
+        [1 + (seed + ci * 7 + i) % 5 for i in range(64)] for ci in range(nc)
+    ]
+    comps = []
+    for ci in range(nc):
+        hs, vs = (sampling[ci] if sampling else (1, 1))
+        n_blocks = (bw * hs) * (bh * vs)
+        blocks = []
+        for b in range(n_blocks):
+            blk = [0] * 64
+            blk[0] = ((seed >> 3) + b * 37 + ci * 101) % 1024 - 512
+            for j in range((seed + b) % 4):
+                pos = (seed // 5 + 13 * j + b * 29) % 63 + 1
+                blk[pos] = ((seed >> (j + 2)) % 64) - 32
+            blocks.append(blk)
+        comps.append(blocks)
+    al_y, al_c = approx
+    allc = list(range(nc))
+    scans = [(allc, 0, 0, 0, al_y)]
+    for ci in range(nc):
+        al0 = al_y if ci == 0 else al_c
+        scans.append(([ci], 1, 5, 0, al0))
+        scans.append(([ci], 6, 63, 0, al0))
+    for lvl in range(al_y, 0, -1):
+        scans.append((allc, 0, 0, lvl, lvl - 1))
+    for ci in range(nc):
+        al0 = al_y if ci == 0 else al_c
+        for lvl in range(al0, 0, -1):
+            scans.append(([ci], 1, 5, lvl, lvl - 1))
+            scans.append(([ci], 6, 63, lvl, lvl - 1))
+    payload = _jpeg_bytes_progressive(
+        w, h, comps, qts, scans, sampling=sampling, dri=dri
+    )
+    img = decode_jpeg(payload)
+    assert (img["width"], img["height"], img["channels"]) == (w, h, nc)
+    assert img["pixels"] == _jpeg_expected_pixels(w, h, comps, qts, sampling=sampling)
