@@ -529,6 +529,25 @@ def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_candidate_pairs(new, minhash_index(old))
 
 
+def _q_dedup_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index lifecycle: the corpus arrives as 3 crawl increments (plus a
+    byte-identical re-crawl of every 7th doc), each indexed separately;
+    compact_minhash_indexes (union + distinct + strict conflict guard)
+    must reproduce the MONOLITHIC index built from the full corpus in
+    one shot — which is exactly what the DuckDB twin computes, so the
+    hash gate doubles as the merge-then-query equivalence proof."""
+    from fetch_engines_spark.pipelines.dedup import (
+        compact_minhash_indexes,
+        minhash_index,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    incs = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    recrawl = docs.filter(F.col("doc_id") % 7 == 0)
+    idxs = [minhash_index(d) for d in incs + [recrawl]]
+    return compact_minhash_indexes(idxs).select("doc_id", "band_id", "band_key")
+
+
 def _q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric (containment) verification over the same deterministic
     pair set as the Jaccard query — catches quote-style duplication
@@ -1777,6 +1796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixed_extract": _q_mixed_extract,
         "url_domain_stats": _q_url_domain_stats,
         "dedup_clusters_chain": _q_dedup_clusters_chain,
+        "dedup_index_compaction": _q_dedup_index_compaction,
     }
 
 
@@ -2192,6 +2212,9 @@ def oracle_sql() -> dict[str, str]:
             old_source="(SELECT * FROM documents WHERE doc_id % 2 = 0)",
             new_source="(SELECT * FROM documents WHERE doc_id % 2 = 1)",
         ),
+        "dedup_index_compaction": __import__(
+            "fetch_engines_spark.pipelines.dedup", fromlist=["x"]
+        ).minhash_index_oracle_sql("documents"),
         "vocab_cms": __import__(
             "fetch_engines_spark.pipelines.text", fromlist=["x"]
         ).count_min_estimate_sql(_CMS_PROBES),

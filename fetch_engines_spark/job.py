@@ -39,12 +39,15 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument(
         "--stage",
         default="extract",
-        choices=("extract", "curate", "dedup"),
+        choices=("extract", "curate", "dedup", "compact-index"),
         help="extract: spans→markdown with checkpoint/resume; curate: the "
         "quality/repetition/substring-gate + exact-dup-keeper chain over a "
         "documents(doc_id, text, source) table, writing kept corpus + stats; "
         "dedup: MinHash-LSH candidates → Jaccard verify → connected "
-        "components → keepers, writing pairs/clusters/keepers",
+        "components → keepers, writing pairs/clusters/keepers; "
+        "compact-index: merge N per-increment LSH index parquets "
+        "(comma-separated --input) into one deduplicated index so the "
+        "next increment reads one index, not N",
     )
     p.add_argument("--min-quality", type=int, default=4)
     p.add_argument("--max-shared-window-bp", type=int, default=5000)
@@ -95,6 +98,27 @@ def _run_curate(spark, args) -> dict:
     n_in = docs.count()
     n_kept = spark.read.parquet(f"{args.output}/kept").count()
     return {"stage": "curate", "n_input": n_in, "n_kept": n_kept}
+
+
+def _run_compact_index(spark, args) -> dict:
+    """Merge N per-increment LSH index parquets (comma-separated
+    --input) into one deduplicated index at {output}/index."""
+    from .pipelines.dedup import compact_minhash_indexes
+
+    paths = [p.strip() for p in args.input.split(",") if p.strip()]
+    if len(paths) < 2:
+        raise ValueError("--stage compact-index wants >=2 comma-separated index paths")
+    indexes = [spark.read.parquet(p) for p in paths]
+    n_in = sum(ix.count() for ix in indexes)
+    merged = compact_minhash_indexes(indexes)
+    merged.write.mode("overwrite").parquet(f"{args.output}/index")
+    n_out = spark.read.parquet(f"{args.output}/index").count()
+    return {
+        "stage": "compact-index",
+        "n_inputs": len(paths),
+        "n_rows_in": n_in,
+        "n_rows_out": n_out,
+    }
 
 
 def _run_dedup(spark, args) -> dict:
@@ -262,6 +286,8 @@ def main(argv: list[str] | None = None) -> int:
             summary = _run_curate(spark, args)
         elif args.stage == "dedup":
             summary = _run_dedup(spark, args)
+        elif args.stage == "compact-index":
+            summary = _run_compact_index(spark, args)
         else:
             documents = spark.read.parquet(args.input)
             summary = run_extraction_job(

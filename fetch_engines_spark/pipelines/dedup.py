@@ -317,6 +317,63 @@ def incremental_candidate_pairs(
     return cross.unionByName(within)
 
 
+def compact_minhash_indexes(
+    indexes: list[DataFrame], strict: bool = True
+) -> DataFrame:
+    """Compact N per-increment LSH indexes (:func:`minhash_index` output,
+    optionally carrying the CLI's mh_perms/mh_band_size metadata columns)
+    into ONE queryable index: unionByName + distinct over the bucket
+    rows, so N crawl increments mean one index read instead of N.  A doc
+    re-crawled byte-identically in several increments collapses to one
+    row set (it would otherwise pair with itself and inflate every
+    bucket it touches).
+
+    Fails loudly on mismatched banding metadata across inputs — indexes
+    built with different perms/band-size share NO collision space, and a
+    silent union would just find nothing.  With ``strict`` (default), a
+    doc_id whose band_key/sig_key CONFLICT across increments (re-crawled
+    with different text) raises instead of silently keeping both
+    signatures; pass strict=False to keep all rows (the doc then matches
+    candidates under any of its historical signatures).
+
+    Scale shape: the index is ~n_bands small rows per doc; compaction is
+    one union + one combinable distinct — the corpora behind the indexes
+    are never rescanned."""
+    if not indexes:
+        raise ValueError("compact_minhash_indexes: no indexes given")
+    merged = indexes[0]
+    for ix in indexes[1:]:
+        merged = merged.unionByName(ix)
+    meta_cols = [c for c in ("mh_perms", "mh_band_size") if c in merged.columns]
+    if meta_cols:
+        n_param_sets = merged.select(*meta_cols).distinct().count()
+        if n_param_sets > 1:
+            raise ValueError(
+                "compact_minhash_indexes: inputs carry "
+                f"{n_param_sets} distinct banding parameter sets "
+                f"({meta_cols}); indexes built with different parameters "
+                "share no collision space"
+            )
+    compacted = merged.distinct().localCheckpoint(eager=True)
+    if strict:
+        conflict = (
+            compacted.groupBy("doc_id", "band_id")
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if conflict:
+            raise ValueError(
+                "compact_minhash_indexes: doc_id "
+                f"{conflict[0]['doc_id']!r} has conflicting signatures "
+                "across increments (re-crawled with different text); "
+                "drop the stale increment's rows first, or pass "
+                "strict=False to keep every historical signature"
+            )
+    return compacted
+
+
 def candidate_pairs_from_index(
     buckets: DataFrame, max_bucket_size: int | None = None
 ) -> DataFrame:
@@ -356,6 +413,23 @@ UNION ALL
 SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b, false AS vs_index
 FROM new_bands l JOIN new_bands r
   ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+"""
+
+
+def minhash_index_oracle_sql(
+    source: str = "documents", num_hashes: int = 4, band_size: int = 2
+) -> str:
+    """DuckDB twin of a COMPACTED index (:func:`compact_minhash_indexes`):
+    the monolithic index built from the full corpus in one shot — any
+    increment split (plus byte-identical re-crawls) of the same corpus
+    must compact to exactly these rows, so the twin doubles as the
+    merge-then-query equivalence proof."""
+    sigs = minhash_oracle_sql(num_hashes, source)
+    return f"""
+WITH sigs AS ({sigs})
+SELECT doc_id, CAST(floor(hash_idx / {band_size}) AS BIGINT) AS band_id,
+       md5(array_to_string(list_sort(list(minhash)), '|')) AS band_key
+FROM sigs GROUP BY doc_id, floor(hash_idx / {band_size})
 """
 
 

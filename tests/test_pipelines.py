@@ -1705,3 +1705,67 @@ def test_fuzzy_decontamination_production_recall(spark):
     )
     assert hits >= 29, hits  # >=95% recall of edited leaks
     assert not any(d.startswith("uniq") for d in flagged), flagged
+
+
+def test_compacted_index_equals_monolithic(spark):
+    """Index-lifecycle gate: compacting 3 per-increment LSH indexes must
+    (a) equal the monolithic index built from the full history in one
+    shot, row for row — a byte-identical re-crawl collapses to one row
+    set — and (b) answer an incremental query identically; a re-crawl
+    with CHANGED text raises under strict, and mismatched banding
+    metadata always raises."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from fetch_engines_spark.pipelines.dedup import (
+        compact_minhash_indexes,
+        incremental_candidate_pairs,
+        minhash_index,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (f"d{i:02d}", f"{base} doc {i} " + " ".join(f"t{i}w{j}" for j in range(10)))
+        for i in range(30)
+    ]
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id string, text string")
+
+    # history split into 3 increments; d05 re-crawled byte-identically in inc2
+    incs = [docs[:10], docs[10:20] + [docs[5]], docs[20:]]
+    idxs = [minhash_index(mk(r), num_hashes=8, band_size=2) for r in incs]
+    compacted = compact_minhash_indexes(idxs)
+    mono = minhash_index(mk(docs), num_hashes=8, band_size=2)
+    assert sorted(map(tuple, compacted.collect())) == sorted(map(tuple, mono.collect()))
+
+    new = mk([("n0", docs[3][1]), ("n1", " ".join(f"fresh{j}" for j in range(25)))])
+    def q(index):
+        return {
+            (r.doc_a, r.doc_b, r.vs_index)
+            for r in incremental_candidate_pairs(
+                new, index, num_hashes=8, band_size=2
+            ).collect()
+        }
+    got = q(compacted)
+    assert got == q(mono)
+    assert ("d03", "n0", True) in got  # exact re-crawl must collide
+
+    # strict: a re-crawl with different text raises instead of silently
+    # keeping two signatures for one doc_id
+    changed = minhash_index(
+        mk([("d05", " ".join(f"rewritten{j}" for j in range(20)))]),
+        num_hashes=8, band_size=2,
+    )
+    with _pytest.raises(ValueError, match="conflicting signatures"):
+        compact_minhash_indexes([idxs[0], changed])
+    # ...unless strict=False, which keeps every historical signature
+    loose = compact_minhash_indexes([idxs[0], changed], strict=False)
+    assert loose.filter("doc_id = 'd05'").count() > idxs[0].filter("doc_id = 'd05'").count()
+
+    # mismatched banding metadata: no shared collision space -> raise
+    a = idxs[0].withColumn("mh_perms", F.lit(8)).withColumn("mh_band_size", F.lit(2))
+    b = idxs[2].withColumn("mh_perms", F.lit(128)).withColumn("mh_band_size", F.lit(8))
+    with _pytest.raises(ValueError, match="banding parameter"):
+        compact_minhash_indexes([a, b])
