@@ -172,6 +172,53 @@ def run_extraction_bench(spark, n_docs: int, warmup: bool = True) -> dict:
     }
 
 
+def run_media_bench(spark, replicas: int = 1000) -> dict:
+    """Image-decode throughput through the Arrow stage: the PNG+GIF+JPEG
+    fixture corpus (incl. the progressive-JPEG and Adam7-interlace rows)
+    replicated ``replicas``× — makes the pure-Python decoder cost
+    visible in the bench instead of hiding behind a 32-row fixture scan.
+    Error rows (truncated/arithmetic/etc.) are part of the corpus: the
+    error path must stay cheap too."""
+    from pyspark.sql import functions as F
+
+    from fetch_engines_spark.pipelines.multimodal import png_pixel_stats
+
+    base = None
+    for name in ("pngs", "gifs", "jpegs"):
+        df = spark.read.parquet(
+            os.path.join(REPO, "data", "fixtures", f"{name}.parquet")
+        ).select("media_id", "payload")
+        base = df if base is None else base.unionByName(df)
+    idx = spark.range(replicas).select(F.col("id").alias("rep"))
+    corpus = (
+        base.crossJoin(idx)
+        .select(F.concat_ws("#", "media_id", "rep").alias("media_id"), "payload")
+        .repartition(CPUS)
+        .localCheckpoint(eager=True)
+    )
+    n = corpus.count()
+    stats = png_pixel_stats(corpus)
+    agg = stats.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errs"),
+    )
+    agg.collect()  # warmup: fork the Python workers before timing
+    best, row = float("inf"), None
+    for _ in range(2):
+        t0 = time.time()
+        r = agg.collect()[0]
+        d = time.time() - t0
+        if d < best:
+            best, row = d, r
+    assert row.n == n
+    return {
+        "sec": round(best, 3),
+        "imgs": n,
+        "imgs_per_sec": round(n / best, 1),
+        "errors": int(row.errs),
+    }
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from fetch_engines_spark.session import get_spark
@@ -188,6 +235,9 @@ def main() -> None:
 
     ext = run_extraction_bench(spark, EXTRACT_DOCS)
     timings["extract_spans"] = ext["sec"]
+
+    media = run_media_bench(spark)
+    timings["media_decode"] = media["sec"]
 
     for name in BENCH_QUERIES:
         fn = queries[name]
@@ -210,6 +260,8 @@ def main() -> None:
         "extract_docs_per_sec": ext["docs_per_sec"],
         "extract_docs": ext["docs"],
         "extract_errors": ext["errors"],
+        "media_imgs_per_sec": media["imgs_per_sec"],
+        "media_imgs": media["imgs"],
         "cpus": CPUS,
     }
     spark.stop()

@@ -101,63 +101,17 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def decode_png(payload: bytes) -> dict:
-    """PNG bytes → {width, height, channels, pixels: bytes} with nothing
-    but the stdlib: IHDR parse, IDAT concat + zlib inflate, per-scanline
-    unfiltering (None/Sub/Up/Average/Paeth).  Subset: 8-bit depth,
-    non-interlaced, color types 0/2/4/6 (no palette).  Raises ValueError
-    on anything else — the Spark stage maps that to an error row."""
-    import struct as _s
-    import zlib as _z
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)  # per-pass (x0, y0, dx, dy), PNG spec 4.5.2
 
-    if payload is None or not payload.startswith(_PNG_SIG):
-        raise ValueError("not a PNG (bad signature)")
-    pos = len(_PNG_SIG)
-    width = height = bit_depth = color_type = None
-    idat = bytearray()
-    while pos + 8 <= len(payload):
-        (length,) = _s.unpack(">I", payload[pos : pos + 4])
-        ctype = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + length]
-        if len(data) < length:
-            raise ValueError("truncated chunk")
-        if ctype == b"IHDR":
-            width, height, bit_depth, color_type, _comp, _filt, interlace = _s.unpack(
-                ">IIBBBBB", data
-            )
-            if bit_depth != 8:
-                raise ValueError(f"unsupported bit depth {bit_depth}")
-            if color_type not in _PNG_CHANNELS:
-                raise ValueError(f"unsupported color type {color_type}")
-            if interlace != 0:
-                raise ValueError("interlaced PNG not supported")
-        elif ctype == b"IDAT":
-            idat += data
-        elif ctype == b"IEND":
-            break
-        pos += 12 + length  # len + type + data + crc (crc not verified)
-    if width is None:
-        raise ValueError("missing IHDR")
-    if not idat:
-        raise ValueError("missing IDAT")
-    ch = _PNG_CHANNELS[color_type]
-    # declared-dimension sanity bounds; zero dims must be rejected BEFORE
-    # the inflate (zlib treats max_length=0 as unlimited — a height=0
-    # header would re-open the decompression-bomb hole)
-    if width == 0 or height == 0:
-        raise ValueError(f"degenerate dimensions ({width}x{height})")
-    if width * height > 64_000_000:
-        raise ValueError(f"image too large ({width}x{height})")
-    stride = width * ch
-    expected = height * (stride + 1)
-    # bounded inflate: a decompression bomb must fail with an error row,
-    # not an executor OOM — never allocate past the declared raster size
-    d = _z.decompressobj()
-    raw = d.decompress(bytes(idat), expected)
-    if d.unconsumed_tail or not d.eof:
-        raise ValueError("IDAT inflates past the declared raster size")
-    if len(raw) != expected:
-        raise ValueError("scanline data size mismatch")
+
+def _png_unfilter(raw: bytes, height: int, stride: int, ch: int) -> bytearray:
+    """Per-scanline unfiltering (None/Sub/Up/Average/Paeth) of a
+    filter-byte-interleaved stream into a raw raster; shared by the
+    non-interlaced raster and each Adam7 pass sub-image (filters are
+    scoped to the pass in interlaced files)."""
     out = bytearray(height * stride)
     prev_off = -1
     for row in range(height):
@@ -188,6 +142,92 @@ def decode_png(payload: bytes) -> dict:
         else:
             raise ValueError(f"unknown filter type {f}")
         prev_off = off
+    return out
+
+
+def decode_png(payload: bytes) -> dict:
+    """PNG bytes → {width, height, channels, pixels: bytes} with nothing
+    but the stdlib: IHDR parse, IDAT concat + zlib inflate, per-scanline
+    unfiltering (None/Sub/Up/Average/Paeth), and Adam7 de-interlacing
+    (7 pass sub-images, each filtered independently, scattered back to
+    the display raster).  Subset: 8-bit depth, color types 0/2/4/6 (no
+    palette).  Raises ValueError on anything else — the Spark stage maps
+    that to an error row."""
+    import struct as _s
+    import zlib as _z
+
+    if payload is None or not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG (bad signature)")
+    pos = len(_PNG_SIG)
+    width = height = bit_depth = color_type = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = _s.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated chunk")
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = _s.unpack(
+                ">IIBBBBB", data
+            )
+            if bit_depth != 8:
+                raise ValueError(f"unsupported bit depth {bit_depth}")
+            if color_type not in _PNG_CHANNELS:
+                raise ValueError(f"unsupported color type {color_type}")
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown interlace method {interlace}")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + data + crc (crc not verified)
+    if width is None:
+        raise ValueError("missing IHDR")
+    if not idat:
+        raise ValueError("missing IDAT")
+    ch = _PNG_CHANNELS[color_type]
+    # declared-dimension sanity bounds; zero dims must be rejected BEFORE
+    # the inflate (zlib treats max_length=0 as unlimited — a height=0
+    # header would re-open the decompression-bomb hole)
+    if width == 0 or height == 0:
+        raise ValueError(f"degenerate dimensions ({width}x{height})")
+    if width * height > 64_000_000:
+        raise ValueError(f"image too large ({width}x{height})")
+    stride = width * ch
+    if interlace == 0:
+        passes = [(0, 0, 1, 1, width, height)]
+    else:
+        passes = []
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw > 0 and ph > 0:  # empty passes emit NO scanlines
+                passes.append((x0, y0, dx, dy, pw, ph))
+    expected = sum(ph * (pw * ch + 1) for _x, _y, _dx, _dy, pw, ph in passes)
+    # bounded inflate: a decompression bomb must fail with an error row,
+    # not an executor OOM — never allocate past the declared raster size
+    d = _z.decompressobj()
+    raw = d.decompress(bytes(idat), expected)
+    if d.unconsumed_tail or not d.eof:
+        raise ValueError("IDAT inflates past the declared raster size")
+    if len(raw) != expected:
+        raise ValueError("scanline data size mismatch")
+    if interlace == 0:
+        out = _png_unfilter(raw, height, stride, ch)
+    else:
+        out = bytearray(height * stride)
+        off = 0
+        for x0, y0, dx, dy, pw, ph in passes:
+            pstride = pw * ch
+            sub = _png_unfilter(raw[off : off + ph * (pstride + 1)], ph, pstride, ch)
+            off += ph * (pstride + 1)
+            for j in range(ph):
+                drow = (y0 + j * dy) * stride
+                srow = j * pstride
+                for i in range(pw):
+                    dst = drow + (x0 + i * dx) * ch
+                    out[dst : dst + ch] = sub[srow + i * ch : srow + (i + 1) * ch]
     return {"width": width, "height": height, "channels": ch, "pixels": bytes(out)}
 
 
@@ -250,8 +290,10 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
 def decode_gif(payload: bytes) -> dict:
     """GIF87a/89a bytes → {width, height, pixels: bytes (RGB)} with the
     stdlib only: header + color tables + sub-block LZW decode of the
-    FIRST image frame.  Extensions are skipped; interlaced images are
-    rejected.  Raises ValueError on malformed payloads."""
+    FIRST image frame; interlaced frames are de-interlaced by the
+    4-pass row map (rows 0::8, 4::8, 2::4, 1::2 — GIF89a spec
+    appendix E).  Extensions are skipped.  Raises ValueError on
+    malformed payloads."""
     import struct as _s
 
     if payload is None or payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -279,8 +321,6 @@ def decode_gif(payload: bytes) -> dict:
                 raise ValueError("truncated image descriptor")
             _x, _y, iw, ih, iflags = _s.unpack("<HHHHB", payload[pos + 1 : pos + 10])
             pos += 10
-            if iflags & 0x40:
-                raise ValueError("interlaced GIF not supported")
             if iw == 0 or ih == 0 or iw * ih > 64_000_000:
                 raise ValueError(f"bad dimensions ({iw}x{ih})")  # bounds LZW output
             table = gct
@@ -304,6 +344,14 @@ def decode_gif(payload: bytes) -> dict:
             idx = _lzw_decode(bytes(lzw), min_code_size, iw * ih)
             if len(idx) < iw * ih:
                 raise ValueError("LZW underrun")
+            if iflags & 0x40:  # interlaced: rows arrive in 4-pass order
+                deint = bytearray(iw * ih)
+                src = 0
+                for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                    for dst in range(start, ih, step):
+                        deint[dst * iw : (dst + 1) * iw] = idx[src * iw : (src + 1) * iw]
+                        src += 1
+                idx = bytes(deint)
             px = bytearray()
             for i in idx:
                 if 3 * i + 3 > len(table):
@@ -874,8 +922,8 @@ MAX_WAV_SAMPLES = 16 * 1024 * 1024
 
 def _parse_wav(payload: bytes, max_samples: int = MAX_WAV_SAMPLES) -> tuple:
     """RIFF/WAVE chunk walk → (sample_rate, channels, bits, data bytes)
-    for PCM 16-bit.  Tolerates extra chunks (LIST, fact); raises
-    ValueError on non-PCM/non-16-bit/malformed/oversized payloads."""
+    for PCM 8/16/24-bit.  Tolerates extra chunks (LIST, fact); raises
+    ValueError on non-PCM/other-depth/malformed/oversized payloads."""
     import struct as _s
 
     if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -899,27 +947,47 @@ def _parse_wav(payload: bytes, max_samples: int = MAX_WAV_SAMPLES) -> tuple:
     if fmt is None or data is None:
         raise ValueError("missing fmt or data chunk")
     audio_format, channels, sample_rate, _byte_rate, _block_align, bits = fmt
-    if audio_format != 1 or bits != 16:
-        raise ValueError(f"unsupported WAV format {audio_format}/{bits}-bit (PCM16 only)")
-    if len(data) // 2 > max_samples:
+    if audio_format != 1 or bits not in (8, 16, 24):
         raise ValueError(
-            f"data chunk has {len(data) // 2} samples (cap {max_samples})"
+            f"unsupported WAV format {audio_format}/{bits}-bit (PCM 8/16/24 only)"
+        )
+    if len(data) // (bits // 8) > max_samples:
+        raise ValueError(
+            f"data chunk has {len(data) // (bits // 8)} samples (cap {max_samples})"
         )
     return sample_rate, channels, bits, data
 
 
+def _wav_samples_np(data: bytes, bits: int):
+    """PCM buffer → numpy int32 sample array: 8-bit WAV is UNSIGNED
+    (centered by -128 per the RIFF spec), 16-bit signed LE, 24-bit
+    signed LE packed 3-bytes (sign-extended via the int32 shift trick —
+    no per-sample Python loop)."""
+    import numpy as _np
+
+    if bits == 8:
+        return _np.frombuffer(data, dtype=_np.uint8).astype(_np.int32) - 128
+    if bits == 16:
+        n = (len(data) // 2) * 2
+        return _np.frombuffer(data[:n], dtype="<i2").astype(_np.int32)
+    n = (len(data) // 3) * 3
+    b = _np.frombuffer(data[:n], dtype=_np.uint8).reshape(-1, 3).astype(_np.int32)
+    # place the 3 bytes in the TOP of an int32, then arithmetic-shift
+    # back down 8 — sign extension for free
+    return ((b[:, 0] << 8) | (b[:, 1] << 16) | (b[:, 2] << 24)) >> 8
+
+
 def decode_wav(payload: bytes, max_samples: int = MAX_WAV_SAMPLES) -> dict:
     """RIFF/WAVE bytes → {sample_rate, channels, bits, n_frames,
-    samples: list[int]} for PCM 16-bit (the interchange baseline).
-    Materializes the sample list — use the stats pipeline
-    (_wav_stats_batches) for bounded-memory aggregates; the
-    ``max_samples`` cap turns runaway chunk lengths into an error row
-    either way."""
-    import struct as _s
-
+    samples: list[int]} for PCM 8/16/24-bit (8-bit returned centered:
+    stored-unsigned minus 128).  Materializes the sample list — use the
+    stats pipeline (_wav_stats_batches) for bounded-memory aggregates;
+    the ``max_samples`` cap turns runaway chunk lengths into an error
+    row either way."""
     sample_rate, channels, bits, data = _parse_wav(payload, max_samples)
-    n = len(data) // 2
-    samples = list(_s.unpack(f"<{n}h", data[: n * 2]))
+    arr = _wav_samples_np(data, bits)
+    n = len(arr)
+    samples = [int(v) for v in arr]
     return {
         "sample_rate": sample_rate,
         "channels": channels,
@@ -951,15 +1019,15 @@ def _wav_stats_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             try:
                 import numpy as _np
 
-                rate, ch, _bits, data = _parse_wav(
+                rate, ch, bits, data = _parse_wav(
                     bytes(row.payload) if row.payload is not None else None
                 )
                 # stats over the raw PCM buffer — no Python int-list
                 # materialization (the ~15-30x amplification the decode_wav
                 # samples list would cost on large clips)
-                a = _np.frombuffer(data[: (len(data) // 2) * 2], dtype="<i2")
+                a = _wav_samples_np(data, bits)
                 n_frames = len(a) // max(ch, 1)
-                peak = int(_np.abs(a.astype(_np.int32)).max()) if len(a) else 0
+                peak = int(_np.abs(a).max()) if len(a) else 0
                 s64 = a.astype(_np.int64)
                 energy = int((s64 * s64).sum())  # int64-exact
             except Exception as exc:

@@ -713,15 +713,10 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def _png_bytes(width: int, height: int, color_type: int, pixels: bytes, row_filters: list[int]) -> bytes:
-    """PNG WRITER (independent of the decoder under test): applies the
-    given per-row filter types (0=None 1=Sub 2=Up 3=Average 4=Paeth) to
-    the raw pixel rows, deflates, and wraps in signature+IHDR+IDAT+IEND."""
-    import struct as _s
-    import zlib as _z
-
-    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
-    stride = width * ch
+def _png_filtered(pixels: bytes, height: int, stride: int, ch: int, row_filters: list[int]) -> bytearray:
+    """Apply per-row filter types (0=None 1=Sub 2=Up 3=Average 4=Paeth)
+    to raw pixel rows, emitting the filter-byte-interleaved stream; used
+    whole-image (non-interlaced) and per Adam7 pass (interlaced)."""
 
     def paeth(a, b, c):
         p = a + b - c
@@ -752,7 +747,41 @@ def _png_bytes(width: int, height: int, color_type: int, pixels: bytes, row_filt
                 raw.append((cur[i] - paeth(a, b, c)) & 0xFF)
             else:
                 raise ValueError(f)
-    ihdr = _s.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return raw
+
+
+_ADAM7_W = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_bytes(width: int, height: int, color_type: int, pixels: bytes, row_filters: list[int], interlaced: bool = False) -> bytes:
+    """PNG WRITER (independent of the decoder under test): filters the
+    raw pixel rows (whole-image, or per Adam7 pass sub-image when
+    ``interlaced`` — pixels stay in DISPLAY order either way), deflates,
+    and wraps in signature+IHDR+IDAT+IEND."""
+    import struct as _s
+    import zlib as _z
+
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    stride = width * ch
+    if not interlaced:
+        raw = _png_filtered(pixels, height, stride, ch, row_filters)
+    else:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7_W:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass: no scanlines at all
+            sub = bytearray()
+            for j in range(ph):
+                for i in range(pw):
+                    src = ((y0 + j * dy) * width + (x0 + i * dx)) * ch
+                    sub += pixels[src : src + ch]
+            raw += _png_filtered(bytes(sub), ph, pw * ch, ch, row_filters)
+    ihdr = _s.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 1 if interlaced else 0)
     return (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
@@ -808,9 +837,12 @@ def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
 
 
 def _gif_bytes(width: int, height: int, palette: list[tuple[int, int, int]], indices: bytes,
-               with_extension: bool = False) -> bytes:
+               with_extension: bool = False, interlaced: bool = False) -> bytes:
     """GIF WRITER: header + global color table + optional graphics
-    extension + LZW-compressed image data in 255-byte sub-blocks."""
+    extension + LZW-compressed image data in 255-byte sub-blocks;
+    ``interlaced`` stores rows in the 4-pass order (0::8, 4::8, 2::4,
+    1::2) with the interlace flag set — ``indices`` stays in DISPLAY
+    order either way."""
     import struct as _s
 
     n_bits = max(2, (len(palette) - 1).bit_length())
@@ -821,8 +853,14 @@ def _gif_bytes(width: int, height: int, palette: list[tuple[int, int, int]], ind
     out += gct
     if with_extension:
         out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphics control ext
-    out += b"\x2c" + _s.pack("<HHHHB", 0, 0, width, height, 0)
+    out += b"\x2c" + _s.pack("<HHHHB", 0, 0, width, height, 0x40 if interlaced else 0)
     out.append(n_bits)
+    if interlaced:
+        indices = b"".join(
+            indices[r * width : (r + 1) * width]
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+            for r in range(start, height, step)
+        )
     lzw = _lzw_encode(indices, n_bits)
     for i in range(0, len(lzw), 255):
         block = lzw[i : i + 255]
@@ -866,11 +904,16 @@ def build_pngs() -> None:
         ("png-mixed", 24, 17, 2, 17, [0, 1, 2, 3, 4]),
         ("png-gray", 9, 9, 0, 19, [1, 4]),
         ("png-rgba", 8, 6, 6, 23, [2, 3]),
+        # Adam7 interlaced: odd dims exercise empty/ragged passes; all
+        # five filter types cycle within each pass sub-image
+        ("png-adam7", 21, 13, 2, 29, [0, 1, 2, 3, 4]),
+        ("png-adam7-tiny", 3, 2, 0, 31, [1, 4]),
     ]
     for mid, w, h, ct, seed, filters in cases:
         ch = {0: 1, 2: 3, 6: 4}[ct]
         px = gradient(w, h, ch, seed)
-        rows.append((mid, _png_bytes(w, h, ct, px, filters), w, h, ch, sum(px), None, _resize8_sum(px, w, h, ch)))
+        payload = _png_bytes(w, h, ct, px, filters, interlaced=mid.startswith("png-adam7"))
+        rows.append((mid, payload, w, h, ch, sum(px), None, _resize8_sum(px, w, h, ch)))
     rows.append(("png-truncated", rows[0][1][:40], None, None, None, None, "ERR_IMG", None))
     rows.append(("png-not-a-png", b"JFIF not a png", None, None, None, None, "ERR_IMG", None))
 
@@ -913,13 +956,15 @@ def build_gifs() -> None:
         payload = _gif_bytes(w, h, palette, idx, with_extension=ext)
         px = b"".join(bytes(palette[i]) for i in idx)
         rows.append((mid, payload, w, h, 3, sum(px), None, _resize8_sum(px, w, h, 3)))
+    # genuinely interlaced frame: rows stored in 4-pass order, decoder
+    # must de-interlace back to display order (the expected pixels)
+    w, h, ncolors = 24, 19, 8
+    palette = [((i * 37) % 256, (i * 91) % 256, (i * 53) % 256) for i in range(ncolors)]
+    idx = bytes(((x * 5 + y * 11) % ncolors) for y in range(h) for x in range(w))
+    payload = _gif_bytes(w, h, palette, idx, interlaced=True)
+    px = b"".join(bytes(palette[i]) for i in idx)
+    rows.append(("gif-interlaced", payload, w, h, 3, sum(px), None, _resize8_sum(px, w, h, 3)))
     rows.append(("gif-truncated", rows[0][1][:20], None, None, None, None, "ERR_IMG", None))
-    rows.append(("gif-interlaced-flag", rows[0][1].replace(b"\x2c", b"\x2c", 1), None, None, None, None, None, None))
-    # build a genuinely interlaced-flagged image: flip the interlace bit
-    base = bytearray(rows[0][1])
-    desc = base.find(b"\x2c")
-    base[desc + 9] |= 0x40
-    rows[-1] = ("gif-interlaced", bytes(base), None, None, None, None, "ERR_IMG", None)
 
     pq.write_table(
         pa.table(
@@ -1564,15 +1609,23 @@ def build_jpegs() -> None:
     )
 
 
-def _wav_bytes(sample_rate: int, channels: int, samples: list[int], extra_chunk: bool = False) -> bytes:
-    """WAV WRITER (independent of the decoder under test): PCM16 RIFF with
-    fmt + data chunks; ``extra_chunk`` inserts a LIST chunk the chunk walk
-    must skip."""
+def _wav_bytes(sample_rate: int, channels: int, samples: list[int], extra_chunk: bool = False, bits: int = 16) -> bytes:
+    """WAV WRITER (independent of the decoder under test): PCM RIFF with
+    fmt + data chunks at 8/16/24-bit depth (8-bit stored UNSIGNED:
+    sample+128, per the RIFF spec; 24-bit packed signed LE);
+    ``extra_chunk`` inserts a LIST chunk the chunk walk must skip."""
     import struct as _s
 
-    data = b"".join(_s.pack("<h", s) for s in samples)
-    block_align = channels * 2
-    fmt = _s.pack("<HHIIHH", 1, channels, sample_rate, sample_rate * block_align, block_align, 16)
+    if bits == 8:
+        data = bytes((s + 128) & 0xFF for s in samples)
+    elif bits == 16:
+        data = b"".join(_s.pack("<h", s) for s in samples)
+    elif bits == 24:
+        data = b"".join((s & 0xFFFFFF).to_bytes(3, "little") for s in samples)
+    else:
+        raise ValueError(bits)
+    block_align = channels * (bits // 8)
+    fmt = _s.pack("<HHIIHH", 1, channels, sample_rate, sample_rate * block_align, block_align, bits)
     chunks = b"fmt " + _s.pack("<I", len(fmt)) + fmt
     if extra_chunk:
         info = b"INFOIART" + _s.pack("<I", 5) + b"gen\x00 "
@@ -1599,9 +1652,15 @@ def build_wavs() -> None:
         ("wav-stereo", 16000, 2, tri(960, 64, 150, phase=7)),
         ("wav-quiet", 8000, 1, tri(200, 16, 3)),
         ("wav-listchunk", 22050, 1, tri(333, 50, 99)),
+        # 8-bit (stored unsigned, centered on read) and 24-bit depths
+        ("wav-8bit", 8000, 1, tri(300, 30, 1)),
+        ("wav-24bit", 48000, 2, tri(480, 48, 60000, phase=3)),
     ]
     for mid, rate, ch, samples in cases:
-        payload = _wav_bytes(rate, ch, samples, extra_chunk=(mid == "wav-listchunk"))
+        bits = {"wav-8bit": 8, "wav-24bit": 24}.get(mid, 16)
+        payload = _wav_bytes(
+            rate, ch, samples, extra_chunk=(mid == "wav-listchunk"), bits=bits
+        )
         rows.append(
             (mid, payload, rate, ch, len(samples) // ch,
              max(abs(s) for s in samples), sum(s * s for s in samples), None)

@@ -320,7 +320,7 @@ def test_wav_audio_stats_stage_never_fails(spark):
     path = os.path.join(os.path.dirname(__file__), "..", "data", "fixtures", "wavs.parquet")
     wavs = spark.read.parquet(path)
     rows = {r.media_id: r for r in wav_audio_stats(wavs).collect()}
-    assert len(rows) == 6
+    assert len(rows) == 8  # incl. the 8-bit and 24-bit depth rows
     assert rows["wav-truncated"].error and rows["wav-truncated"].error.startswith("ERR_WAV")
     exp = {r["media_id"]: r for r in wavs.select("media_id", "exp_energy", "exp_peak").collect()}
     for mid, r in rows.items():
@@ -336,7 +336,7 @@ def test_png_pixel_stats_stage_never_fails(spark):
     path = os.path.join(os.path.dirname(__file__), "..", "data", "fixtures", "pngs.parquet")
     pngs = spark.read.parquet(path)
     rows = {r.media_id: r for r in png_pixel_stats(pngs).collect()}
-    assert len(rows) == 10
+    assert len(rows) == 12  # incl. the two Adam7 interlaced rows
     assert rows["png-truncated"].error and rows["png-truncated"].error.startswith("ERR_IMG")
     exp = {r["media_id"]: r for r in pngs.select("media_id", "exp_pixel_sum").collect()}
     for mid, r in rows.items():

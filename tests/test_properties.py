@@ -395,3 +395,52 @@ def test_jpeg_progressive_roundtrip_arbitrary(bw, bh, crop, nc, dri, ysamp, appr
     img = decode_jpeg(payload)
     assert (img["width"], img["height"], img["channels"]) == (w, h, nc)
     assert img["pixels"] == _jpeg_expected_pixels(w, h, comps, qts, sampling=sampling)
+
+
+@given(
+    st.integers(1, 20),
+    st.integers(1, 20),
+    st.sampled_from([0, 2, 6]),
+    st.lists(st.integers(0, 4), min_size=1, max_size=5),
+    st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_adam7_roundtrip_arbitrary(w, h, ct, filters, seed):
+    """Adam7 property: arbitrary (incl. tiny/ragged) dimensions, every
+    color type and filter mix, encoded interlaced, must decode to the
+    EXACT display-order pixels — pixel equality (not just sums) catches
+    any pass-order or scatter-position mistake."""
+    from scripts.build_fixture_data import _png_bytes
+
+    from fetch_engines_spark.pipelines.multimodal import decode_png
+
+    ch = {0: 1, 2: 3, 6: 4}[ct]
+    px = bytes(((x * 7 + y * 13 + c * 29 + seed) % 256)
+               for y in range(h) for x in range(w) for c in range(ch))
+    img = decode_png(_png_bytes(w, h, ct, px, filters, interlaced=True))
+    assert (img["width"], img["height"], img["channels"]) == (w, h, ch)
+    assert img["pixels"] == px
+    # and the same pixels non-interlaced agree
+    img2 = decode_png(_png_bytes(w, h, ct, px, filters))
+    assert img2["pixels"] == px
+
+
+@given(
+    st.integers(1, 24),
+    st.integers(1, 24),
+    st.integers(2, 16),
+    st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_gif_interlaced_roundtrip_arbitrary(w, h, ncolors, seed):
+    """GIF interlace property: rows stored in 4-pass order must
+    de-interlace to the exact display-order pixels at any height
+    (heights < 8 leave early passes ragged or empty)."""
+    from scripts.build_fixture_data import _gif_bytes
+
+    from fetch_engines_spark.pipelines.multimodal import decode_gif
+
+    palette = [((i * 37 + seed) % 256, (i * 91) % 256, (i * 53) % 256) for i in range(ncolors)]
+    idx = bytes((seed + x * 3 + y * 17) % ncolors for y in range(h) for x in range(w))
+    img = decode_gif(_gif_bytes(w, h, palette, idx, interlaced=True))
+    assert img["pixels"] == b"".join(bytes(palette[i]) for i in idx)
