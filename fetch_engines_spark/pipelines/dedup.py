@@ -575,14 +575,18 @@ def decontaminate_fuzzy(
         F.col("doc_id").alias("bench_id"),
         F.array_distinct(shingles(F.col(text_col))).alias("bsh"),
     )
-    # semi-join the corpus down to candidate docs BEFORE shingling: the
-    # scoring pass must not re-shingle the 10^12-doc corpus for the tiny
-    # candidate set
-    doc_sh = docs.join(cand.select("doc_id").distinct(), "doc_id").select(
+    # semi-join the corpus down to candidate docs BEFORE shingling — and
+    # BROADCAST the candidate-id set (bounded by benchmark size × bucket
+    # collisions): without the hint this falls back to a SortMergeJoin
+    # that shuffles the 10^12-doc corpus on doc_id just to keep a few
+    # thousand rows
+    doc_sh = docs.join(
+        F.broadcast(cand.select("doc_id").distinct()), "doc_id"
+    ).select(
         "doc_id", F.array_distinct(shingles(F.col(text_col))).alias("dsh")
     )
     scored = (
-        cand.join(doc_sh, "doc_id")
+        doc_sh.join(F.broadcast(cand), "doc_id")
         .join(F.broadcast(bench_sh), "bench_id")
         .select(
             "doc_id",

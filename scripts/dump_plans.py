@@ -49,6 +49,9 @@ ANNOTATIONS = {
     "doc_hashed_embedding": "Signed hashing-trick embedding: one token explode + one map-side-combinable groupBy on (doc, bucket) — integer weights, engine-exact.",
     "events_rollup": "All three grouping sets (type×day, type, total) computed in one pass with partial aggregation map-side.",
     "events_percentiles": "Exact discrete percentiles: one rank window per type + conditional aggregation — no interpolation, no approximation.",
+    "decontaminate_fuzzy": "Every join broadcast (bench band index, candidate-id semi-join, candidate pairs, bench shingles) — zero SortMergeJoin, so the corpus never shuffles on doc_id for the benchmark-bounded candidate set; best-match via row_number over the tiny scored set.",
+    "dedup_incremental": "The persisted history index joins the new increment's band keys — broadcast/bucket equi-joins only; the historical corpus is never rescanned, only its ~n_bands-rows-per-doc index participates.",
+    "dedup_index_compaction": "Union + combinable distinct over N per-increment index row sets, materialized via localCheckpoint (the returned plan reads the compacted table); the corpora behind the indexes are never rescanned.",
 }
 
 

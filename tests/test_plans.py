@@ -242,3 +242,14 @@ def test_pq_topk_broadcast_lookups_no_cartesian(spark):
     for marker in ("MapInArrow", "MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert marker not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_fuzzy_decontamination_corpus_never_sort_merge_joins(spark):
+    """Every join in the fuzzy-decontamination plan must be broadcast
+    (bench band index, candidate-id semi-join, candidate pairs, bench
+    shingles): a SortMergeJoin here means the 10^12-doc corpus shuffles
+    on doc_id just to keep a benchmark-bounded candidate set."""
+    df = entrymod.queries()["decontaminate_fuzzy"](spark, SF)
+    plan = plan_of(df)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
