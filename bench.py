@@ -197,16 +197,25 @@ def run_media_bench(spark, replicas: int = 1000) -> dict:
         .localCheckpoint(eager=True)
     )
     n = corpus.count()
-    stats = png_pixel_stats(corpus)
-    agg = stats.agg(
-        F.count("*").alias("n"),
-        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errs"),
-    )
-    agg.collect()  # warmup: fork the Python workers before timing
+
+    def run():
+        # a FRESH Dataset per execution: re-collect()ing the same object
+        # reuses its prior shuffle output (AQE exchange reuse) and times
+        # only the final stage (~45 ms) instead of the decode
+        return (
+            png_pixel_stats(corpus)
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errs"),
+            )
+            .collect()[0]
+        )
+
+    run()  # warmup: fork the Python workers before timing
     best, row = float("inf"), None
     for _ in range(2):
         t0 = time.time()
-        r = agg.collect()[0]
+        r = run()
         d = time.time() - t0
         if d < best:
             best, row = d, r
