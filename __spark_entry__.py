@@ -1049,6 +1049,22 @@ def _q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multi-frame animation decode: one row per frame with the
+    composited-canvas pixel sum, over the animated-GIF corpus (partial
+    rects, transparency, disposal 0/1/2/3, local palettes, interlaced
+    frames) — the genuine decode feeding a frame-sampling pipeline, vs
+    the plan-only path over the synthetic FESB video container.  Oracle
+    = the generator's independent plain-Python composition."""
+    from fetch_engines_spark.pipelines.multimodal import gif_frame_stats
+
+    anims = _fixture(spark, "gif_anim")
+    return gif_frame_stats(anims).select(
+        "media_id", "frame_idx", "width", "height", "n_frames", "pixel_sum",
+        F.substring(F.col("error"), 1, 7).alias("error_prefix"),
+    )
+
+
 def _q_media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode over the WAV fixture corpus: RIFF chunk walk +
     PCM16 parse → integer peak/energy per clip, verified against the
@@ -1797,6 +1813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_domain_stats": _q_url_domain_stats,
         "dedup_clusters_chain": _q_dedup_clusters_chain,
         "dedup_index_compaction": _q_dedup_index_compaction,
+        "media_gif_frames": _q_media_gif_frames,
     }
 
 
@@ -2370,6 +2387,13 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet(['{os.path.join(FIXTURES_DIR, "pngs.parquet")}',
                                '{os.path.join(FIXTURES_DIR, "gifs.parquet")}',
                                '{os.path.join(FIXTURES_DIR, "jpegs.parquet")}'])
+        """,
+        "media_gif_frames": f"""
+            SELECT media_id, frame_idx, exp_width AS width,
+                   exp_height AS height, exp_n_frames AS n_frames,
+                   exp_pixel_sum AS pixel_sum,
+                   exp_error_prefix AS error_prefix
+            FROM read_parquet('{os.path.join(FIXTURES_DIR, "gif_anim_expected.parquet")}')
         """,
         "media_audio_stats": f"""
             SELECT media_id, exp_sample_rate AS sample_rate,

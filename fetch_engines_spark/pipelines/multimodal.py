@@ -365,6 +365,183 @@ def decode_gif(payload: bytes) -> dict:
     raise ValueError("no image data")
 
 
+# --- real animated-GIF multi-frame decode (stdlib-only) ----------------------
+
+
+MAX_GIF_FRAME_PIXELS = 64_000_000  # total across frames: n_frames x W x H
+
+
+def decode_gif_frames(payload: bytes, max_frames: int = 256) -> dict:
+    """Animated GIF → {width, height, n_frames, frames: [bytes (RGB)]}:
+    full GIF89a animation semantics with the stdlib only — per-frame
+    partial rects composited onto the logical-screen canvas, graphics-
+    control transparency (transparent indices leave the canvas pixel),
+    disposal methods 0/1 (leave), 2 (restore rect to background color),
+    3 (restore previous canvas), interlaced frames de-interlaced, local
+    color tables, 255-byte sub-block LZW.  Each returned frame is the
+    FULL canvas snapshot after compositing (what a viewer displays) —
+    the real input to a frame-sampling pipeline, vs the plan-only path
+    over the synthetic FESB container.  The combined n_frames×W×H cap
+    turns a frame bomb into an error row, never an executor OOM."""
+    import struct as _s
+
+    if payload is None or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    if len(payload) < 13:
+        raise ValueError("truncated header")
+    sw, sh, flags, bg_idx, _ar = _s.unpack("<HHBBB", payload[6:13])
+    if sw == 0 or sh == 0:
+        raise ValueError(f"degenerate screen ({sw}x{sh})")
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = payload[pos : pos + 3 * n]
+        if len(gct) < 3 * n:
+            raise ValueError("truncated global color table")
+        pos += 3 * n
+    bg_rgb = (
+        gct[3 * bg_idx : 3 * bg_idx + 3]
+        if gct is not None and 3 * bg_idx + 3 <= len(gct)
+        else b"\x00\x00\x00"
+    )
+    canvas = bytearray(bg_rgb * (sw * sh))
+    frames: list[bytes] = []
+    # pending graphics-control state for the NEXT image
+    disposal, transparent = 0, None
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension
+            if pos + 2 > len(payload):
+                raise ValueError("truncated extension")
+            label = payload[pos + 1]
+            pos += 2
+            if label == 0xF9 and pos + 1 + payload[pos] <= len(payload) and payload[pos] >= 4:
+                blk = payload[pos + 1 : pos + 1 + payload[pos]]
+                disposal = (blk[0] >> 2) & 0x07
+                transparent = blk[3] if blk[0] & 0x01 else None
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            if pos + 10 > len(payload):
+                raise ValueError("truncated image descriptor")
+            fx, fy, iw, ih, iflags = _s.unpack("<HHHHB", payload[pos + 1 : pos + 10])
+            pos += 10
+            if iw == 0 or ih == 0 or fx + iw > sw or fy + ih > sh:
+                raise ValueError(f"frame rect ({fx},{fy},{iw},{ih}) outside {sw}x{sh}")
+            if (len(frames) + 1) * sw * sh > MAX_GIF_FRAME_PIXELS:
+                raise ValueError("animation exceeds the total pixel cap")
+            if len(frames) >= max_frames:
+                raise ValueError(f"more than {max_frames} frames")
+            table = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                table = payload[pos : pos + 3 * n]
+                if len(table) < 3 * n:
+                    raise ValueError("truncated local color table")
+                pos += 3 * n
+            if table is None:
+                raise ValueError("no color table")
+            if pos >= len(payload):
+                raise ValueError("truncated before LZW data")
+            min_code_size = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < len(payload) and payload[pos] != 0:
+                ln = payload[pos]
+                lzw += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1  # block terminator
+            idx = _lzw_decode(bytes(lzw), min_code_size, iw * ih)
+            if len(idx) < iw * ih:
+                raise ValueError("LZW underrun")
+            if iflags & 0x40:  # interlaced frame
+                deint = bytearray(iw * ih)
+                src = 0
+                for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                    for dst in range(start, ih, step):
+                        deint[dst * iw : (dst + 1) * iw] = idx[src * iw : (src + 1) * iw]
+                        src += 1
+                idx = bytes(deint)
+            prev = bytes(canvas) if disposal == 3 else None
+            for j in range(ih):
+                crow = ((fy + j) * sw + fx) * 3
+                for i2 in range(iw):
+                    ci = idx[j * iw + i2]
+                    if transparent is not None and ci == transparent:
+                        continue
+                    if 3 * ci + 3 > len(table):
+                        raise ValueError("palette index out of range")
+                    canvas[crow + 3 * i2 : crow + 3 * i2 + 3] = table[3 * ci : 3 * ci + 3]
+            frames.append(bytes(canvas))
+            if disposal == 2:  # restore rect to background
+                for j in range(ih):
+                    crow = ((fy + j) * sw + fx) * 3
+                    canvas[crow : crow + 3 * iw] = bg_rgb * iw
+            elif disposal == 3 and prev is not None:  # restore previous
+                canvas[:] = prev
+            disposal, transparent = 0, None
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+    if not frames:
+        raise ValueError("no image data")
+    return {"width": sw, "height": sh, "n_frames": len(frames), "frames": frames}
+
+
+GIF_FRAME_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("pixel_sum", LongType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def _gif_frame_stats_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in GIF_FRAME_STATS_SCHEMA.names}
+
+        def emit(mid, fi, w, h, nf, ps, err):
+            out["media_id"].append(mid)
+            out["frame_idx"].append(fi)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["n_frames"].append(nf)
+            out["pixel_sum"].append(ps)
+            out["error"].append(err)
+
+        for row in pdf.itertuples(index=False):
+            try:
+                g = decode_gif_frames(
+                    bytes(row.payload) if row.payload is not None else None
+                )
+            except Exception as exc:
+                emit(row.media_id, None, None, None, None, None,
+                     f"ERR_GIF: {type(exc).__name__}: {exc}"[:200])
+                continue
+            for fi, fr in enumerate(g["frames"]):
+                emit(row.media_id, fi, g["width"], g["height"], g["n_frames"],
+                     sum(fr), None)
+        yield pd.DataFrame(out)
+
+
+def gif_frame_stats(media: DataFrame) -> DataFrame:
+    """media(media_id, payload) → one row per ANIMATION FRAME with the
+    composited-canvas pixel sum — real multi-frame decode feeding the
+    frame-sampling pipeline (vs the plan-only path over the synthetic
+    FESB video container); malformed payloads become one error row."""
+    return media.select("media_id", "payload").mapInPandas(
+        _gif_frame_stats_batches, schema=GIF_FRAME_STATS_SCHEMA
+    )
+
+
 # --- real baseline-JPEG image decode (stdlib + numpy IDCT) -------------------
 
 

@@ -870,6 +870,180 @@ def _gif_bytes(width: int, height: int, palette: list[tuple[int, int, int]], ind
     return bytes(out)
 
 
+def _gif_anim_bytes(
+    sw: int,
+    sh: int,
+    palette: list[tuple[int, int, int]],
+    frames: list[dict],
+    bg_idx: int = 0,
+) -> bytes:
+    """Animated-GIF WRITER (independent of the decoder under test):
+    logical screen + global color table + per-frame [GCE +] image
+    descriptor with partial rects, disposal, transparency, optional
+    local palettes and interlacing.  Each frame dict: {x, y, w, h,
+    indices, disposal=0, transparent=None, local_palette=None,
+    interlaced=False}."""
+    import struct as _s
+
+    n_bits = max(2, (len(palette) - 1).bit_length())
+    table_size = 1 << n_bits
+    gct = b"".join(bytes(c) for c in palette) + b"\x00\x00\x00" * (table_size - len(palette))
+    out = bytearray(b"GIF89a")
+    out += _s.pack("<HHBBB", sw, sh, 0x80 | (n_bits - 1), bg_idx, 0)
+    out += gct
+    for fr in frames:
+        disposal = fr.get("disposal", 0)
+        transparent = fr.get("transparent")
+        if disposal or transparent is not None:
+            packed = (disposal << 2) | (1 if transparent is not None else 0)
+            out += bytes([0x21, 0xF9, 0x04, packed, 0, 0, transparent or 0, 0x00])
+        lp = fr.get("local_palette")
+        iflags = 0
+        lct = b""
+        bits = n_bits
+        if lp is not None:
+            bits = max(2, (len(lp) - 1).bit_length())
+            iflags |= 0x80 | (bits - 1)
+            lct = b"".join(bytes(c) for c in lp) + b"\x00\x00\x00" * ((1 << bits) - len(lp))
+        if fr.get("interlaced"):
+            iflags |= 0x40
+        out += b"\x2c" + _s.pack("<HHHHB", fr["x"], fr["y"], fr["w"], fr["h"], iflags)
+        out += lct
+        idx = fr["indices"]
+        if fr.get("interlaced"):
+            idx = b"".join(
+                idx[r * fr["w"] : (r + 1) * fr["w"]]
+                for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+                for r in range(start, fr["h"], step)
+            )
+        out.append(bits)
+        lzw = _lzw_encode(idx, bits)
+        for j in range(0, len(lzw), 255):
+            block = lzw[j : j + 255]
+            out.append(len(block))
+            out += block
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _gif_anim_expected(sw, sh, palette, frames, bg_idx=0):
+    """Independent plain-Python composition of the expected per-frame
+    canvases: paint each rect (transparent indices leave the canvas),
+    then apply disposal (2=restore rect to bg color, 3=restore previous
+    canvas).  Returns the list of full-canvas RGB byte strings."""
+    bg = bytes(palette[bg_idx])
+    canvas = [bg[c % 3] for c in range(sw * sh * 3)]
+    for p_ in range(sw * sh):
+        canvas[3 * p_ : 3 * p_ + 3] = bg
+    snaps = []
+    for fr in frames:
+        pal = fr.get("local_palette") or palette
+        prev = list(canvas) if fr.get("disposal", 0) == 3 else None
+        for j in range(fr["h"]):
+            for i2 in range(fr["w"]):
+                ci = fr["indices"][j * fr["w"] + i2]
+                if fr.get("transparent") is not None and ci == fr["transparent"]:
+                    continue
+                o = ((fr["y"] + j) * sw + (fr["x"] + i2)) * 3
+                canvas[o : o + 3] = bytes(pal[ci])
+        snaps.append(bytes(bytearray(canvas)))
+        d = fr.get("disposal", 0)
+        if d == 2:
+            for j in range(fr["h"]):
+                o = ((fr["y"] + j) * sw + fr["x"]) * 3
+                canvas[o : o + 3 * fr["w"]] = bg * fr["w"]
+        elif d == 3 and prev is not None:
+            canvas = prev
+    return snaps
+
+
+def build_gif_anim() -> None:
+    """Animated-GIF fixture: writer-encoded multi-frame animations
+    (partial rects, transparency, disposal 0/1/2/3, local palette,
+    interlaced frame) with expected per-frame composited-canvas pixel
+    sums from an independent plain-Python composition; self-checked
+    through the pipeline decoder at build time."""
+    from fetch_engines_spark.pipelines.multimodal import decode_gif_frames
+
+    pal = [((i * 37) % 256, (i * 91) % 256, (i * 53) % 256) for i in range(8)]
+
+    def rect(w, h, seed, nc=8):
+        # seed multiplies x so different frames get DIFFERENT index
+        # multisets (an additive seed is a permutation → equal pixel
+        # sums, which would weaken the per-frame oracle rows)
+        return bytes(((x * x * seed + y * 7 + seed) % nc) for y in range(h) for x in range(w))
+
+    cases = []
+    cases.append(("anim-basic", 16, 12, [
+        {"x": 0, "y": 0, "w": 16, "h": 12, "indices": rect(16, 12, 1)},
+        {"x": 0, "y": 0, "w": 16, "h": 12, "indices": rect(16, 12, 2)},
+        {"x": 0, "y": 0, "w": 16, "h": 12, "indices": rect(16, 12, 3)},
+    ]))
+    cases.append(("anim-partial-transparent", 20, 15, [
+        {"x": 0, "y": 0, "w": 20, "h": 15, "indices": rect(20, 15, 4)},
+        {"x": 5, "y": 3, "w": 8, "h": 6, "indices": rect(8, 6, 5), "transparent": 2},
+        {"x": 10, "y": 8, "w": 6, "h": 4, "indices": rect(6, 4, 6), "transparent": 0},
+    ]))
+    cases.append(("anim-dispose-bg", 12, 10, [
+        {"x": 0, "y": 0, "w": 12, "h": 10, "indices": rect(12, 10, 1)},
+        {"x": 2, "y": 2, "w": 5, "h": 4, "indices": rect(5, 4, 2), "disposal": 2},
+        {"x": 4, "y": 5, "w": 4, "h": 3, "indices": rect(4, 3, 3)},
+    ]))
+    cases.append(("anim-dispose-prev", 12, 10, [
+        {"x": 0, "y": 0, "w": 12, "h": 10, "indices": rect(12, 10, 7)},
+        {"x": 1, "y": 1, "w": 6, "h": 5, "indices": rect(6, 5, 2), "disposal": 3},
+        {"x": 3, "y": 2, "w": 5, "h": 5, "indices": rect(5, 5, 4), "transparent": 1},
+    ]))
+    lp = [((i * 61 + 5) % 256, (i * 17) % 256, (i * 101) % 256) for i in range(4)]
+    cases.append(("anim-localpal-interlaced", 14, 11, [
+        {"x": 0, "y": 0, "w": 14, "h": 11, "indices": rect(14, 11, 1)},
+        {"x": 2, "y": 0, "w": 10, "h": 11, "indices": rect(10, 11, 3, nc=4),
+         "local_palette": lp, "interlaced": True},
+    ]))
+
+    payload_rows = []
+    exp_rows = []
+    for mid, sw, sh, frames in cases:
+        payload = _gif_anim_bytes(sw, sh, pal, frames)
+        snaps = _gif_anim_expected(sw, sh, pal, frames)
+        got = decode_gif_frames(payload)
+        assert got["n_frames"] == len(frames), mid
+        for fi, snap in enumerate(snaps):
+            assert got["frames"][fi] == snap, f"{mid}#{fi}: writer/decoder disagreement"
+            exp_rows.append((mid, fi, sw, sh, len(frames), sum(snap), None))
+        payload_rows.append((mid, payload))
+    # error rows: truncation mid-frame, rect outside the logical screen
+    bad = bytearray(_gif_anim_bytes(8, 8, pal, [
+        {"x": 0, "y": 0, "w": 8, "h": 8, "indices": rect(8, 8, 1)}]))
+    desc = bad.find(b"\x2c")
+    bad[desc + 1] = 6  # x=6 -> 6+8 > 8: rect outside screen
+    payload_rows.append(("anim-bad-rect", bytes(bad)))
+    exp_rows.append(("anim-bad-rect", None, None, None, None, None, "ERR_GIF"))
+    payload_rows.append(("anim-truncated", payload_rows[0][1][:25]))
+    exp_rows.append(("anim-truncated", None, None, None, None, None, "ERR_GIF"))
+
+    pq.write_table(
+        pa.table({
+            "media_id": [r[0] for r in payload_rows],
+            "payload": pa.array([r[1] for r in payload_rows], pa.binary()),
+        }),
+        os.path.join(OUT, "gif_anim.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "media_id": [r[0] for r in exp_rows],
+            "frame_idx": pa.array([r[1] for r in exp_rows], pa.int32()),
+            "exp_width": pa.array([r[2] for r in exp_rows], pa.int32()),
+            "exp_height": pa.array([r[3] for r in exp_rows], pa.int32()),
+            "exp_n_frames": pa.array([r[4] for r in exp_rows], pa.int32()),
+            "exp_pixel_sum": pa.array([r[5] for r in exp_rows], pa.int64()),
+            "exp_error_prefix": [r[6] for r in exp_rows],
+        }),
+        os.path.join(OUT, "gif_anim_expected.parquet"),
+    )
+
+
 def _resize8_sum(px: bytes, w: int, h: int, ch: int) -> int:
     """Expected 8x8 nearest-neighbor thumbnail pixel sum, computed with a
     plain-Python loop INDEPENDENT of the pipeline's numpy resize (same
@@ -1768,6 +1942,7 @@ if __name__ == "__main__":
     build_pngs()
     build_gifs()
     build_jpegs()
+    build_gif_anim()
     build_wavs()
     build_events_csv()
     print(f"wrote fixture data to {OUT}")

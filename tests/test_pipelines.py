@@ -1769,3 +1769,52 @@ def test_compacted_index_equals_monolithic(spark):
     b = idxs[2].withColumn("mh_perms", F.lit(128)).withColumn("mh_band_size", F.lit(8))
     with _pytest.raises(ValueError, match="banding parameter"):
         compact_minhash_indexes([a, b])
+
+
+def test_gif_frames_stage_and_semantics(spark):
+    """Animated-GIF stage: per-frame rows against the generator's
+    independent composition, error rows for bad-rect/truncated payloads,
+    and the disposal/transparency semantics spot-checked directly."""
+    import os
+
+    from fetch_engines_spark.pipelines.multimodal import (
+        decode_gif_frames,
+        gif_frame_stats,
+    )
+    from scripts.build_fixture_data import _gif_anim_bytes
+
+    path = os.path.join(os.path.dirname(__file__), "..", "data", "fixtures", "gif_anim.parquet")
+    anims = spark.read.parquet(path)
+    rows = gif_frame_stats(anims).collect()
+    by_media: dict[str, list] = {}
+    errs = {}
+    for r in rows:
+        if r.error:
+            errs[r.media_id] = r.error
+        else:
+            by_media.setdefault(r.media_id, []).append(r)
+    assert set(errs) == {"anim-bad-rect", "anim-truncated"}
+    assert all(e.startswith("ERR_GIF") for e in errs.values())
+    assert len(by_media["anim-basic"]) == 3
+
+    # direct semantics: transparency leaves the canvas, disposal 2
+    # restores the rect to background, disposal 3 restores the canvas
+    pal = [(0, 0, 0), (10, 20, 30), (200, 100, 50), (5, 5, 5)]
+    base = {"x": 0, "y": 0, "w": 4, "h": 4, "indices": bytes([1] * 16)}
+    over = {"x": 1, "y": 1, "w": 2, "h": 2,
+            "indices": bytes([2, 3, 3, 2]), "transparent": 3, "disposal": 3}
+    g = decode_gif_frames(_gif_anim_bytes(4, 4, pal, [base, over, base]))
+    f0, f1, f2 = g["frames"]
+    # transparent indices (the two 3s) keep frame-0 pixels
+    def px(fr, x, y):
+        return fr[(y * 4 + x) * 3 : (y * 4 + x) * 3 + 3]
+    assert px(f1, 1, 1) == bytes(pal[2]) and px(f1, 2, 2) == bytes(pal[2])
+    assert px(f1, 2, 1) == bytes(pal[1]) and px(f1, 1, 2) == bytes(pal[1])
+    assert f2 == f0  # disposal 3 restored the canvas before frame 3
+
+    d2 = {"x": 1, "y": 1, "w": 2, "h": 2, "indices": bytes([2] * 4), "disposal": 2}
+    tail = {"x": 3, "y": 3, "w": 1, "h": 1, "indices": bytes([1])}
+    g2 = decode_gif_frames(_gif_anim_bytes(4, 4, pal, [base, d2, tail], bg_idx=0))
+    f_last = g2["frames"][2]
+    assert px(f_last, 1, 1) == bytes(pal[0])  # disposal 2 -> bg color
+    assert px(f_last, 0, 0) == bytes(pal[1])  # outside rect untouched
