@@ -1818,3 +1818,68 @@ def test_gif_frames_stage_and_semantics(spark):
     f_last = g2["frames"][2]
     assert px(f_last, 1, 1) == bytes(pal[0])  # disposal 2 -> bg color
     assert px(f_last, 0, 0) == bytes(pal[1])  # outside rect untouched
+
+
+def test_jpeg_progressive_padded_grid_mixed_walks():
+    """Progressive geometry edge the roundtrip property can't reach (its
+    crop bound keeps rasters MCU-aligned): a 24x8 4:2:0 frame whose luma
+    MCU-padded grid (4x2 blocks) exceeds the component raster (3x1) —
+    the interleaved DC scan codes the 5 pad blocks, the non-interleaved
+    AC scans walk ONLY the raster, and the decode must still be
+    pixel-exact after the crop."""
+    import scripts.build_fixture_data as bfd
+
+    from fetch_engines_spark.pipelines.multimodal import decode_jpeg
+
+    flat1 = [1] * 64
+
+    def dc_block(v):
+        blk = [0] * 64
+        blk[0] = (v - 128) * 8
+        return blk
+
+    y = [dc_block(v) for v in (60, 180, 120, 240, 90, 30, 200, 140)]
+    y[0][1] = 14
+    cb = [dc_block(90), dc_block(100)]
+    cr = [dc_block(170), dc_block(150)]
+    samp = [(2, 2), (1, 1), (1, 1)]
+    scans = [
+        ([0, 1, 2], 0, 0, 0, 1),
+        ([0], 1, 63, 0, 1), ([1], 1, 63, 0, 1), ([2], 1, 63, 0, 1),
+        ([0, 1, 2], 0, 0, 1, 0),
+        ([0], 1, 63, 1, 0), ([1], 1, 63, 1, 0), ([2], 1, 63, 1, 0),
+    ]
+    pay = bfd._jpeg_bytes_progressive(24, 8, [y, cb, cr], [flat1] * 3, scans, sampling=samp)
+    exp = bfd._jpeg_expected_pixels(24, 8, [y, cb, cr], [flat1] * 3, sampling=samp)
+    got = decode_jpeg(pay)
+    assert (got["width"], got["height"]) == (24, 8)
+    assert got["pixels"] == exp
+
+
+def test_jpeg_progressive_per_component_dc_scans():
+    """Per-component NON-interleaved DC scans (legal progressive layout;
+    the fixtures and property test use interleaved DC) decode exactly."""
+    import scripts.build_fixture_data as bfd
+
+    from fetch_engines_spark.pipelines.multimodal import decode_jpeg
+
+    flat1 = [1] * 64
+
+    def dc_block(v):
+        blk = [0] * 64
+        blk[0] = (v - 128) * 8
+        return blk
+
+    y = [dc_block(60), dc_block(180), dc_block(120), dc_block(240)]
+    y[0][1] = 12
+    cb = [dc_block(90)]
+    cr = [dc_block(170)]
+    samp = [(2, 2), (1, 1), (1, 1)]
+    scans = [
+        ([0], 0, 0, 0, 1), ([1], 0, 0, 0, 1), ([2], 0, 0, 0, 1),
+        ([0], 1, 63, 0, 0), ([1], 1, 63, 0, 0), ([2], 1, 63, 0, 0),
+        ([0], 0, 0, 1, 0), ([1], 0, 0, 1, 0), ([2], 0, 0, 1, 0),
+    ]
+    pay = bfd._jpeg_bytes_progressive(16, 16, [y, cb, cr], [flat1] * 3, scans, sampling=samp)
+    exp = bfd._jpeg_expected_pixels(16, 16, [y, cb, cr], [flat1] * 3, sampling=samp)
+    assert decode_jpeg(pay)["pixels"] == exp
