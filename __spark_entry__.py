@@ -1659,7 +1659,11 @@ def _q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup benchmark decontamination: the eval set is built as
     slightly-truncated copies of every 25th document (the paraphrase-ish
     leakage shape exact 8-word windows can miss after edits); MinHash
-    band candidates + exact Jaccard flag the sources."""
+    band candidates + exact Jaccard flag the sources.  Runs the
+    PRODUCTION shape — degenerate-bucket cap ON, which bounds the
+    candidate set and lets every scoring join broadcast (plan-gated
+    zero SortMergeJoin); the 500-doc corpus can't reach the cap, so the
+    result is identical to the uncapped DuckDB twin."""
     from fetch_engines_spark.pipelines.dedup import decontaminate_fuzzy
 
     docs = _read(spark, sf_dir, "documents")
@@ -1667,7 +1671,7 @@ def _q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr("substring(text, 1, greatest(length(text) - 30, 50))").alias("text"),
     )
-    return decontaminate_fuzzy(docs, bench, threshold_bp=5000)
+    return decontaminate_fuzzy(docs, bench, threshold_bp=5000, max_bucket_size=2000)
 
 
 def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -575,18 +575,23 @@ def decontaminate_fuzzy(
         F.col("doc_id").alias("bench_id"),
         F.array_distinct(shingles(F.col(text_col))).alias("bsh"),
     )
-    # semi-join the corpus down to candidate docs BEFORE shingling — and
-    # BROADCAST the candidate-id set (bounded by benchmark size × bucket
-    # collisions): without the hint this falls back to a SortMergeJoin
-    # that shuffles the 10^12-doc corpus on doc_id just to keep a few
-    # thousand rows
+    # semi-join the corpus down to candidate docs BEFORE shingling — and,
+    # when the degenerate-bucket guard is ON, BROADCAST the candidate-id
+    # set (then bounded by benchmark size × cap): without the hint the
+    # planner falls back to a SortMergeJoin that shuffles the 10^12-doc
+    # corpus on doc_id just to keep a few thousand rows.  With NO cap the
+    # candidate set is unbounded (a boilerplate band key shared by
+    # millions of docs matching one bench item), so a forced broadcast
+    # would OOM where the planner's choice merely degrades — the hints
+    # stay conditional on the cap, and production runs should set it.
+    hint = F.broadcast if max_bucket_size is not None else (lambda df: df)
     doc_sh = docs.join(
-        F.broadcast(cand.select("doc_id").distinct()), "doc_id"
+        hint(cand.select("doc_id").distinct()), "doc_id"
     ).select(
         "doc_id", F.array_distinct(shingles(F.col(text_col))).alias("dsh")
     )
     scored = (
-        doc_sh.join(F.broadcast(cand), "doc_id")
+        doc_sh.join(hint(cand), "doc_id")
         .join(F.broadcast(bench_sh), "bench_id")
         .select(
             "doc_id",

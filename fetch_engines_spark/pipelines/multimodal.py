@@ -287,6 +287,18 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
     return bytes(out[:n_pixels])
 
 
+def _gif_deinterlace(idx: bytes, iw: int, ih: int) -> bytes:
+    """Rows in 4-pass interlace order → display order (GIF89a appendix E:
+    passes 0::8, 4::8, 2::4, 1::2)."""
+    deint = bytearray(iw * ih)
+    src = 0
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        for dst in range(start, ih, step):
+            deint[dst * iw : (dst + 1) * iw] = idx[src * iw : (src + 1) * iw]
+            src += 1
+    return bytes(deint)
+
+
 def decode_gif(payload: bytes) -> dict:
     """GIF87a/89a bytes → {width, height, pixels: bytes (RGB)} with the
     stdlib only: header + color tables + sub-block LZW decode of the
@@ -345,13 +357,7 @@ def decode_gif(payload: bytes) -> dict:
             if len(idx) < iw * ih:
                 raise ValueError("LZW underrun")
             if iflags & 0x40:  # interlaced: rows arrive in 4-pass order
-                deint = bytearray(iw * ih)
-                src = 0
-                for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
-                    for dst in range(start, ih, step):
-                        deint[dst * iw : (dst + 1) * iw] = idx[src * iw : (src + 1) * iw]
-                        src += 1
-                idx = bytes(deint)
+                idx = _gif_deinterlace(idx, iw, ih)
             px = bytearray()
             for i in idx:
                 if 3 * i + 3 > len(table):
@@ -416,6 +422,8 @@ def decode_gif_frames(payload: bytes, max_frames: int = 256) -> dict:
                 raise ValueError("truncated extension")
             label = payload[pos + 1]
             pos += 2
+            if pos >= len(payload):
+                raise ValueError("truncated extension block")
             if label == 0xF9 and pos + 1 + payload[pos] <= len(payload) and payload[pos] >= 4:
                 blk = payload[pos + 1 : pos + 1 + payload[pos]]
                 disposal = (blk[0] >> 2) & 0x07
@@ -457,13 +465,7 @@ def decode_gif_frames(payload: bytes, max_frames: int = 256) -> dict:
             if len(idx) < iw * ih:
                 raise ValueError("LZW underrun")
             if iflags & 0x40:  # interlaced frame
-                deint = bytearray(iw * ih)
-                src = 0
-                for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
-                    for dst in range(start, ih, step):
-                        deint[dst * iw : (dst + 1) * iw] = idx[src * iw : (src + 1) * iw]
-                        src += 1
-                idx = bytes(deint)
+                idx = _gif_deinterlace(idx, iw, ih)
             prev = bytes(canvas) if disposal == 3 else None
             for j in range(ih):
                 crow = ((fy + j) * sw + fx) * 3
@@ -778,6 +780,8 @@ def decode_jpeg(payload: bytes) -> dict:
         # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
         while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
             pos += 1
+        if pos + 1 >= len(payload):
+            raise ValueError("payload ends in 0xFF fill bytes")
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
@@ -1164,7 +1168,7 @@ def decode_wav(payload: bytes, max_samples: int = MAX_WAV_SAMPLES) -> dict:
     sample_rate, channels, bits, data = _parse_wav(payload, max_samples)
     arr = _wav_samples_np(data, bits)
     n = len(arr)
-    samples = [int(v) for v in arr]
+    samples = arr.tolist()  # one C call, not 16M Python int() calls
     return {
         "sample_rate": sample_rate,
         "channels": channels,
@@ -1205,8 +1209,18 @@ def _wav_stats_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                 a = _wav_samples_np(data, bits)
                 n_frames = len(a) // max(ch, 1)
                 peak = int(_np.abs(a).max()) if len(a) else 0
+                # exact energy via chunked accumulation: a 24-bit chunk sum
+                # is <= 2^16 * 2^46 = 2^62 (int64-safe); the Python-int
+                # accumulator is unbounded, and a total past int64 becomes
+                # an error row instead of a silently WRAPPED energy (max
+                # 24-bit clips can exceed 2^63 inside the sample cap)
                 s64 = a.astype(_np.int64)
-                energy = int((s64 * s64).sum())  # int64-exact
+                energy = 0
+                for lo in range(0, len(s64), 1 << 16):
+                    c = s64[lo : lo + (1 << 16)]
+                    energy += int((c * c).sum())
+                if energy > 0x7FFFFFFFFFFFFFFF:
+                    raise ValueError(f"energy {energy} overflows int64")
             except Exception as exc:
                 err = f"ERR_WAV: {type(exc).__name__}: {exc}"[:200]
             out["media_id"].append(row.media_id)

@@ -933,9 +933,7 @@ def _gif_anim_expected(sw, sh, palette, frames, bg_idx=0):
     then apply disposal (2=restore rect to bg color, 3=restore previous
     canvas).  Returns the list of full-canvas RGB byte strings."""
     bg = bytes(palette[bg_idx])
-    canvas = [bg[c % 3] for c in range(sw * sh * 3)]
-    for p_ in range(sw * sh):
-        canvas[3 * p_ : 3 * p_ + 3] = bg
+    canvas = list(bg * (sw * sh))
     snaps = []
     for fr in frames:
         pal = fr.get("local_palette") or palette

@@ -1883,3 +1883,54 @@ def test_jpeg_progressive_per_component_dc_scans():
     pay = bfd._jpeg_bytes_progressive(16, 16, [y, cb, cr], [flat1] * 3, scans, sampling=samp)
     exp = bfd._jpeg_expected_pixels(16, 16, [y, cb, cr], [flat1] * 3, sampling=samp)
     assert decode_jpeg(pay)["pixels"] == exp
+
+
+def test_media_decoder_truncation_raises_valueerror_not_indexerror():
+    """Contract: malformed payloads raise ValueError (the Arrow stages
+    map that to error rows) — review findings: a JPEG ending in 0xFF
+    fill bytes and a GIF ending at a graphics-control label both used
+    to escape as IndexError."""
+    import pytest as _pytest
+
+    from fetch_engines_spark.pipelines.multimodal import (
+        decode_gif_frames,
+        decode_jpeg,
+    )
+
+    with _pytest.raises(ValueError, match="fill bytes"):
+        decode_jpeg(b"\xff\xd8" + b"\xff" * 8)
+    # 4x4 screen, 2-entry GCT (6 bytes), then a GCE label at EOF
+    gif_head = b"GIF89a" + bytes([4, 0, 4, 0, 0x80, 0, 0]) + b"\x00" * 6
+    with _pytest.raises(ValueError, match="truncated extension"):
+        decode_gif_frames(gif_head + b"\x21\xf9")
+
+
+def test_wav_24bit_energy_never_wraps():
+    """Review finding: sum(s^2) over a loud 24-bit clip exceeds int64
+    inside the sample cap; the stats path must emit an error row (via
+    ValueError), never a silently wrapped/negative energy."""
+    import struct as _s
+
+    import pytest as _pytest
+
+    from fetch_engines_spark.pipelines.multimodal import _parse_wav, _wav_samples_np
+
+    # 200k full-scale 24-bit samples: true energy 1.4e19 > 2^63-1
+    n = 200_000
+    data = ((1 << 23) - 1).to_bytes(3, "little") * n
+    fmt = _s.pack("<HHIIHH", 1, 1, 48000, 48000 * 3, 3, 24)
+    chunks = b"fmt " + _s.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + _s.pack("<I", len(data)) + data
+    payload = b"RIFF" + _s.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    import numpy as _np
+
+    import fetch_engines_spark.pipelines.multimodal as mm
+    import pandas as pd
+
+    pdf = pd.DataFrame({"media_id": ["loud24"], "payload": [payload]})
+    out = next(mm._wav_stats_batches(iter([pdf])))
+    assert out["error"][0] is not None and "overflows int64" in out["error"][0]
+    # a quieter 24-bit clip still computes the exact energy
+    quiet = _wav_samples_np(data[: 3 * 100], 24)
+    assert int(quiet[0]) == (1 << 23) - 1
