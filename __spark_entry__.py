@@ -1049,6 +1049,23 @@ def _q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingestion (the Common Crawl landing format): the gzip-member
+    fixture archive parsed to one row per record — warcinfo, request,
+    HTML/text/binary responses with HTTP head split off (status +
+    content-type extracted, payload = HTTP body).  Oracle = the
+    generator's independent record table (payload compared by md5)."""
+    from fetch_engines_spark.warc import read_warc
+
+    w = read_warc(spark, os.path.join(FIXTURES_DIR, "warc", "sample.warc.gz"))
+    return w.select(
+        "record_id", "warc_type", "url", "warc_date", "content_type",
+        "content_length", "http_status", "http_content_type",
+        F.md5("payload").alias("payload_md5"),
+        F.length("payload").cast("long").alias("payload_bytes"),
+    )
+
+
 def _q_media_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL multi-frame animation decode: one row per frame with the
     composited-canvas pixel sum, over the animated-GIF corpus (partial
@@ -1818,6 +1835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_chain": _q_dedup_clusters_chain,
         "dedup_index_compaction": _q_dedup_index_compaction,
         "media_gif_frames": _q_media_gif_frames,
+        "warc_ingest": _q_warc_ingest,
     }
 
 
@@ -2391,6 +2409,12 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet(['{os.path.join(FIXTURES_DIR, "pngs.parquet")}',
                                '{os.path.join(FIXTURES_DIR, "gifs.parquet")}',
                                '{os.path.join(FIXTURES_DIR, "jpegs.parquet")}'])
+        """,
+        "warc_ingest": f"""
+            SELECT record_id, warc_type, url, warc_date, content_type,
+                   content_length, http_status, http_content_type,
+                   payload_md5, payload_bytes
+            FROM read_parquet('{os.path.join(FIXTURES_DIR, "warc_expected.parquet")}')
         """,
         "media_gif_frames": f"""
             SELECT media_id, frame_idx, exp_width AS width,

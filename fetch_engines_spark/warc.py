@@ -1,0 +1,233 @@
+"""WARC ingestion: the standard landing format of web-scale crawls
+(Common Crawl ships ~1 GB ``.warc.gz`` files of per-record gzip members).
+
+Scale shape: ``read_warc`` scans with the binaryFile source — ONE task
+per WARC file, the standard parallelism for this layout (gzip members
+are not block-splittable; CC sizes files ~1 GB precisely so that
+per-file tasks balance).  Each task streams its file through the
+stdlib-only parser below and emits one row per record; a malformed file
+becomes one error row, never a stage failure (same never-fail contract
+as the extraction and media stages).  Decompression is bomb-guarded:
+output is capped per record and in total, so a crafted member errors
+instead of OOMing the executor.
+
+Reference parity: the reference fetches live pages (its S1 operator);
+a batch engine over a landed crawl ingests the same content from WARC —
+`warc_html_documents` adapts response records directly into the
+engine's interleaved-span `documents` shape for extraction.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MAX_WARC_RECORD_BYTES = 64 * 1024 * 1024  # one record's block
+MAX_WARC_FILE_BYTES = 1 * 1024 * 1024 * 1024  # total inflated per file
+
+
+def _gunzip_members(data: bytes, max_total: int) -> bytes:
+    """Concatenated gzip members → inflated bytes (the WARC layout gzips
+    each record as its own member; stdlib zlib walks them via
+    unused_data).  Bounded: raises past ``max_total``."""
+    import zlib as _z
+
+    out = bytearray()
+    rest = data
+    while rest[:2] == b"\x1f\x8b":
+        d = _z.decompressobj(wbits=31)
+        out += d.decompress(rest, max_total + 1 - len(out))
+        if len(out) > max_total:
+            raise ValueError("WARC inflates past the per-file cap")
+        if not d.eof:
+            raise ValueError("truncated gzip member")
+        rest = d.unused_data
+    if rest.strip(b"\x00"):
+        # trailing non-gzip garbage after the last member
+        raise ValueError("trailing bytes after the last gzip member")
+    return bytes(out)
+
+
+def parse_warc(data: bytes, max_record_bytes: int = MAX_WARC_RECORD_BYTES) -> list[dict]:
+    """WARC 1.0/1.1 bytes (plain or gzip members) → list of record dicts:
+    ``{warc_type, record_id, target_uri, warc_date, content_type,
+    content_length, http_status, http_content_type, payload}``.
+
+    For ``response``/``revisit`` records whose block is an HTTP message,
+    the status line + headers are split off: ``http_status`` and
+    ``http_content_type`` come from the HTTP head and ``payload`` is the
+    HTTP BODY; for every other record ``payload`` is the raw block.
+    Raises ValueError on malformed input (the Spark stage maps that to
+    an error row)."""
+    if data is None or len(data) < 4:
+        raise ValueError("not a WARC payload")
+    if data[:2] == b"\x1f\x8b":
+        data = _gunzip_members(data, MAX_WARC_FILE_BYTES)
+    if not data.startswith(b"WARC/"):
+        raise ValueError("missing WARC version line")
+    records = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record CRLFs
+        while pos < n and data[pos : pos + 2] in (b"\r\n",) and not data[
+            pos:
+        ].startswith(b"WARC/"):
+            pos += 2
+        if pos >= n:
+            break
+        eol = data.find(b"\r\n", pos)
+        if eol < 0 or not data[pos:eol].startswith(b"WARC/"):
+            raise ValueError(f"expected WARC version line at byte {pos}")
+        head_end = data.find(b"\r\n\r\n", eol)
+        if head_end < 0:
+            raise ValueError("truncated WARC header")
+        headers: dict[str, str] = {}
+        for line in data[eol + 2 : head_end].split(b"\r\n"):
+            k, _, v = line.partition(b":")
+            if not _:
+                raise ValueError(f"malformed WARC header line {line[:40]!r}")
+            headers[k.strip().decode("latin-1").lower()] = v.strip().decode("latin-1")
+        try:
+            clen = int(headers["content-length"])
+        except (KeyError, ValueError):
+            raise ValueError("missing/invalid Content-Length") from None
+        if clen < 0 or clen > max_record_bytes:
+            raise ValueError(f"record block of {clen} bytes exceeds the cap")
+        block_start = head_end + 4
+        block = data[block_start : block_start + clen]
+        if len(block) != clen:
+            raise ValueError("truncated record block")
+        pos = block_start + clen
+        wtype = headers.get("warc-type", "")
+        http_status = None
+        http_ct = None
+        payload = block
+        if wtype in ("response", "revisit") and block[:5] == b"HTTP/":
+            hend = block.find(b"\r\n\r\n")
+            if hend < 0:
+                raise ValueError("truncated HTTP head in response record")
+            http_lines = block[:hend].split(b"\r\n")
+            status_parts = http_lines[0].split(b" ", 2)
+            if len(status_parts) < 2 or not status_parts[1].isdigit():
+                raise ValueError("malformed HTTP status line")
+            http_status = int(status_parts[1])
+            for line in http_lines[1:]:
+                k, _, v = line.partition(b":")
+                if _ and k.strip().lower() == b"content-type":
+                    http_ct = v.strip().decode("latin-1")
+            payload = block[hend + 4 :]
+        records.append(
+            {
+                "warc_type": wtype,
+                "record_id": headers.get("warc-record-id", ""),
+                "target_uri": headers.get("warc-target-uri"),
+                "warc_date": headers.get("warc-date"),
+                "content_type": headers.get("content-type"),
+                "content_length": clen,
+                "http_status": http_status,
+                "http_content_type": http_ct,
+                "payload": payload,
+            }
+        )
+    if not records:
+        raise ValueError("no WARC records")
+    return records
+
+
+WARC_SCHEMA = StructType(
+    [
+        StructField("warc_file", StringType()),
+        StructField("record_id", StringType()),
+        StructField("warc_type", StringType()),
+        StructField("url", StringType()),
+        StructField("warc_date", StringType()),
+        StructField("content_type", StringType()),
+        StructField("content_length", LongType()),
+        StructField("http_status", IntegerType()),
+        StructField("http_content_type", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def _warc_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in WARC_SCHEMA.names}
+
+        def emit(path, rec, err):
+            out["warc_file"].append(path)
+            out["record_id"].append(rec.get("record_id") if rec else None)
+            out["warc_type"].append(rec.get("warc_type") if rec else None)
+            out["url"].append(rec.get("target_uri") if rec else None)
+            out["warc_date"].append(rec.get("warc_date") if rec else None)
+            out["content_type"].append(rec.get("content_type") if rec else None)
+            out["content_length"].append(rec.get("content_length") if rec else None)
+            out["http_status"].append(rec.get("http_status") if rec else None)
+            out["http_content_type"].append(rec.get("http_content_type") if rec else None)
+            out["payload"].append(rec.get("payload") if rec else None)
+            out["error"].append(err)
+
+        for row in pdf.itertuples(index=False):
+            try:
+                recs = parse_warc(
+                    bytes(row.content) if row.content is not None else None
+                )
+            except Exception as exc:
+                emit(row.path, None, f"ERR_WARC: {type(exc).__name__}: {exc}"[:200])
+                continue
+            for rec in recs:
+                emit(row.path, rec, None)
+        yield pd.DataFrame(out)
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """WARC file(s) → one row per record (plus one error row per
+    malformed file).  binaryFile scan: one task per file — the standard
+    parallelism for gzip-member WARC; list a directory/glob of files for
+    cluster-wide fan-out."""
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    return files.mapInPandas(_warc_batches, schema=WARC_SCHEMA)
+
+
+def warc_html_documents(warc: DataFrame) -> DataFrame:
+    """HTTP-200 HTML response records → the engine's interleaved-span
+    ``documents`` shape (doc_id, base_url, canonical_url, spans with one
+    html span), ready for ``extract_spans``.  Charset: decoded as UTF-8
+    with replacement (the extraction chain is byte-robust); the
+    classifier stage's charset-aware MIME split remains available
+    upstream for non-UTF-8 handling."""
+    from pyspark.sql import functions as F
+
+    html = warc.filter(
+        (F.col("error").isNull())
+        & (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.lower(F.coalesce("http_content_type", F.lit(""))).contains("text/html")
+    )
+    return html.select(
+        F.coalesce("record_id", "url").alias("doc_id"),
+        F.col("url").alias("base_url"),
+        F.col("url").alias("canonical_url"),
+        F.array(
+            F.struct(
+                F.lit("html").alias("kind"),
+                # binary->string cast is lossy UTF-8 (replacement chars),
+                # never-fail — unlike decode(), which can raise under ANSI
+                F.col("payload").cast("string").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            )
+        ).alias("spans"),
+    )

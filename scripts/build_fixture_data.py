@@ -1857,6 +1857,121 @@ def build_wavs() -> None:
     )
 
 
+def _warc_record(wtype: str, rec_id: str, headers: dict, block: bytes) -> bytes:
+    """One WARC/1.0 record (independent of the parser under test)."""
+    h = [b"WARC/1.0"]
+    h.append(f"WARC-Type: {wtype}".encode())
+    h.append(f"WARC-Record-ID: {rec_id}".encode())
+    for k, v in headers.items():
+        h.append(f"{k}: {v}".encode())
+    h.append(f"Content-Length: {len(block)}".encode())
+    return b"\r\n".join(h) + b"\r\n\r\n" + block + b"\r\n\r\n"
+
+
+def _http_response(status: str, ctype: str, body: bytes) -> bytes:
+    return (
+        f"HTTP/1.1 {status}\r\nContent-Type: {ctype}\r\n"
+        f"Content-Length: {len(body)}\r\nServer: fixture\r\n\r\n"
+    ).encode() + body
+
+
+def build_warc() -> None:
+    """WARC ingestion fixture: a writer-emitted .warc.gz (per-record gzip
+    members, the Common Crawl layout) + the same records plain, with the
+    expected per-record rows in a sibling parquet.  Record mix: warcinfo,
+    request, three HTTP responses (HTML 200, plain-text 200 with a
+    non-ASCII body, a 404), and a binary (PNG) response — plus corrupt
+    whole-file payloads for the error-row path."""
+    import gzip as _gz
+    import hashlib
+
+    html_body = (
+        b"<html><head><title>Fixture Page</title></head><body>"
+        b"<main><h1>Hello WARC</h1><p>Landed crawl content.</p></main>"
+        b"<nav>skip me</nav></body></html>"
+    )
+    text_body = "plain text \u2014 caf\u00e9".encode()
+    png_body = b"\x89PNG\r\n\x1a\n" + b"\x00" * 20
+    recs = [
+        ("warcinfo", "<urn:uuid:info-1>", {"Content-Type": "application/warc-fields"},
+         b"software: fixture-writer/1.0\r\n"),
+        ("request", "<urn:uuid:req-1>",
+         {"Content-Type": "application/http;msgtype=request",
+          "WARC-Target-URI": "https://example.org/page",
+          "WARC-Date": "2024-01-02T03:04:05Z"},
+         b"GET /page HTTP/1.1\r\nHost: example.org\r\n\r\n"),
+        ("response", "<urn:uuid:resp-1>",
+         {"Content-Type": "application/http;msgtype=response",
+          "WARC-Target-URI": "https://example.org/page",
+          "WARC-Date": "2024-01-02T03:04:05Z"},
+         _http_response("200 OK", "text/html; charset=utf-8", html_body)),
+        ("response", "<urn:uuid:resp-2>",
+         {"Content-Type": "application/http;msgtype=response",
+          "WARC-Target-URI": "https://example.org/notes.txt",
+          "WARC-Date": "2024-01-02T03:05:06Z"},
+         _http_response("200 OK", "text/plain; charset=utf-8", text_body)),
+        ("response", "<urn:uuid:resp-3>",
+         {"Content-Type": "application/http;msgtype=response",
+          "WARC-Target-URI": "https://example.org/missing",
+          "WARC-Date": "2024-01-02T03:06:07Z"},
+         _http_response("404 Not Found", "text/html", b"<html>gone</html>")),
+        ("response", "<urn:uuid:resp-4>",
+         {"Content-Type": "application/http;msgtype=response",
+          "WARC-Target-URI": "https://example.org/logo.png",
+          "WARC-Date": "2024-01-02T03:07:08Z"},
+         _http_response("200 OK", "image/png", png_body)),
+    ]
+    raw_records = [_warc_record(t, rid, hdr, blk) for t, rid, hdr, blk in recs]
+    plain = b"".join(raw_records)
+    gz = b"".join(_gz.compress(r) for r in raw_records)  # one member per record
+
+    warc_dir = os.path.join(OUT, "warc")
+    os.makedirs(warc_dir, exist_ok=True)
+    with open(os.path.join(warc_dir, "sample.warc.gz"), "wb") as f:
+        f.write(gz)
+    with open(os.path.join(warc_dir, "sample-plain.warc"), "wb") as f:
+        f.write(plain)
+    bad_dir = os.path.join(OUT, "warc_bad")
+    os.makedirs(bad_dir, exist_ok=True)
+    with open(os.path.join(bad_dir, "truncated.warc.gz"), "wb") as f:
+        f.write(gz[: len(gz) // 2])
+    with open(os.path.join(bad_dir, "not-a.warc"), "wb") as f:
+        f.write(b"this is not a warc file at all")
+
+    exp_rows = []
+    for (t, rid, hdr, blk), raw in zip(recs, raw_records):
+        status = None
+        http_ct = None
+        payload = blk
+        if t == "response" and blk[:5] == b"HTTP/":
+            head, _, payload = blk.partition(b"\r\n\r\n")
+            lines = head.split(b"\r\n")
+            status = int(lines[0].split(b" ")[1])
+            for ln in lines[1:]:
+                if ln.lower().startswith(b"content-type:"):
+                    http_ct = ln.split(b":", 1)[1].strip().decode()
+        exp_rows.append(
+            (rid, t, hdr.get("WARC-Target-URI"), hdr.get("WARC-Date"),
+             hdr.get("Content-Type"), len(blk), status, http_ct,
+             hashlib.md5(payload).hexdigest(), len(payload))
+        )
+    pq.write_table(
+        pa.table({
+            "record_id": [r[0] for r in exp_rows],
+            "warc_type": [r[1] for r in exp_rows],
+            "url": [r[2] for r in exp_rows],
+            "warc_date": [r[3] for r in exp_rows],
+            "content_type": [r[4] for r in exp_rows],
+            "content_length": pa.array([r[5] for r in exp_rows], pa.int64()),
+            "http_status": pa.array([r[6] for r in exp_rows], pa.int32()),
+            "http_content_type": [r[7] for r in exp_rows],
+            "payload_md5": [r[8] for r in exp_rows],
+            "payload_bytes": pa.array([r[9] for r in exp_rows], pa.int64()),
+        }),
+        os.path.join(OUT, "warc_expected.parquet"),
+    )
+
+
 def build_events_csv() -> None:
     """CSV crawl-dump slice with 2 planted corrupt lines (bad numeric,
     truncated row) for the schema-enforced CSV source's reject routing."""
@@ -1941,6 +2056,7 @@ if __name__ == "__main__":
     build_gifs()
     build_jpegs()
     build_gif_anim()
+    build_warc()
     build_wavs()
     build_events_csv()
     print(f"wrote fixture data to {OUT}")

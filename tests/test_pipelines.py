@@ -1934,3 +1934,40 @@ def test_wav_24bit_energy_never_wraps():
     # a quieter 24-bit clip still computes the exact energy
     quiet = _wav_samples_np(data[: 3 * 100], 24)
     assert int(quiet[0]) == (1 << 23) - 1
+
+
+def test_warc_ingest_end_to_end_extraction(spark):
+    """WARC → documents → extraction: the HTML 200 response in the
+    fixture archive must flow through warc_html_documents into
+    extract_spans and come out as clean markdown (main kept, nav
+    stripped); the 404 and non-HTML responses must be filtered out.
+    Malformed WARC files become error rows, never stage failures."""
+    import os
+
+    from fetch_engines_spark.extract import extract_spans
+    from fetch_engines_spark.warc import read_warc, warc_html_documents
+
+    fx = os.path.join(os.path.dirname(__file__), "..", "data", "fixtures")
+    w = read_warc(spark, os.path.join(fx, "warc", "sample.warc.gz"))
+    rows = w.collect()
+    assert sum(1 for r in rows if r.error) == 0
+    assert {r.warc_type for r in rows} == {"warcinfo", "request", "response"}
+
+    docs = warc_html_documents(w)
+    got = docs.collect()
+    # exactly the ONE 200 text/html response (404 html + txt + png excluded)
+    assert [r.doc_id for r in got] == ["<urn:uuid:resp-1>"]
+    ext = extract_spans(docs, num_partitions=2, keep_markdown=True).collect()
+    assert len(ext) == 1 and ext[0].error is None
+    assert "Hello WARC" in ext[0].markdown
+    assert "skip me" not in ext[0].markdown
+
+    # plain (non-gzip) variant parses identically
+    wp = read_warc(spark, os.path.join(fx, "warc", "sample-plain.warc"))
+    assert sorted(r.record_id for r in wp.collect()) == sorted(
+        r.record_id for r in rows
+    )
+
+    # corrupt files -> one error row each
+    bad = read_warc(spark, os.path.join(fx, "warc_bad")).collect()
+    assert len(bad) == 2 and all(r.error and r.error.startswith("ERR_WARC") for r in bad)

@@ -489,3 +489,65 @@ def test_gif_animation_roundtrip_arbitrary(sw, sh, n_frames, seed):
     exp = _gif_anim_expected(sw, sh, pal, frames, bg_idx=bg_idx)
     assert got["n_frames"] == len(frames)
     assert got["frames"] == exp
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["response", "request", "warcinfo", "metadata"]),
+            st.binary(min_size=0, max_size=200),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    st.booleans(),
+)
+@settings(max_examples=50, deadline=None)
+def test_warc_writer_parser_roundtrip_arbitrary(specs, gzipped):
+    """WARC property: arbitrary record mixes (incl. HTTP-response blocks
+    and bodies containing CRLF/WARC-like bytes) roundtrip through the
+    independent writer, plain or as per-record gzip members."""
+    import gzip as _gz
+
+    import scripts.build_fixture_data as bfd
+
+    from fetch_engines_spark.warc import parse_warc
+
+    raws = []
+    expected = []
+    for i, (wtype, body, as_http) in enumerate(specs):
+        rid = f"<urn:uuid:prop-{i}>"
+        if wtype == "response" and as_http:
+            block = bfd._http_response("200 OK", "application/octet-stream", body)
+            exp_payload, exp_status = body, 200
+        else:
+            block = body
+            exp_payload, exp_status = body, None
+        raws.append(
+            bfd._warc_record(
+                wtype, rid, {"WARC-Target-URI": f"https://x.test/{i}"}, block
+            )
+        )
+        expected.append((rid, wtype, exp_status, exp_payload))
+    data = (
+        b"".join(_gz.compress(r) for r in raws) if gzipped else b"".join(raws)
+    )
+    recs = parse_warc(data)
+    assert [
+        (r["record_id"], r["warc_type"], r["http_status"], r["payload"]) for r in recs
+    ] == expected
+
+
+@given(st.binary(min_size=0, max_size=300))
+@settings(max_examples=120, deadline=None)
+def test_warc_parser_never_crashes_unexpectedly(data):
+    """Fuzz: arbitrary bytes (optionally behind the WARC magic) either
+    parse or raise ValueError — the Arrow stage's error-row contract."""
+    from fetch_engines_spark.warc import parse_warc
+
+    for payload in (data, b"WARC/1.0\r\n" + data):
+        try:
+            parse_warc(payload)
+        except ValueError:
+            pass
