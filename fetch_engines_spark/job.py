@@ -23,6 +23,15 @@ import sys
 def parse_args(argv: list[str]) -> argparse.Namespace:
     p = argparse.ArgumentParser(description="fetch-engines-spark extraction job")
     p.add_argument("--input", required=True, help="documents table path (parquet)")
+    p.add_argument(
+        "--input-format",
+        default="parquet",
+        choices=("parquet", "warc"),
+        help="extract-stage input: parquet documents (interleaved-span "
+        "schema), or warc — a directory/glob of WARC archives (plain or "
+        "gzip members, the Common Crawl layout); 200/text-html response "
+        "records are adapted into the documents shape before extraction",
+    )
     p.add_argument("--output", required=True, help="checkpoint root directory")
     p.add_argument("--run-id", required=True)
     p.add_argument("--n-buckets", type=int, default=64)
@@ -289,7 +298,12 @@ def main(argv: list[str] | None = None) -> int:
         elif args.stage == "compact-index":
             summary = _run_compact_index(spark, args)
         else:
-            documents = spark.read.parquet(args.input)
+            if args.input_format == "warc":
+                from .warc import read_warc, warc_html_documents
+
+                documents = warc_html_documents(read_warc(spark, args.input))
+            else:
+                documents = spark.read.parquet(args.input)
             summary = run_extraction_job(
                 spark,
                 documents,
