@@ -204,11 +204,15 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
 def warc_html_documents(warc: DataFrame) -> DataFrame:
     """HTTP-200 HTML response records → the engine's interleaved-span
     ``documents`` shape (doc_id, base_url, canonical_url, spans with one
-    html span), ready for ``extract_spans``.  Charset: decoded as UTF-8
-    with replacement (the extraction chain is byte-robust); the
-    classifier stage's charset-aware MIME split remains available
-    upstream for non-UTF-8 handling."""
+    html span), ready for ``extract_spans``.  Charset: the HTTP
+    Content-Type charset parameter is honored via the S2 operator
+    (``classifiers.decode_if_text`` — latin-1/ascii/utf-16 map to their
+    JVM codecs, anything else decodes UTF-8 with replacement); the web
+    is full of latin-1, and decoding everything as UTF-8 would silently
+    mangle it."""
     from pyspark.sql import functions as F
+
+    from .classifiers import decode_if_text
 
     html = warc.filter(
         (F.col("error").isNull())
@@ -223,9 +227,9 @@ def warc_html_documents(warc: DataFrame) -> DataFrame:
         F.array(
             F.struct(
                 F.lit("html").alias("kind"),
-                # binary->string cast is lossy UTF-8 (replacement chars),
-                # never-fail — unlike decode(), which can raise under ANSI
-                F.col("payload").cast("string").alias("text"),
+                decode_if_text(F.col("payload"), F.col("http_content_type")).alias(
+                    "text"
+                ),
                 F.lit(None).cast("string").alias("media_ref"),
                 F.lit(0).cast("int").alias("offset"),
             )

@@ -1920,6 +1920,17 @@ def build_warc() -> None:
           "WARC-Target-URI": "https://example.org/logo.png",
           "WARC-Date": "2024-01-02T03:07:08Z"},
          _http_response("200 OK", "image/png", png_body)),
+        # latin-1 HTML: the 0xE9 byte is é in ISO-8859-1 but INVALID
+        # UTF-8 — a UTF-8-only decode mangles it to the replacement char
+        ("response", "<urn:uuid:resp-5>",
+         {"Content-Type": "application/http;msgtype=response",
+          "WARC-Target-URI": "https://example.org/latin1",
+          "WARC-Date": "2024-01-02T03:08:09Z"},
+         _http_response(
+             "200 OK", "text/html; charset=iso-8859-1",
+             b"<html><head><title>Caf\xe9</title></head><body><main>"
+             b"<h1>Caf\xe9 corner</h1><p>r\xe9sum\xe9 content.</p>"
+             b"</main></body></html>")),
     ]
     raw_records = [_warc_record(t, rid, hdr, blk) for t, rid, hdr, blk in recs]
     plain = b"".join(raw_records)

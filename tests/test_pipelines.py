@@ -1954,13 +1954,17 @@ def test_warc_ingest_end_to_end_extraction(spark):
     assert {r.warc_type for r in rows} == {"warcinfo", "request", "response"}
 
     docs = warc_html_documents(w)
-    got = docs.collect()
-    # exactly the ONE 200 text/html response (404 html + txt + png excluded)
-    assert [r.doc_id for r in got] == ["<urn:uuid:resp-1>"]
-    ext = extract_spans(docs, num_partitions=2, keep_markdown=True).collect()
-    assert len(ext) == 1 and ext[0].error is None
-    assert "Hello WARC" in ext[0].markdown
-    assert "skip me" not in ext[0].markdown
+    got = {r.doc_id: r for r in docs.collect()}
+    # the TWO 200 text/html responses (404 html + txt + png excluded)
+    assert set(got) == {"<urn:uuid:resp-1>", "<urn:uuid:resp-5>"}
+    ext = {r.doc_id: r for r in extract_spans(docs, num_partitions=2, keep_markdown=True).collect()}
+    assert all(r.error is None for r in ext.values())
+    assert "Hello WARC" in ext["<urn:uuid:resp-1>"].markdown
+    assert "skip me" not in ext["<urn:uuid:resp-1>"].markdown
+    # charset honored: the latin-1 0xE9 byte decodes as é, not U+FFFD
+    assert "Caf\u00e9 corner" in ext["<urn:uuid:resp-5>"].markdown
+    assert "r\u00e9sum\u00e9" in ext["<urn:uuid:resp-5>"].markdown
+    assert "\ufffd" not in ext["<urn:uuid:resp-5>"].markdown
 
     # plain (non-gzip) variant parses identically
     wp = read_warc(spark, os.path.join(fx, "warc", "sample-plain.warc"))
