@@ -71,7 +71,20 @@ def parse_warc(data: bytes, max_record_bytes: int = MAX_WARC_RECORD_BYTES) -> li
     an error row)."""
     if data is None or len(data) < 4:
         raise ValueError("not a WARC payload")
-    if data[:2] == b"\x1f\x8b":
+    if data[:4] == b"\x28\xb5\x2f\xfd":
+        # .warc.zst (newer Common Crawl drops): no zstd codec in this
+        # environment's stdlib; use it when present, else an honest
+        # error row rather than a misparse
+        try:
+            import zstandard  # noqa: F401
+        except ImportError:
+            raise ValueError(
+                "zstd-compressed WARC but no zstd codec available in this "
+                "environment (install zstandard)"
+            ) from None
+        dctx = zstandard.ZstdDecompressor()
+        data = dctx.decompress(data, max_output_size=MAX_WARC_FILE_BYTES)
+    elif data[:2] == b"\x1f\x8b":
         data = _gunzip_members(data, MAX_WARC_FILE_BYTES)
     if not data.startswith(b"WARC/"):
         raise ValueError("missing WARC version line")
