@@ -191,9 +191,19 @@ def run_extraction_job(
                 table_format
             ).save(f"{root}/metrics")
 
-        stats = written.agg(
-            F.count("*").alias("n"), F.coalesce(F.sum("out_bytes"), F.lit(0)).alias("b")
-        ).collect()[0]
+        # ledger totals come from the just-written METRICS partition (one
+        # tiny row per task partition) — re-aggregating `written` here
+        # cost a second full read of the bucket's output per wave
+        stats = (
+            spark.read.format(table_format)
+            .load(f"{root}/metrics")
+            .filter((F.col("bucket") == bucket) & (F.col("run_id") == run_id))
+            .agg(
+                F.coalesce(F.sum("doc_count"), F.lit(0)).alias("n"),
+                F.coalesce(F.sum("byte_count"), F.lit(0)).alias("b"),
+            )
+            .collect()[0]
+        )
         wall_ms = int((time.time() - t0) * 1000)
         ledger_row = spark.createDataFrame(
             [(run_id, bucket, n_buckets, stats.n, stats.b, wall_ms, "done", int(time.time() * 1000))],

@@ -57,7 +57,6 @@ PDF_OUTPUT_SCHEMA = StructType(
     ]
 )
 
-_OBJ_RX = re.compile(rb"\d+\s+0\s+obj\b(.*?)endobj", re.S)
 # keyword-anchored like _STREAM_START_RX: must not match the suffix of
 # words like "downstream\n" occurring before the real stream keyword
 _STREAM_RX = re.compile(rb"(?<![A-Za-z])stream\r?\n(.*?)\r?\nendstream", re.S)
@@ -66,12 +65,12 @@ _TOKEN_RX = re.compile(
     rb"""
     (?P<str>\((?:\\.|[^\\()])*\))      # (string) with escapes
   | (?P<hex><(?!<)[0-9A-Fa-f\s]*>)     # <hex string> (not a << dict >>)
-  | (?P<num>-?\d+(?:\.\d+)?)           # number
+  | (?P<num>-?(?:\d+(?:\.\d+)?|\.\d+))  # number (incl. leading-dot reals)
   | (?P<name>/[^\s/\[\]()<>{}%]+)      # /Name
   | (?P<arr>\[|\])
   | (?P<op>[A-Za-z'"]{1,3}\*?)         # operator
     """,
-    re.X,
+    re.X | re.S,  # DOTALL: a string's \\<EOL> continuation spans lines
 )
 
 _ESCAPES = {
@@ -90,6 +89,13 @@ def _unescape_pdf_string(raw: bytes) -> bytes:
         c = body[i : i + 1]
         if c == b"\\" and i + 1 < len(body):
             nxt = body[i + 1 : i + 2]
+            if nxt in (b"\n", b"\r"):
+                # line continuation (PDF 32000 7.3.4.2): backslash AND
+                # the EOL marker are both removed
+                i += 2
+                if nxt == b"\r" and body[i : i + 1] == b"\n":
+                    i += 1
+                continue
             if nxt in _ESCAPES:
                 out += _ESCAPES[nxt]
                 i += 2
@@ -287,18 +293,15 @@ def _page_tree_streams(
 
 def _content_streams(data: bytes) -> list[bytes]:
     """Fallback page model for catalog-less object soup: decoded
-    text-bearing content streams in object order."""
+    text-bearing content streams in object order.  Reuses the
+    STREAM-AWARE object scan (+_stream_data) — the naive non-greedy
+    ``(.*?)endobj`` regex this replaces truncated any compressed stream
+    whose bytes contain ``endobj``, exactly the corruption _objects was
+    hardened against."""
     streams = []
-    for m in _OBJ_RX.finditer(data):
-        body = m.group(1)
-        sm = _STREAM_RX.search(body)
-        if not sm:
-            continue
-        raw = sm.group(1)
-        head = body[: sm.start()]
-        if b"/FlateDecode" in head:
-            raw = zlib.decompress(raw)
-        if b"BT" in raw:
+    for body in _objects(data).values():
+        raw = _stream_data(body)
+        if raw is not None and b"BT" in raw:
             streams.append(raw)
     return streams
 
@@ -329,6 +332,7 @@ def _text_items(
     arr_parts: list[bytes] = []
     size = 11.0
     x = y = 0.0
+    leading = 0.0
     cur_font: tuple[int, dict[int, str]] | None = None
     for m in _TOKEN_RX.finditer(stream):
         kind = m.lastgroup
@@ -366,9 +370,20 @@ def _text_items(
             elif op in (b"Td", b"TD") and len(nums) >= 2:
                 x += nums[-2]
                 y += nums[-1]
+                if op == b"TD":  # TD also sets the leading to -ty
+                    leading = -nums[-1]
+            elif op == b"TL" and nums:
+                leading = nums[-1]
+            elif op == b"T*":
+                y -= leading
             elif op == b"Tm" and len(nums) >= 6:
                 x, y = nums[-2], nums[-1]
             elif op == b"Tj" and strs:
+                items.append((x, y, size, _map_string(strs[-1], cur_font)))
+            elif op in (b"'", b'"') and strs:
+                # move-and-show: next line, then show (the " variant's
+                # word/char spacing operands do not shift the baseline)
+                y -= leading
                 items.append((x, y, size, _map_string(strs[-1], cur_font)))
             elif op == b"TJ" and arr_parts:
                 items.append(
@@ -391,8 +406,12 @@ def parse_pdf_spans(data: bytes) -> tuple[list[dict], int, int]:
     """
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF (missing %PDF- header)")
-    if b"/Encrypt" in data:
-        raise ValueError("encrypted PDF not supported")
+    # encryption lives in the TRAILER dictionary — a whole-file substring
+    # scan falsely rejects readable PDFs that merely CONTAIN the bytes
+    # "/Encrypt" (e.g. documentation about PDF security)
+    for m in re.finditer(rb"trailer", data):
+        if b"/Encrypt" in data[m.end() : m.end() + 2048]:
+            raise ValueError("encrypted PDF not supported")
     paged = _page_tree_streams(_objects(data))
     if paged is None:  # catalog-less object soup: object-order fallback
         paged = [(s, {}) for s in _content_streams(data)]
@@ -411,11 +430,12 @@ def parse_pdf_spans(data: bytes) -> tuple[list[dict], int, int]:
     # lower-middle median: body text must win the tie in heading-heavy docs
     median_size = sizes[(len(sizes) - 1) // 2]
 
+    per_page: list[list] = [[] for _ in range(len(pages))]
+    for pg, it in all_items:  # one pass, not one rescan per page
+        per_page[pg].append(it)
     spans: list[dict] = []
     for p in range(len(pages)):
-        items = sorted(
-            (it for pg, it in all_items if pg == p), key=lambda it: (-it[1], it[0])
-        )
+        items = sorted(per_page[p], key=lambda it: (-it[1], it[0]))
         # group into lines by baseline proximity
         lines: list[tuple[float, float, str]] = []  # (y, size, text)
         for ix, iy, isz, itx in items:

@@ -116,6 +116,10 @@ def stateful_sessionize(
             for pdf in pdfs:
                 ts_all.append(pd.to_datetime(pdf["ts"]))
             ts = pd.concat(ts_all).sort_values() if ts_all else pd.Series(dtype="datetime64[ns]")
+            # a null ts becomes NaT, whose .value is int64-min — one such
+            # event would poison the persisted per-key state (sessions in
+            # year 1677); drop nulls, they carry no ordering information
+            ts = ts.dropna()
             for t in ts:
                 t_us = int(t.value // 1000)
                 if last_us is not None and t_us - last_us > gap_seconds * 1_000_000:
@@ -167,7 +171,10 @@ def windowed_event_counts(
         .groupBy(F.window(F.col(ts_col), window_duration), F.col("event_type"))
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+            # decimal(30,6): |value| up to 1e24 survives the cast —
+            # decimal(18,6) silently NULLED values >= 1e12, excluding
+            # them from the sum with no error
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
         )
         .select(
             F.col("window.start").alias("window_start"),
@@ -200,7 +207,16 @@ def dedup_documents_stream(
                 F.col("spans"), lambda s: F.coalesce(s["text"], F.lit(""))
             ),
         )
+        empty = F.col("spans").isNull() | (F.size("spans") == 0)
     else:
         text = F.col("text")
-    hashed = documents_stream.withColumn("content_hash", F.md5(text))
+        empty = F.col("text").isNull()
+    # contentless docs (null/empty spans — e.g. upstream error rows) must
+    # each survive: hashing them all to md5("")/NULL would dedup 100
+    # distinct failed docs into one and corrupt lineage accounting, so
+    # their "hash" is their own doc_id
+    content_hash = F.when(
+        empty, F.concat(F.lit("empty:"), F.col("doc_id").cast("string"))
+    ).otherwise(F.md5(text))
+    hashed = documents_stream.withColumn("content_hash", content_hash)
     return hashed.dropDuplicates(["content_hash"])

@@ -144,3 +144,93 @@ def test_mutated_pdfs_never_escape_error_contract():
             assert isinstance(spans, list)
         except Exception:
             pass  # any raise is fine; the Spark stage maps it to an error row
+
+
+def test_pdf_quote_operators_and_tstar_leading():
+    """Review finding: text shown with the ' and \" move-and-show
+    operators was silently dropped, and T* never advanced the baseline.
+    A TL-led stream using ', \", and T*+Tj must yield every line, in
+    top-to-bottom order."""
+    import scripts.build_fixture_data as bfd
+
+    from fetch_engines_spark.pdf import parse_pdf_spans
+
+    stream = (
+        b"BT /F1 11 Tf 14 TL 72 720 Td (first line) Tj "
+        b"(second line) ' "
+        b"1 2 (third line) \" "
+        b"T* (fourth line) Tj ET"
+    )
+    spans, n_pages, _ = parse_pdf_spans(bfd._pdf_bytes([stream]))
+    texts = [s["text"] for s in spans]
+    joined = " ".join(texts)
+    for part in ("first line", "second line", "third line", "fourth line"):
+        assert part in joined, (part, texts)
+    # order: each ' / " / T* moved DOWN one leading, so top-down order holds
+    flat = joined
+    assert flat.index("first") < flat.index("second") < flat.index("third") < flat.index("fourth")
+
+
+def test_pdf_leading_dot_reals_and_line_continuation():
+    """Review findings: '.5' must tokenize as 0.5 (not 5), and a
+    backslash-EOL continuation inside a literal string removes BOTH the
+    backslash and the newline."""
+    import scripts.build_fixture_data as bfd
+
+    from fetch_engines_spark.pdf import parse_pdf_spans
+
+    # two shows at y differing only by a leading-dot real: if '.5' parsed
+    # as 5, the baselines differ by 5pt and the 2pt line-merge splits them
+    stream = (
+        b"BT /F1 11 Tf 72 700 Td (left) Tj 40 -.5 Td (right) Tj ET"
+    )
+    spans, _, _ = parse_pdf_spans(bfd._pdf_bytes([stream]))
+    assert [s["text"] for s in spans] == ["left right"]
+
+    cont = b"BT /F1 11 Tf 72 700 Td (long\\\nstring) Tj ET"
+    spans2, _, _ = parse_pdf_spans(bfd._pdf_bytes([cont]))
+    assert [s["text"] for s in spans2] == ["longstring"]
+
+
+def test_pdf_encrypt_mention_in_content_is_not_rejected():
+    """Review finding: the /Encrypt check scanned the WHOLE file, so a
+    readable PDF whose text merely mentions /Encrypt was rejected; only
+    a trailer-dictionary /Encrypt means encryption."""
+    import scripts.build_fixture_data as bfd
+
+    import pytest as _pytest
+
+    from fetch_engines_spark.pdf import parse_pdf_spans
+
+    stream = b"BT /F1 11 Tf 72 700 Td (see the /Encrypt dictionary) Tj ET"
+    spans, _, _ = parse_pdf_spans(bfd._pdf_bytes([stream]))
+    assert spans and "/Encrypt" in spans[0]["text"]
+
+    # a REAL trailer /Encrypt still rejects
+    pdf = bytearray(bfd._pdf_bytes([stream]))
+    at = pdf.find(b"/Root 1 0 R")
+    pdf[at:at] = b"/Encrypt 9 0 R "
+    with _pytest.raises(ValueError, match="encrypted"):
+        parse_pdf_spans(bytes(pdf))
+
+
+def test_pdf_fallback_path_survives_endobj_inside_compressed_stream():
+    """Review finding: the catalog-less fallback used a naive object
+    regex that truncated compressed streams containing the bytes
+    'endobj'; it now reuses the stream-aware scan."""
+    import zlib as _z
+
+    import scripts.build_fixture_data as bfd
+
+    from fetch_engines_spark.pdf import parse_pdf_spans
+
+    # level-0 deflate emits STORED blocks, so plaintext containing
+    # 'endobj' appears verbatim in the compressed bytes
+    stream = b"BT /F1 11 Tf 72 700 Td (fallback text) Tj ET % endobj bait"
+    data = _z.compress(stream, 0)
+    assert b"endobj" in data
+    # object soup WITHOUT a catalog: one content-stream object only
+    obj = b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream" % (len(data), data)
+    pdf = bfd._assemble_pdf([obj])
+    spans, n_pages, _ = parse_pdf_spans(pdf)
+    assert [s["text"] for s in spans] == ["fallback text"]

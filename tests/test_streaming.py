@@ -188,3 +188,124 @@ def test_streaming_dedup_matches_batch_distinct(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) == 3
+
+
+def test_stream_dedup_contentless_docs_each_survive(spark, tmp_path):
+    """Review finding: docs with null/empty spans all hashed to md5('')
+    and dropDuplicates kept ONE of them — 99 distinct failed docs
+    silently vanished.  Contentless docs now key on their own doc_id."""
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, StringType, StructField, StructType)
+
+    from fetch_engines_spark.extract import SPAN_TYPE
+    from fetch_engines_spark.streaming import dedup_documents_stream
+
+    schema = StructType([
+        StructField("doc_id", StringType()),
+        StructField("spans", ArrayType(SPAN_TYPE)),
+    ])
+    span = {"kind": "html", "text": "<p>same</p>", "media_ref": None, "offset": 0}
+    rows = (
+        [(f"err{i}", None) for i in range(5)]
+        + [(f"empty{i}", []) for i in range(5)]
+        + [("dup-a", [span]), ("dup-b", [span])]
+    )
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, schema).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        dedup_documents_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(timeout=120)
+    got = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    # all 10 contentless docs survive; the genuine dup pair collapses to 1
+    assert {f"err{i}" for i in range(5)} <= got
+    assert {f"empty{i}" for i in range(5)} <= got
+    assert len(got & {"dup-a", "dup-b"}) == 1
+    assert len(got) == 11
+
+
+def test_windowed_counts_large_values_not_nulled(spark, tmp_path):
+    """Review finding: the decimal(18,6) cast NULLED |value| >= 1e12 and
+    silently excluded it from sum_value."""
+    import datetime
+
+    from pyspark.sql.types import (
+        DoubleType, StringType, StructField, StructType, TimestampType)
+
+    from fetch_engines_spark.streaming import windowed_event_counts
+
+    schema = StructType([
+        StructField("ts", TimestampType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ])
+    t = datetime.datetime(2024, 1, 1, 6, 0, 0)
+    rows = [(t, "big", 5.0e12), (t, "big", 2.5), (t + datetime.timedelta(days=3), "late", 1.0)]
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(rows, schema).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out_dir, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
+    q = (
+        windowed_event_counts(stream, window_duration="1 day", watermark_delay="1 hour")
+        .writeStream.format("parquet")
+        .option("path", out_dir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(timeout=120)
+    got = {r.event_type: r for r in spark.read.parquet(out_dir).collect()}
+    assert got["big"].n_events == 2
+    assert got["big"].sum_value == 5.0e12 + 2.5  # not nulled, not partial
+
+
+def test_sessionize_null_timestamps_do_not_poison_state(spark, tmp_path):
+    """Review finding: a null ts became NaT -> int64-min and poisoned the
+    per-key session state (sessions in year 1677)."""
+    import datetime
+
+    from pyspark.sql.types import (
+        LongType, StructField, StructType, TimestampType)
+
+    from fetch_engines_spark.streaming import stateful_sessionize
+
+    schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+    ])
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    # TWO batches (maxFilesPerTrigger=1): the null arrives in batch 1, so
+    # a poisoned last_us would PERSIST into state and batch 2's first
+    # event would close a garbage session (start/end in year 1677)
+    src = str(tmp_path / "ev")
+    spark.createDataFrame([(7, t0), (7, None)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(
+        [(7, t0 + datetime.timedelta(minutes=5)),
+         (7, t0 + datetime.timedelta(hours=3))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_dir, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
+    q = (
+        stateful_sessionize(stream, gap_seconds=1800, idle_timeout=False)
+        .writeStream.format("parquet")
+        .option("path", out_dir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(timeout=120)
+    got = sorted(spark.read.parquet(out_dir).collect(), key=lambda r: r.session_start)
+    # one sane session closed by the 3-hour gap; NO year-1677 garbage
+    # session from the poisoned batch-1 state
+    assert len(got) == 1, [str(r.session_start) for r in got]
+    r = got[0]
+    assert r.n_events == 2
+    assert str(r.session_start).startswith("2024-01-01 10:00")
+    assert str(r.session_end).startswith("2024-01-01 10:05")
