@@ -55,12 +55,19 @@ def curate_corpus(
             & (F.col("shared_window_bp") < max_shared_window_bp)
         )
     )
-    keeper = (
-        passed.groupBy(F.md5(text_col).alias("h"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    # keeper election as a WINDOW over the content hash (min doc_id wins)
+    # — the previous groupBy + self-semi-join planned the whole gate
+    # chain (incl. the fingerprint aggregation join) TWICE and re-ran
+    # the post-shuffle half per action; the window is one shuffle on the
+    # hash and the chain appears once
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(text_col)).orderBy("doc_id")
+    return (
+        passed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
-    return passed.join(keeper, "doc_id", "left_semi")
 
 
 def curation_stats(kept: DataFrame, group_col: str = "source") -> DataFrame:

@@ -44,11 +44,19 @@ def asof_join(
 
     Returns all left columns plus each requested right column as
     ``{prefix}{col}`` (null where no right row precedes the left row).
+
+    NULL semantics, pinned on both engines: right rows with a NULL key
+    or NULL timestamp are EXCLUDED (a join never matches NULL=NULL, and
+    an un-timestamped row has no place in the merge order — Spark sorts
+    nulls FIRST and DuckDB LAST, so leaving them in would also diverge
+    between the engines); left rows with a NULL key simply match
+    nothing (their partition holds no right rows).
     """
     right_cols = right_cols or []
     if tiebreak is None:
         raise ValueError("asof_join needs a unique right-side tiebreak column")
     payload_cols = list(dict.fromkeys([*right_cols, right_ts, tiebreak]))
+    right = right.filter(F.col(on).isNotNull() & F.col(right_ts).isNotNull())
     r = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_ts"),
@@ -66,7 +74,7 @@ def asof_join(
     unioned = r.withColumn("_lp", F.lit(None).cast(l.schema["_lp"].dataType)).unionByName(l)
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.asc("_ts"), F.asc("_tag"), F.asc_nulls_last("_tb"))
+        .orderBy(F.asc_nulls_last("_ts"), F.asc("_tag"), F.asc_nulls_last("_tb"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (
@@ -98,7 +106,7 @@ def asof_join_oracle_sql(
     out_right = ", ".join(f"_m.{c} AS {prefix}{c}" for c in payload_cols)
     return f"""
 WITH l_src AS ({left_sql}),
-r_src AS ({right_sql}),
+r_src AS (SELECT * FROM ({right_sql}) WHERE {on} IS NOT NULL AND {right_ts} IS NOT NULL),
 u AS (
   SELECT {on} AS _k, {right_ts} AS _ts, {tiebreak} AS _tb, 0 AS _tag,
          struct_pack({r_payload}) AS _rp, NULL AS _lp
@@ -110,7 +118,7 @@ u AS (
 ),
 m AS (
   SELECT *, last_value(_rp IGNORE NULLS) OVER (
-    PARTITION BY _k ORDER BY _ts ASC, _tag ASC, _tb ASC NULLS LAST
+    PARTITION BY _k ORDER BY _ts ASC NULLS LAST, _tag ASC, _tb ASC NULLS LAST
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
   ) AS _m
   FROM u

@@ -73,9 +73,19 @@ def quality_columns(text_col: str = "text") -> dict:
     n_tokens = token_count_whitespace(t)
     n_punct = punct_count(t)
     n_stop = marker_hits(t, LANG_MARKERS["en"])
-    punct_ratio_bp = F.floor(n_punct * 10000 / F.greatest(n_chars, F.lit(1)))
-    stop_ratio_bp = F.floor(n_stop * 10000 / F.greatest(n_tokens, F.lit(1)))
-    mean_token_len_cp = F.floor(n_chars * 100 / F.greatest(n_tokens, F.lit(1)))
+    # widen to LONG before the x10000/x100 scaling: length()/size() are
+    # int32, and under this repo's ANSI-on sessions a ~215k-punct doc
+    # would THROW ARITHMETIC_OVERFLOW (ANSI off: silent negatives) —
+    # DuckDB's len() is int64, so the oracle could never catch it
+    punct_ratio_bp = F.floor(
+        n_punct.cast("long") * 10000 / F.greatest(n_chars, F.lit(1))
+    )
+    stop_ratio_bp = F.floor(
+        n_stop.cast("long") * 10000 / F.greatest(n_tokens, F.lit(1))
+    )
+    mean_token_len_cp = F.floor(
+        n_chars.cast("long") * 100 / F.greatest(n_tokens, F.lit(1))
+    )
     score = (
         F.least(F.lit(5), F.floor(n_tokens / 100))
         + F.when((stop_ratio_bp >= 100) & (stop_ratio_bp <= 6000), 2).otherwise(0)
@@ -156,8 +166,11 @@ def repetition_columns(text_col: str = "text") -> dict:
     w = F.split(t, " ")
     n_words = F.size(w)
     n_chars = F.length(t)
+    # int32 counts widen to LONG before x10000 (see quality_columns: the
+    # repetitive spam these gates exist to catch is exactly what overflows)
     dup_word_bp = F.floor(
-        (n_words - F.size(F.array_distinct(w))) * 10000 / F.greatest(n_words, F.lit(1))
+        (n_words - F.size(F.array_distinct(w))).cast("long") * 10000
+        / F.greatest(n_words, F.lit(1))
     )
 
     g2_sorted = F.array_sort(shingles(t, 2))
@@ -189,12 +202,16 @@ def repetition_columns(text_col: str = "text") -> dict:
         ),
     )
     top_bigram_char_bp = F.floor(
-        best["best_run"] * F.length(best["best_gram"]) * 10000 / F.greatest(n_chars, F.lit(1))
+        best["best_run"].cast("long")
+        * F.length(best["best_gram"])
+        * 10000
+        / F.greatest(n_chars, F.lit(1))
     )
 
     g5 = shingles(t, 5)
     dup_5gram_bp = F.floor(
-        (F.size(g5) - F.size(F.array_distinct(g5))) * 10000 / F.greatest(F.size(g5), F.lit(1))
+        (F.size(g5) - F.size(F.array_distinct(g5))).cast("long") * 10000
+        / F.greatest(F.size(g5), F.lit(1))
     )
 
     flagged = (
@@ -511,17 +528,47 @@ def count_min_sketch(
     )
 
 
+def cms_merge(sketches: list[DataFrame]) -> DataFrame:
+    """Merge per-shard/per-day sketches into one: cell-wise SUM over
+    (row, col) — the mergeability property.  A bare union is NOT a valid
+    sketch: duplicate (row, col) cells would make :func:`cms_estimate`'s
+    min() pick one shard's PARTIAL count, an underestimate the structure
+    must never produce.  Mismatched depth/width raise (different grids
+    share no cells)."""
+    merged = sketches[0]
+    for sk in sketches[1:]:
+        merged = merged.unionByName(sk)
+    params = merged.select("depth", "width").distinct().limit(2).collect()
+    if len(params) > 1:
+        raise ValueError(
+            "cms_merge: sketches have mismatched depth/width "
+            f"({[tuple(r) for r in params]}) — different grids share no cells"
+        )
+    return merged.groupBy("row", "col", "depth", "width").agg(
+        F.sum("n").alias("n")
+    )
+
+
 def cms_estimate(sketch: DataFrame, tokens: list[str]) -> DataFrame:
     """Point-query the count-min sketch for a fixed probe set: estimate =
     min over rows of the token's cell (never underestimates; overshoots
     by at most ~corpus_tokens/width with high probability).  depth/width
     come FROM the sketch's metadata columns — callers cannot probe with
-    mismatched parameters.  The probe side is a literal-derived tiny
-    frame; the bounded (≤ depth·width row) sketch is the broadcast/build
-    side of the left join, so the probe lookup never shuffles."""
-    meta = sketch.select("depth", "width").first()
-    if meta is None:
+    mismatched parameters, and a sketch with MIXED metadata (a bare
+    union of shards — use :func:`cms_merge`) raises instead of silently
+    probing one arbitrary grid.  The probe side is a literal-derived
+    tiny frame; the bounded (≤ depth·width row) sketch is the
+    broadcast/build side of the left join, so the probe lookup never
+    shuffles."""
+    params = sketch.select("depth", "width").distinct().limit(2).collect()
+    if not params:
         raise ValueError("empty sketch (no cells — was the corpus empty?)")
+    if len(params) > 1:
+        raise ValueError(
+            "cms_estimate: sketch carries mixed depth/width "
+            f"({[tuple(r) for r in params]}) — merge shards with cms_merge first"
+        )
+    meta = params[0]
     depth, width = meta["depth"], meta["width"]
     spark = sketch.sparkSession
     probes = spark.createDataFrame([(t,) for t in tokens], "token string")
@@ -740,13 +787,21 @@ def fingerprint(text: Column) -> Column:
 
 # --- matching DuckDB SQL fragments (oracle twins) ---------------------------
 
-LANG_ID_SQL = """
+def _markers_in(lang: str) -> str:
+    """IN-list fragment GENERATED from LANG_MARKERS — the twins below must
+    not hand-copy the marker words (edits to the tuple would silently
+    desynchronize the oracle; see urls.registered_domain_sql for the
+    governing pattern)."""
+    return ",".join(f"'{w}'" for w in LANG_MARKERS[lang])
+
+
+LANG_ID_SQL = f"""
 WITH hits AS (
   SELECT doc_id, lang, text,
-    len(list_filter(string_split(text, ' '), w -> w IN ('the','and','of','to','in','is'))) AS hits_en,
-    len(list_filter(string_split(text, ' '), w -> w IN ('der','die','und','das','ist','nicht'))) AS hits_de,
-    len(list_filter(string_split(text, ' '), w -> w IN ('el','la','los','que','de','es'))) AS hits_es,
-    len(list_filter(string_split(text, ' '), w -> w IN ('le','les','et','est','une','dans'))) AS hits_fr
+    len(list_filter(string_split(text, ' '), w -> w IN ({_markers_in('en')}))) AS hits_en,
+    len(list_filter(string_split(text, ' '), w -> w IN ({_markers_in('de')}))) AS hits_de,
+    len(list_filter(string_split(text, ' '), w -> w IN ({_markers_in('es')}))) AS hits_es,
+    len(list_filter(string_split(text, ' '), w -> w IN ({_markers_in('fr')}))) AS hits_fr
   FROM documents
 )
 SELECT doc_id, hits_en, hits_de, hits_es, hits_fr,
@@ -760,14 +815,14 @@ SELECT doc_id, hits_en, hits_de, hits_es, hits_fr,
 FROM hits
 """
 
-QUALITY_SQL = """
+QUALITY_SQL = f"""
 WITH f AS (
   SELECT doc_id,
     length(text) AS n_chars_computed,
     len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
     len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens_bpe,
     len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
-    len(list_filter(string_split(text, ' '), w -> w IN ('the','and','of','to','in','is'))) AS n_stop
+    len(list_filter(string_split(text, ' '), w -> w IN ({_markers_in('en')}))) AS n_stop
   FROM documents
 )
 SELECT doc_id, n_chars_computed, n_tokens, n_tokens_bpe, n_punct,

@@ -112,9 +112,13 @@ def url_parts(url: Column) -> dict[str, Column]:
     u = F.regexp_replace(F.trim(url), r"#.*", "")  # fragment off first
     scheme = F.lower(F.regexp_extract(u, _SCHEME_RX, 1))
     after = F.regexp_replace(u, _SCHEME_RX, "")
-    # raw (pre-userinfo-strip) authority — its length anchors the path slice
-    hostport_raw = F.lower(F.regexp_extract(after, r"^([^/?]*)", 1))
-    pathq = F.substring(after, F.length(hostport_raw) + 1, F.lit(1 << 30))
+    # raw (pre-userinfo-strip) authority — its UN-lowered length anchors
+    # the path slice: full-case lowercasing can CHANGE the length
+    # (U+0130 İ → i̇ is two chars), which would shift the slice into the
+    # path and swallow its leading '/'
+    authority = F.regexp_extract(after, r"^([^/?]*)", 1)
+    hostport_raw = F.lower(authority)
+    pathq = F.substring(after, F.length(authority) + 1, F.lit(1 << 30))
     path = F.regexp_extract(pathq, r"^([^?]*)", 1)
     query = F.regexp_extract(pathq, r"\?(.*)$", 1)
     hostport = F.regexp_replace(hostport_raw, _USERINFO_RX, "")

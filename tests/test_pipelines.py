@@ -1975,3 +1975,88 @@ def test_warc_ingest_end_to_end_extraction(spark):
     # corrupt files -> one error row each
     bad = read_warc(spark, os.path.join(fx, "warc_bad")).collect()
     assert len(bad) == 2 and all(r.error and r.error.startswith("ERR_WARC") for r in bad)
+
+
+def test_quality_and_repetition_survive_megadoc_overflow(spark):
+    """Review finding: int32 counts x10000 overflowed (ANSI-on sessions
+    THROW) on exactly the spam docs the Gopher gates exist to catch; a
+    4 MB 'buy now' doc and a 320k-punct doc must score, not crash."""
+    from fetch_engines_spark.pipelines.text import quality_features, repetition_features
+
+    docs = spark.createDataFrame(
+        [(1, "buy now " * 500_000), (2, "!!!!!!!!" * 40_000)],
+        "doc_id long, text string",
+    )
+    q = {r.doc_id: r for r in quality_features(docs).collect()}
+    r = {r.doc_id: r for r in repetition_features(docs).collect()}
+    assert q[2].punct_ratio_bp == 10000
+    assert r[1].dup_word_bp >= 9990 and r[1].repetition_flagged
+    assert r[1].top_bigram_char_bp > 0
+
+
+def test_asof_join_null_key_and_null_ts_semantics(spark):
+    """Review findings: right rows with null key/ts are EXCLUDED (Spark
+    sorted null ts FIRST vs DuckDB LAST — divergent and wrong), and
+    null-key left rows match nothing instead of soaking up other
+    null-key rows' payloads."""
+    from fetch_engines_spark.pipelines.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "l1"), (None, 100, "l-null")],
+        "k long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 50, 10, "ok"), (1, None, 11, "null-ts"), (None, 40, 12, "null-key")],
+        "k long, ts long, rid long, what string",
+    )
+    out = {r.tag: r for r in asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        right_cols=["what"], tiebreak="rid",
+    ).collect()}
+    assert out["l1"].asof_what == "ok"          # real match
+    assert out["l-null"].asof_what is None      # null key matches nothing
+
+
+def test_url_lowercase_length_does_not_shift_path(spark):
+    """Review finding: lowering U+0130 'İ' grows the string, which
+    shifted the path slice and swallowed the '/'."""
+    from pyspark.sql import functions as F
+
+    from fetch_engines_spark.pipelines.urls import canonicalize_url
+
+    df = spark.createDataFrame([("http://İx.com/page?a=1",)], "url string")
+    (got,) = df.select(canonicalize_url(F.col("url")).alias("c")).collect()
+    assert got.c.endswith("/page?a=1"), got.c
+
+
+def test_cms_merge_sums_cells_and_guards_metadata(spark):
+    """Review finding: a bare union of shard sketches let cms_estimate
+    min() over PARTIAL per-shard counts (underestimate) or probe an
+    arbitrary grid on mixed metadata; cms_merge sums cells and both
+    functions raise on mixed depth/width."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from fetch_engines_spark.pipelines.text import (
+        cms_estimate,
+        cms_merge,
+        count_min_sketch,
+    )
+
+    day1 = spark.createDataFrame([(1, "alpha " * 5)], "doc_id long, text string")
+    day2 = spark.createDataFrame([(2, "alpha " * 7)], "doc_id long, text string")
+    s1 = count_min_sketch(day1, depth=4, width=64)
+    s2 = count_min_sketch(day2, depth=4, width=64)
+    merged = cms_merge([s1, s2])
+    est = cms_estimate(merged, ["alpha"]).collect()[0].cms_estimate
+    assert est >= 12  # never-underestimate holds across the merge
+    # a BARE union would underestimate via min() over partials
+    bare = s1.unionByName(s2)
+    bad = cms_estimate(bare, ["alpha"]).collect()[0].cms_estimate
+    assert bad < 12  # demonstrates why cms_merge exists
+    s3 = count_min_sketch(day2, depth=4, width=128)
+    with _pytest.raises(ValueError, match="mismatched depth/width"):
+        cms_merge([s1, s3])
+    with _pytest.raises(ValueError, match="mixed depth/width"):
+        cms_estimate(s1.unionByName(s3), ["alpha"])
