@@ -582,9 +582,7 @@ def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fetch_engines_spark.pipelines.similarity import brute_force_topk
 
     emb = _read(spark, sf_dir, "embeddings")
-    return brute_force_topk(emb, k=5, query_ids=list(range(10))).withColumnRenamed(
-        "rank", "rnk"
-    )
+    return brute_force_topk(emb, k=5, query_ids=list(range(10)))
 
 
 def _q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1374,12 +1372,22 @@ def _q_span_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _fixture(spark, "documents_spans")
     produced = extract_spans(docs, keep_markdown=False).select("doc_id", "spans")
+    # offset-first struct so array_sort yields span order — the report
+    # joins on array POSITION, so golden arrays must be offset-ordered
     golden = (
         _fixture(spark, "expected_spans")
         .groupBy("doc_id")
         .agg(
-            F.array_sort(
-                F.collect_list(F.struct("kind", "text", "media_ref", "offset"))
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("offset", "kind", "text", "media_ref"))
+                ),
+                lambda s: F.struct(
+                    s["kind"].alias("kind"),
+                    s["text"].alias("text"),
+                    s["media_ref"].alias("media_ref"),
+                    s["offset"].alias("offset"),
+                ),
             ).alias("spans")
         )
     )

@@ -133,12 +133,57 @@ def spans_to_markdown(spans: list[dict]) -> str:
 # --- the UDF ----------------------------------------------------------------
 
 
+def _convert_document(converter, assemble, base_url, source_url, max_content_length):
+    """The per-document conversion chain shared by both batch adapters
+    (mapInPandas and mapInArrow): assemble → preprocess → to_markdown (with
+    the cleanup fallback, parity FetchEngine.ts:138-141) → postprocess →
+    source-url injection → markdown_to_spans, with the per-doc error
+    taxonomy.  ``assemble`` is a zero-arg callable returning the html
+    string so each adapter keeps its own assembly strategy while the
+    conversion+fallback logic exists exactly once.
+
+    Returns ``(title, markdown, error, out_spans, in_bytes)``.
+    """
+    from .convert.converter import inject_source_url, postprocess_markdown
+    from .convert.serialize import to_markdown
+
+    error = None
+    title = ""
+    markdown = ""
+    in_bytes = 0
+    try:
+        html = assemble() or ""
+        in_bytes = len(html.encode("utf-8", "ignore"))
+        content, title = converter.preprocess(html, base_url)
+        if isinstance(content, str):
+            markdown = content
+            error = "ERR_PREPROCESS_FALLBACK"
+        else:
+            try:
+                markdown = to_markdown(content)
+            except Exception:
+                # serialization fallback = cleaned raw input
+                # (parity: FetchEngine.ts:138-141)
+                from .convert.converter import cleanup_content_html, cleanup_html
+
+                markdown = cleanup_content_html(cleanup_html(html))
+                error = "ERR_MARKDOWN_CONVERSION_FALLBACK"
+        markdown = postprocess_markdown(markdown, max_content_length)
+        if source_url:
+            markdown = inject_source_url(markdown, source_url)
+        out_spans = markdown_to_spans(markdown) if markdown else []
+    except Exception as exc:  # never fail the stage on one bad doc
+        error = f"ERR_EXTRACTION: {type(exc).__name__}: {exc}"[:500]
+        out_spans = []
+        markdown = ""
+    return title, markdown, error, out_spans, in_bytes
+
+
 def _extract_batches(
     batches: Iterator[pd.DataFrame], max_content_length: int | None = None
 ) -> Iterator[pd.DataFrame]:
     # Import inside the worker so the zipped --py-files package resolves.
-    from .convert.converter import MarkdownConverter, inject_source_url, postprocess_markdown
-    from .convert.serialize import to_markdown
+    from .convert.converter import MarkdownConverter
     from .fixtures import assemble_html
 
     converter = MarkdownConverter()
@@ -153,37 +198,16 @@ def _extract_batches(
             spans_in = row.spans if row.spans is not None else []
             base_url = getattr(row, "base_url", None) if has_base else None
             source_url = getattr(row, "source_url", None) if has_source else None
-            error = None
-            title = ""
-            markdown = ""
-            in_bytes = 0
-            try:
-                # Arrow delivers struct elements as dicts; accept Rows too.
-                spans_list = [
-                    s if isinstance(s, dict) else s.asDict() for s in spans_in
-                ]
-                html = assemble_html(spans_list)
-                in_bytes = len(html.encode("utf-8", "ignore"))
-                content, title = converter.preprocess(html, base_url)
-                if isinstance(content, str):
-                    markdown = content
-                    error = "ERR_PREPROCESS_FALLBACK"
-                else:
-                    try:
-                        markdown = to_markdown(content)
-                    except Exception:
-                        from .convert.converter import cleanup_content_html, cleanup_html
-
-                        markdown = cleanup_content_html(cleanup_html(html))
-                        error = "ERR_MARKDOWN_CONVERSION_FALLBACK"
-                markdown = postprocess_markdown(markdown, max_content_length)
-                if source_url:
-                    markdown = inject_source_url(markdown, source_url)
-                out_spans = markdown_to_spans(markdown) if markdown else []
-            except Exception as exc:  # never fail the stage on one bad doc
-                error = f"ERR_EXTRACTION: {type(exc).__name__}: {exc}"[:500]
-                out_spans = []
-                markdown = ""
+            # Arrow delivers struct elements as dicts; accept Rows too.
+            title, markdown, error, out_spans, in_bytes = _convert_document(
+                converter,
+                lambda: assemble_html(
+                    [s if isinstance(s, dict) else s.asDict() for s in spans_in]
+                ),
+                base_url,
+                source_url,
+                max_content_length,
+            )
             wall_us = int((time.perf_counter() - t0) * 1_000_000)
             out["doc_id"].append(doc_id)
             out["title"].append(title)
@@ -208,8 +232,7 @@ def _extract_arrow_batches(
     the content; at corpus scale this halves the stage's output bytes)."""
     import pyarrow as pa
 
-    from .convert.converter import MarkdownConverter, inject_source_url, postprocess_markdown
-    from .convert.serialize import to_markdown
+    from .convert.converter import MarkdownConverter
 
     converter = MarkdownConverter()
     span_type = pa.struct(
@@ -241,50 +264,31 @@ def _extract_arrow_batches(
             cols["source_url"].to_pylist() if "source_url" in cols else [None] * len(doc_ids)
         )
         o_title, o_spans, o_md, o_err, o_in, o_out, o_wall = [], [], [], [], [], [], []
+
+        def assemble(i):
+            if htmls is not None:
+                return htmls[i] or ""
+            spans_in = spans_col[i] or []
+            # null offsets order last, stable — the same explicit
+            # rule as html_assembly_expr's JVM comparator
+            return "".join(
+                s["text"]
+                for s in sorted(
+                    spans_in,
+                    key=lambda s: (s["offset"] is None, s["offset"] or 0),
+                )
+                if s["kind"] == "html" and s["text"]
+            )
+
         for i, doc_id in enumerate(doc_ids):
             t0 = time.perf_counter()
-            error = None
-            title = ""
-            markdown = ""
-            in_bytes = 0
-            try:
-                if htmls is not None:
-                    html = htmls[i] or ""
-                else:
-                    spans_in = spans_col[i] or []
-                    # null offsets order last, stable — the same explicit
-                    # rule as html_assembly_expr's JVM comparator
-                    html = "".join(
-                        s["text"]
-                        for s in sorted(
-                            spans_in,
-                            key=lambda s: (s["offset"] is None, s["offset"] or 0),
-                        )
-                        if s["kind"] == "html" and s["text"]
-                    )
-                in_bytes = len(html.encode("utf-8", "ignore"))
-                content, title = converter.preprocess(html, base_urls[i])
-                if isinstance(content, str):
-                    markdown = content
-                    error = "ERR_PREPROCESS_FALLBACK"
-                else:
-                    try:
-                        markdown = to_markdown(content)
-                    except Exception:
-                        # serialization fallback = cleaned raw input
-                        # (parity: FetchEngine.ts:138-141)
-                        from .convert.converter import cleanup_content_html, cleanup_html
-
-                        markdown = cleanup_content_html(cleanup_html(html))
-                        error = "ERR_MARKDOWN_CONVERSION_FALLBACK"
-                markdown = postprocess_markdown(markdown, max_content_length)
-                if source_urls[i]:
-                    markdown = inject_source_url(markdown, source_urls[i])
-                out_spans = markdown_to_spans(markdown) if markdown else []
-            except Exception as exc:
-                error = f"ERR_EXTRACTION: {type(exc).__name__}: {exc}"[:500]
-                out_spans = []
-                markdown = ""
+            title, markdown, error, out_spans, in_bytes = _convert_document(
+                converter,
+                lambda: assemble(i),
+                base_urls[i],
+                source_urls[i],
+                max_content_length,
+            )
             o_title.append(title)
             o_spans.append(out_spans)
             o_md.append(markdown if emit_markdown else None)
@@ -374,7 +378,9 @@ def extract_spans(
     df = documents
     if num_partitions:
         df = salted_repartition(df, num_partitions)
-    cols = [c for c in ("doc_id", "base_url", "canonical_url", "source_url", "spans") if c in df.columns]
+    # canonical_url is part of the documents contract but unused by the
+    # conversion chain — excluding it here keeps it off the Arrow boundary
+    cols = [c for c in ("doc_id", "base_url", "source_url", "spans") if c in df.columns]
     sel = df.select(*cols)
     if use_arrow and assemble_in_jvm and hasattr(sel, "mapInArrow"):
         sel = sel.withColumn("html", html_assembly_expr("spans")).drop("spans")
@@ -405,9 +411,17 @@ def extract_spans(
 def span_equality_report(produced: DataFrame, expected: DataFrame) -> DataFrame:
     """Per-doc span-sequence equality on (kind, text, media_ref, order).
 
-    posexplode both sides, full-outer join on (doc_id, offset), any
-    mismatch on (kind, text, media_ref) fails the doc.  Returns
+    posexplode both sides, full-outer join on (doc_id, pos) — the array
+    POSITION, which is what "order" means in the north-rule invariant —
+    any mismatch on (kind, text, media_ref) fails the doc.  Returns
     ``(doc_id, n_mismatched, equal)``.
+
+    Joining on position (not the span's own offset field) keeps the report
+    correct for contract-violating inputs: a null or duplicated offset
+    would null-out or fan-out an offset-keyed join and report mismatches
+    between identical sequences.  Callers must therefore hand in arrays in
+    span order (extraction output already is; golden fixtures sort by
+    offset at assembly).
     """
 
     def explode(df: DataFrame, prefix: str) -> DataFrame:
@@ -415,7 +429,7 @@ def span_equality_report(produced: DataFrame, expected: DataFrame) -> DataFrame:
             "doc_id", F.posexplode_outer("spans").alias("pos", "span")
         ).select(
             "doc_id",
-            F.col("span.offset").alias("offset"),
+            "pos",
             F.col("span.kind").alias(f"{prefix}_kind"),
             F.col("span.text").alias(f"{prefix}_text"),
             F.col("span.media_ref").alias(f"{prefix}_media_ref"),
@@ -423,7 +437,7 @@ def span_equality_report(produced: DataFrame, expected: DataFrame) -> DataFrame:
 
     p = explode(produced, "p")
     e = explode(expected, "e")
-    joined = p.join(e, ["doc_id", "offset"], "full_outer")
+    joined = p.join(e, ["doc_id", "pos"], "full_outer")
     mismatch = (
         (~F.col("p_kind").eqNullSafe(F.col("e_kind")))
         | (~F.col("p_text").eqNullSafe(F.col("e_text")))

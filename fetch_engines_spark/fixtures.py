@@ -687,7 +687,10 @@ def assemble_html(spans: list[dict]) -> str:
     inside the html fragments)."""
     ordered = sorted(
         (s for s in spans if s.get("kind") == "html" and s.get("text")),
-        key=lambda s: s["offset"],
+        # null offsets order last, stable — the same explicit rule as
+        # html_assembly_expr's JVM comparator and the Arrow fallback, so
+        # every assembly path agrees on contract-violating inputs
+        key=lambda s: (s["offset"] is None, s["offset"] if s["offset"] is not None else 0),
     )
     return "".join(s["text"] for s in ordered)
 

@@ -71,9 +71,9 @@ def brute_force_topk(
         F.desc("cosine_bp"), F.asc("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine_bp", "rank")
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine_bp", "rnk")
     )
 
 
@@ -235,8 +235,13 @@ def lsh_topk(
     c = with_bucket.select(
         F.col("vid").alias("neighbor_id"), F.col("vec").alias("cv"), F.col("bucket")
     )
+    # Broadcast only when the query side is a bounded id list; in all-pairs
+    # mode (query_ids=None) q IS the corpus and must shuffle-join instead —
+    # an unconditional broadcast would ship the whole corpus to every
+    # executor (same rule as brute_force_topk / lsh_topk_multi).
+    q_side = F.broadcast(q) if query_ids is not None else q
     scored = (
-        F.broadcast(q)
+        q_side
         .join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
@@ -247,9 +252,9 @@ def lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_bp"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine_bp", "rank")
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine_bp", "rnk")
     )
 
 

@@ -285,7 +285,44 @@ def test_jvm_assembly_matches_python_assembly(spark):
         r.doc_id: (r.title, [tuple(s) for s in (r.spans or [])], r.error)
         for r in extract_spans(docs, assemble_in_jvm=False).collect()
     }
+    # the mapInPandas adapter (fixtures.assemble_html) must agree too —
+    # including on null offsets, which once raised TypeError in its sort
+    c = {
+        r.doc_id: (r.title, [tuple(s) for s in (r.spans or [])], r.error)
+        for r in extract_spans(docs, use_arrow=False).collect()
+    }
     assert a == b
+    assert a == c
     assert a["x-out-of-order"][1]  # content extracted from reordered spans
     assert a["x-null-offset"][2] is None  # tolerated, not an ERR_EXTRACTION row
     assert "head" in " ".join(s[1] or "" for s in a["x-null-offset"][1])
+
+
+def test_span_equality_report_joins_on_position(spark):
+    """Identical span sequences must report equal even when offsets are
+    duplicated or null (the report keys on array position, not the span's
+    own offset field — an offset-keyed join fans out on duplicates and
+    never matches nulls, reporting mismatches between identical sides)."""
+    from fetch_engines_spark.extract import span_equality_report
+
+    schema = (
+        "doc_id string, "
+        "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    )
+    rows = [
+        # duplicate offsets, byte-identical sides
+        ("dup", [("text", "X", None, 5), ("text", "Y", None, 5)]),
+        # null offsets, byte-identical sides
+        ("nul", [("text", "A", None, None), ("image", None, "m1", None)]),
+        ("empty", []),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    report = {r.doc_id: r.equal for r in span_equality_report(df, df).collect()}
+    assert report == {"dup": True, "nul": True, "empty": True}
+
+    # order is part of the invariant: same multiset, different sequence
+    swapped = spark.createDataFrame(
+        [("dup", [("text", "Y", None, 5), ("text", "X", None, 5)])], schema
+    )
+    bad = span_equality_report(df.filter(F.col("doc_id") == "dup"), swapped).collect()
+    assert bad[0].equal is False and bad[0].n_mismatched == 2

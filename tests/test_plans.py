@@ -253,3 +253,24 @@ def test_fuzzy_decontamination_corpus_never_sort_merge_joins(spark):
     plan = plan_of(df)
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_lsh_topk_allpairs_does_not_broadcast_corpus(spark):
+    """lsh_topk in all-pairs mode (query_ids=None): the query side IS the
+    corpus, so it must not carry a FORCED broadcast hint — a hint there
+    ships the whole corpus to every executor regardless of its size and
+    dies at scale.  (Catalyst may still auto-broadcast a side it MEASURES
+    as small — that is correct and size-bounded, so the gate inspects the
+    analyzed plan for the hint, not the physical join choice.)  With a
+    bounded query list the explicit broadcast IS the right plan."""
+    from fetch_engines_spark.pipelines.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+
+    def analyzed(df) -> str:
+        return df._jdf.queryExecution().analyzed().toString()
+
+    assert "hint" not in analyzed(lsh_topk(emb, k=3, num_planes=2, dims=8)).lower()
+    bounded = lsh_topk(emb, k=3, num_planes=2, dims=8, query_ids=[0, 1])
+    assert "hint" in analyzed(bounded).lower()
+    assert "BroadcastHashJoin" in plan_of(bounded)
