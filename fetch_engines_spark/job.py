@@ -301,7 +301,18 @@ def main(argv: list[str] | None = None) -> int:
             if args.input_format == "warc":
                 from .warc import read_warc, warc_html_documents
 
-                documents = warc_html_documents(read_warc(spark, args.input))
+                # Stage the parsed documents to parquet BEFORE the bucket
+                # loop: run_extraction_job re-evaluates its input per
+                # bucket (filter + isEmpty), and bucket pruning cannot
+                # push below mapInPandas — feeding the lazy WARC plan in
+                # directly would re-read, re-gunzip and re-parse the whole
+                # crawl ~2x per bucket.  The underscore prefix keeps the
+                # staging dir invisible to parquet readers of the root.
+                staged = f"{args.output.rstrip('/')}/_staged_documents"
+                warc_html_documents(read_warc(spark, args.input)).write.mode(
+                    "overwrite"
+                ).parquet(staged)
+                documents = spark.read.parquet(staged)
             else:
                 documents = spark.read.parquet(args.input)
             summary = run_extraction_job(

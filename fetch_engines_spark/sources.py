@@ -70,10 +70,10 @@ def read_events_csv(
     parsed = raw.withColumn(
         "_row", F.from_csv(F.col("_raw"), schema_ddl, {"mode": "PERMISSIVE"})
     )
-    import re
-
-    # split on commas outside parentheses (DECIMAL(18,2) etc.)
-    names = [p.strip().split()[0] for p in re.split(r",(?![^(]*\))", schema_ddl)]
+    # Spark's own DDL parser handles every form (DECIMAL(18,2),
+    # STRUCT<a: INT, ...>) — a hand-rolled comma split mis-parses
+    # angle-bracket types
+    names = StructType.fromDDL(schema_ddl).fieldNames()
     # a row is corrupt if it failed to parse or its leading (required)
     # fields are null — a truncated line parses its first cell and nulls
     # the rest, which schema enforcement must also quarantine

@@ -33,32 +33,98 @@ from pyspark.sql.types import (
 )
 
 MAX_WARC_RECORD_BYTES = 64 * 1024 * 1024  # one record's block
-MAX_WARC_FILE_BYTES = 1 * 1024 * 1024 * 1024  # total inflated per file
+# Total inflated bytes per file.  A production ~1 GB .warc.gz inflates to
+# ~3-5 GB (CC targets the COMPRESSED size), so the cap must clear that
+# with headroom while still bounding a decompression bomb well below
+# executor memory.
+MAX_WARC_FILE_BYTES = 8 * 1024 * 1024 * 1024
 
 
 def _gunzip_members(data: bytes, max_total: int) -> bytes:
     """Concatenated gzip members → inflated bytes (the WARC layout gzips
-    each record as its own member; stdlib zlib walks them via
-    unused_data).  Bounded: raises past ``max_total``."""
+    each record as its own member).  Offset-based walk: each member's
+    decompressobj is fed bounded memoryview chunks, so per-member cost is
+    proportional to the member's own size — a tail re-slice per member
+    (``rest = d.unused_data``) is quadratic over the ~50k members of a
+    production archive.  Bounded: raises past ``max_total``."""
     import zlib as _z
 
     out = bytearray()
-    rest = data
-    while rest[:2] == b"\x1f\x8b":
+    mv = memoryview(data)
+    pos, n = 0, len(data)
+    chunk_size = 1 << 20
+    while pos < n:
+        if data[pos : pos + 2] != b"\x1f\x8b":
+            # NUL padding after the last member is tolerated; anything
+            # else is trailing garbage
+            if data.count(0, pos) != n - pos:
+                raise ValueError("trailing bytes after the last gzip member")
+            break
         d = _z.decompressobj(wbits=31)
-        out += d.decompress(rest, max_total + 1 - len(out))
-        if len(out) > max_total:
-            raise ValueError("WARC inflates past the per-file cap")
-        if not d.eof:
-            raise ValueError("truncated gzip member")
-        rest = d.unused_data
-    if rest.strip(b"\x00"):
-        # trailing non-gzip garbage after the last member
-        raise ValueError("trailing bytes after the last gzip member")
+        while not d.eof:
+            if pos >= n:
+                raise ValueError("truncated gzip member")
+            chunk = mv[pos : pos + chunk_size]
+            # max_length is always >= 1 here (cap check below), so this
+            # never hits zlib's max_length=0 == unlimited
+            out += d.decompress(chunk, max_total + 1 - len(out))
+            if len(out) > max_total:
+                raise ValueError("WARC inflates past the per-file cap")
+            pos += len(chunk) - len(d.unused_data) - len(d.unconsumed_tail)
     return bytes(out)
 
 
-def parse_warc(data: bytes, max_record_bytes: int = MAX_WARC_RECORD_BYTES) -> list[dict]:
+def _zstd_decompress_frames(data: bytes, max_total: int) -> bytes:
+    """Multi-frame ``.warc.zst`` → inflated bytes.  Real CC zstd archives
+    are MULTI-frame (often led by a skippable dictionary frame); one-shot
+    ``ZstdDecompressor.decompress`` stops after the first frame — silent
+    record loss.  Streaming with ``read_across_frames=True`` walks every
+    frame (libzstd skips skippable frames transparently).  Bounded:
+    raises past ``max_total``."""
+    import io
+
+    import zstandard
+
+    dctx = zstandard.ZstdDecompressor()
+    out = bytearray()
+    with dctx.stream_reader(io.BytesIO(data), read_across_frames=True) as r:
+        while True:
+            chunk = r.read(1 << 20)
+            if not chunk:
+                break
+            out += chunk
+            if len(out) > max_total:
+                raise ValueError("WARC inflates past the per-file cap")
+    return bytes(out)
+
+
+def _parse_header_lines(raw: bytes, strict: bool) -> dict[str, str]:
+    """CRLF-separated header lines → dict (keys lowercased).  Lines
+    starting with SP/HT are legal folded continuations (WARC 1.0
+    grammar) and append to the previous header's value; with
+    ``strict=True`` a colon-less non-continuation line raises."""
+    headers: dict[str, str] = {}
+    last_key: str | None = None
+    for line in raw.split(b"\r\n"):
+        if line[:1] in (b" ", b"\t") and last_key is not None:
+            headers[last_key] += " " + line.strip().decode("latin-1")
+            continue
+        k, sep, v = line.partition(b":")
+        if not sep:
+            if strict:
+                raise ValueError(f"malformed WARC header line {line[:40]!r}")
+            last_key = None
+            continue
+        last_key = k.strip().decode("latin-1").lower()
+        headers[last_key] = v.strip().decode("latin-1")
+    return headers
+
+
+def parse_warc(
+    data: bytes,
+    max_record_bytes: int = MAX_WARC_RECORD_BYTES,
+    partial: bool = False,
+) -> list[dict]:
     """WARC 1.0/1.1 bytes (plain or gzip members) → list of record dicts:
     ``{warc_type, record_id, target_uri, warc_date, content_type,
     content_length, http_status, http_content_type, payload}``.
@@ -68,7 +134,14 @@ def parse_warc(data: bytes, max_record_bytes: int = MAX_WARC_RECORD_BYTES) -> li
     ``http_content_type`` come from the HTTP head and ``payload`` is the
     HTTP BODY; for every other record ``payload`` is the raw block.
     Raises ValueError on malformed input (the Spark stage maps that to
-    an error row)."""
+    an error row).
+
+    ``partial=True`` bounds the blast radius of one bad record to the
+    file TAIL instead of the whole file: records parsed before the bad
+    byte are returned, followed by a ``{"_partial_error": msg}`` sentinel
+    (a ~50k-record archive should not lose every record to one malformed
+    header).  Whole-file problems — bad compression, no version line,
+    zero records — always raise."""
     if data is None or len(data) < 4:
         raise ValueError("not a WARC payload")
     if data[:4] == b"\x28\xb5\x2f\xfd":
@@ -82,77 +155,81 @@ def parse_warc(data: bytes, max_record_bytes: int = MAX_WARC_RECORD_BYTES) -> li
                 "zstd-compressed WARC but no zstd codec available in this "
                 "environment (install zstandard)"
             ) from None
-        dctx = zstandard.ZstdDecompressor()
-        data = dctx.decompress(data, max_output_size=MAX_WARC_FILE_BYTES)
+        data = _zstd_decompress_frames(data, MAX_WARC_FILE_BYTES)
     elif data[:2] == b"\x1f\x8b":
         data = _gunzip_members(data, MAX_WARC_FILE_BYTES)
     if not data.startswith(b"WARC/"):
         raise ValueError("missing WARC version line")
-    records = []
+    records: list[dict] = []
     pos = 0
     n = len(data)
-    while pos < n:
-        # skip inter-record CRLFs
-        while pos < n and data[pos : pos + 2] in (b"\r\n",) and not data[
-            pos:
-        ].startswith(b"WARC/"):
-            pos += 2
-        if pos >= n:
-            break
-        eol = data.find(b"\r\n", pos)
-        if eol < 0 or not data[pos:eol].startswith(b"WARC/"):
-            raise ValueError(f"expected WARC version line at byte {pos}")
-        head_end = data.find(b"\r\n\r\n", eol)
-        if head_end < 0:
-            raise ValueError("truncated WARC header")
-        headers: dict[str, str] = {}
-        for line in data[eol + 2 : head_end].split(b"\r\n"):
-            k, _, v = line.partition(b":")
-            if not _:
-                raise ValueError(f"malformed WARC header line {line[:40]!r}")
-            headers[k.strip().decode("latin-1").lower()] = v.strip().decode("latin-1")
-        try:
-            clen = int(headers["content-length"])
-        except (KeyError, ValueError):
-            raise ValueError("missing/invalid Content-Length") from None
-        if clen < 0 or clen > max_record_bytes:
-            raise ValueError(f"record block of {clen} bytes exceeds the cap")
-        block_start = head_end + 4
-        block = data[block_start : block_start + clen]
-        if len(block) != clen:
-            raise ValueError("truncated record block")
-        pos = block_start + clen
-        wtype = headers.get("warc-type", "")
-        http_status = None
-        http_ct = None
-        payload = block
-        if wtype in ("response", "revisit") and block[:5] == b"HTTP/":
-            hend = block.find(b"\r\n\r\n")
-            if hend < 0:
-                raise ValueError("truncated HTTP head in response record")
-            http_lines = block[:hend].split(b"\r\n")
-            status_parts = http_lines[0].split(b" ", 2)
-            if len(status_parts) < 2 or not status_parts[1].isdigit():
-                raise ValueError("malformed HTTP status line")
-            http_status = int(status_parts[1])
-            for line in http_lines[1:]:
-                k, _, v = line.partition(b":")
-                if _ and k.strip().lower() == b"content-type":
-                    http_ct = v.strip().decode("latin-1")
-            payload = block[hend + 4 :]
+    try:
+        while pos < n:
+            # skip inter-record CRLFs (a CRLF pair can never begin a
+            # "WARC/" version line, so no lookahead is needed — and a
+            # tail-slice lookahead per pair is O(records x file size))
+            while data.startswith(b"\r\n", pos):
+                pos += 2
+            if pos >= n:
+                break
+            eol = data.find(b"\r\n", pos)
+            if eol < 0 or not data.startswith(b"WARC/", pos):
+                raise ValueError(f"expected WARC version line at byte {pos}")
+            head_end = data.find(b"\r\n\r\n", eol)
+            if head_end < 0:
+                raise ValueError("truncated WARC header")
+            headers = _parse_header_lines(data[eol + 2 : head_end], strict=True)
+            try:
+                clen = int(headers["content-length"])
+            except (KeyError, ValueError):
+                raise ValueError("missing/invalid Content-Length") from None
+            if clen < 0 or clen > max_record_bytes:
+                raise ValueError(f"record block of {clen} bytes exceeds the cap")
+            block_start = head_end + 4
+            block = data[block_start : block_start + clen]
+            if len(block) != clen:
+                raise ValueError("truncated record block")
+            pos = block_start + clen
+            wtype = headers.get("warc-type", "")
+            http_status = None
+            http_ct = None
+            payload = block
+            if wtype in ("response", "revisit") and block[:5] == b"HTTP/":
+                hend = block.find(b"\r\n\r\n")
+                if hend < 0:
+                    raise ValueError("truncated HTTP head in response record")
+                http_lines = block[:hend].split(b"\r\n")
+                status_parts = http_lines[0].split(b" ", 2)
+                if len(status_parts) < 2 or not status_parts[1].isdigit():
+                    raise ValueError("malformed HTTP status line")
+                http_status = int(status_parts[1])
+                http_headers = _parse_header_lines(
+                    block[len(http_lines[0]) + 2 : hend], strict=False
+                )
+                http_ct = http_headers.get("content-type")
+                payload = block[hend + 4 :]
+            records.append(
+                {
+                    "warc_type": wtype,
+                    # None (not "") when absent, so the documents
+                    # adapter's coalesce-to-url fallback actually fires
+                    "record_id": headers.get("warc-record-id") or None,
+                    "target_uri": headers.get("warc-target-uri"),
+                    "warc_date": headers.get("warc-date"),
+                    "content_type": headers.get("content-type"),
+                    "content_length": clen,
+                    "http_status": http_status,
+                    "http_content_type": http_ct,
+                    "payload": payload,
+                }
+            )
+    except ValueError as exc:
+        if not partial or not records:
+            raise
         records.append(
-            {
-                "warc_type": wtype,
-                "record_id": headers.get("warc-record-id", ""),
-                "target_uri": headers.get("warc-target-uri"),
-                "warc_date": headers.get("warc-date"),
-                "content_type": headers.get("content-type"),
-                "content_length": clen,
-                "http_status": http_status,
-                "http_content_type": http_ct,
-                "payload": payload,
-            }
+            {"_partial_error": f"{exc} (after {len(records)} parsed records)"}
         )
+        return records
     if not records:
         raise ValueError("no WARC records")
     return records
@@ -195,13 +272,21 @@ def _warc_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for row in pdf.itertuples(index=False):
             try:
                 recs = parse_warc(
-                    bytes(row.content) if row.content is not None else None
+                    bytes(row.content) if row.content is not None else None,
+                    partial=True,
                 )
             except Exception as exc:
                 emit(row.path, None, f"ERR_WARC: {type(exc).__name__}: {exc}"[:200])
                 continue
             for rec in recs:
-                emit(row.path, rec, None)
+                if "_partial_error" in rec:
+                    emit(
+                        row.path,
+                        None,
+                        f"ERR_WARC_PARTIAL: {rec['_partial_error']}"[:200],
+                    )
+                else:
+                    emit(row.path, rec, None)
         yield pd.DataFrame(out)
 
 

@@ -551,3 +551,84 @@ def test_warc_parser_never_crashes_unexpectedly(data):
             parse_warc(payload)
         except ValueError:
             pass
+
+
+def test_warc_parser_review_findings():
+    """Review findings on the WARC parser: folded (continuation) header
+    lines are legal WARC 1.0 and must parse; a missing WARC-Record-ID
+    yields None (not ""), so the documents adapter's url fallback fires;
+    partial=True bounds a malformed record's blast radius to the tail;
+    NUL padding after the last gzip member is tolerated but other
+    trailing garbage is not."""
+    import gzip as _gz
+
+    import scripts.build_fixture_data as bfd
+
+    from fetch_engines_spark.warc import parse_warc
+
+    # folded WARC header: the long URI continues on an HT-indented line
+    folded = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:uuid:fold-1>\r\n"
+        b"WARC-Target-URI: https://example.test/a-very\r\n"
+        b"\t/long/path\r\n"
+        b"Content-Length: 4\r\n\r\nBODY\r\n\r\n"
+    )
+    (rec,) = parse_warc(folded)
+    assert rec["target_uri"] == "https://example.test/a-very /long/path"
+    assert rec["payload"] == b"BODY"
+
+    # record without WARC-Record-ID -> None, never ""
+    no_id = (
+        b"WARC/1.0\r\nWARC-Type: resource\r\n"
+        b"WARC-Target-URI: https://example.test/x\r\n"
+        b"Content-Length: 2\r\n\r\nhi\r\n\r\n"
+    )
+    (rec,) = parse_warc(no_id)
+    assert rec["record_id"] is None
+
+    # partial mode: 2 good records then garbage -> both records + sentinel
+    good = bfd._warc_record("resource", "<urn:uuid:p-0>", {}, b"one")
+    good2 = bfd._warc_record("resource", "<urn:uuid:p-1>", {}, b"two")
+    broken = good + good2 + b"WARC/1.0\r\nNo-Colon-Header\r\n\r\n"
+    out = parse_warc(broken, partial=True)
+    assert [r.get("record_id") for r in out[:2]] == ["<urn:uuid:p-0>", "<urn:uuid:p-1>"]
+    assert "_partial_error" in out[2] and "after 2 parsed records" in out[2]["_partial_error"]
+    # without partial the same input raises (API contract unchanged)
+    try:
+        parse_warc(broken)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+    # a file that is garbage from byte 0 still raises even with partial
+    try:
+        parse_warc(b"WARC/1.0\r\nNo-Colon\r\n\r\n", partial=True)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+    # gzip members: NUL padding after the last member tolerated,
+    # non-NUL trailing garbage rejected (offset-walk regression)
+    members = b"".join(_gz.compress(r) for r in (good, good2))
+    recs = parse_warc(members + b"\x00" * 16)
+    assert [r["record_id"] for r in recs] == ["<urn:uuid:p-0>", "<urn:uuid:p-1>"]
+    try:
+        parse_warc(members + b"junk")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_gunzip_members_many_members_linear_walk():
+    """~2000 per-record gzip members must decompress via the offset walk
+    (the old tail-reslice-per-member pattern was quadratic; at this size
+    it still finishes but the walk must stay byte-exact across member
+    boundaries, including members that end exactly on a chunk edge)."""
+    import gzip as _gz
+
+    from fetch_engines_spark.warc import _gunzip_members
+
+    parts = [f"rec-{i}|".encode() * (i % 7 + 1) for i in range(2000)]
+    blob = b"".join(_gz.compress(p) for p in parts)
+    assert _gunzip_members(blob, 1 << 26) == b"".join(parts)
