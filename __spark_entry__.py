@@ -1581,6 +1581,59 @@ def _q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_stats(with_url)
 
 
+def _q_resource_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 resource/domain blocking, corpus-side analog (reference
+    src/PlaywrightEngine.ts:974-1001 applyBlockingRules; default lists
+    src/browser/PlaywrightBrowserPool.ts:304-328): resource-type
+    membership is checked first, then each domain glob (dots escaped,
+    '*' -> '.*') is an UNANCHORED regex search over the full request
+    URL — so a blocked domain inside a query string blocks too.
+    Synthesizes a deterministic resource-request table from documents
+    (mixed blocked/clean hosts, one pattern hit via the query string)
+    and returns per-request verdicts; ``blocked_fast`` adds the
+    fast-mode extra resource types (image/font/stylesheet/media)."""
+    from fetch_engines_spark.pipelines.urls import (
+        FAST_MODE_EXTRA_BLOCKED_TYPES,
+        block_resources,
+    )
+
+    doc_id = F.col("doc_id")
+    host = (
+        F.when(doc_id % 6 == 0, F.lit("cdn.example.com"))
+        .when(doc_id % 6 == 1, F.lit("stats.doubleclick.net"))
+        .when(doc_id % 6 == 2, F.lit("sub.google-analytics.com"))
+        .when(doc_id % 6 == 3, F.lit("images.example.org"))
+        .when(doc_id % 6 == 4, F.lit("platform.twitter.com"))
+        .otherwise(F.lit("proxy.example.net"))
+    )
+    kind = (
+        F.when(doc_id % 5 == 0, F.lit("image"))
+        .when(doc_id % 5 == 1, F.lit("script"))
+        .when(doc_id % 5 == 2, F.lit("font"))
+        .when(doc_id % 5 == 3, F.lit("stylesheet"))
+        .otherwise(F.lit("xhr"))
+    )
+    url = F.concat(
+        F.lit("https://"),
+        host,
+        F.lit("/r/"),
+        doc_id.cast("string"),
+        F.when(doc_id % 6 == 5, F.lit("?u=adservice.google.com/x")).otherwise(
+            F.lit("")
+        ),
+    )
+    reqs = _read(spark, sf_dir, "documents").select(
+        "doc_id", kind.alias("kind"), url.alias("url")
+    )
+    # fast mode only ADDS resource types (PlaywrightEngine.ts:975-977), so
+    # blocked_fast = blocked OR kind in the fast-mode extras — no second
+    # regex pass needed
+    return block_resources(reqs).withColumn(
+        "blocked_fast",
+        F.col("blocked") | F.col("kind").isin(*FAST_MODE_EXTRA_BLOCKED_TYPES),
+    )
+
+
 def _q_embedding_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (ADC scan over m=4 byte codes)."""
     from fetch_engines_spark.pipelines.similarity import pq_topk
@@ -1765,6 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": _q_salted_join,
         "bucketed_join": _q_bucketed_join,
         "url_canonicalize": _q_url_canonicalize,
+        "resource_blocking": _q_resource_blocking,
         # text analysis / training-data prep
         "lang_id": _q_lang_id,
         "text_quality": _q_text_quality,
@@ -1777,7 +1831,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deduplication
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_prod": _q_dedup_minhash_prod,
-        "dedup_minhash_capped": _q_dedup_minhash_capped,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_ngram_containment": _q_ngram_containment,
         "dedup_simhash": _q_simhash,
@@ -1805,6 +1858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Rotated out in round 5 to make room for the round-4 operators
         # (each already carries a round-4 driver verdict): ---------------
         "dedup_simhash_capped": _q_dedup_simhash_capped,
+        "dedup_minhash_capped": _q_dedup_minhash_capped,
         "embedding_topk_pq": _q_embedding_topk_pq,
         "streaming_interval_join": _q_streaming_interval_join,
         "events_kmv_distinct": _q_events_kmv_distinct,
@@ -1959,9 +2013,13 @@ def oracle_sql() -> dict[str, str]:
         QUALITY_SQL,
         VOCAB_TOPK_SQL,
     )
-    from fetch_engines_spark.pipelines.urls import registered_domain_sql
+    from fetch_engines_spark.pipelines.urls import (
+        block_resources_sql,
+        registered_domain_sql,
+    )
 
     REGISTERED_DOMAIN_SQL_HOST = registered_domain_sql("host")
+    _BLOCK_RESOURCES_SQL = block_resources_sql("url", "kind")
 
     return {
         "extract_spans_fixture": f'SELECT doc_id, "offset", kind, text, media_ref FROM \'{_EXPECTED_SPANS}\'',
@@ -2633,6 +2691,34 @@ def oracle_sql() -> dict[str, str]:
               CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_urls,
               CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM canon GROUP BY domain
+        """,
+        "resource_blocking": f"""
+            WITH reqs AS (
+              SELECT doc_id,
+                CASE doc_id % 5 WHEN 0 THEN 'image' WHEN 1 THEN 'script'
+                     WHEN 2 THEN 'font' WHEN 3 THEN 'stylesheet'
+                     ELSE 'xhr' END AS kind,
+                concat('https://',
+                  CASE doc_id % 6 WHEN 0 THEN 'cdn.example.com'
+                       WHEN 1 THEN 'stats.doubleclick.net'
+                       WHEN 2 THEN 'sub.google-analytics.com'
+                       WHEN 3 THEN 'images.example.org'
+                       WHEN 4 THEN 'platform.twitter.com'
+                       ELSE 'proxy.example.net' END,
+                  '/r/', CAST(doc_id AS VARCHAR),
+                  CASE WHEN doc_id % 6 = 5 THEN '?u=adservice.google.com/x'
+                       ELSE '' END) AS url
+              FROM documents
+            ),
+            verdicts AS (
+              SELECT doc_id, kind, url, {_BLOCK_RESOURCES_SQL}
+              FROM reqs
+            )
+            SELECT doc_id, kind, url, blocked_by_type, blocked_by_domain,
+                   blocked,
+                   (blocked OR kind IN ('image','font','stylesheet','media'))
+                     AS blocked_fast
+            FROM verdicts
         """,
         "pdf_extract": f"""
             SELECT doc_id, exp_n_pages AS n_pages, exp_error_prefix AS error_prefix,

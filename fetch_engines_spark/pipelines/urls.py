@@ -252,3 +252,113 @@ def registered_domain_sql(h: str) -> str:
     ELSE {bare}
   END
 """
+
+
+# --- S5: resource/domain blocking (corpus-side analog) -----------------------
+
+# The reference blocks in-page resource requests during render by resource
+# type and by domain glob pattern (reference: src/PlaywrightEngine.ts:974-1001
+# applyBlockingRules; defaults src/browser/PlaywrightBrowserPool.ts:304-328).
+# The batch analog filters a corpus's resource references (media spans,
+# outbound asset URLs) with the SAME pattern semantics: a glob becomes a
+# regex by escaping dots and mapping '*' -> '.*', then an UNANCHORED search
+# against the full URL; resource-type blocking is a plain membership test.
+DEFAULT_BLOCKED_DOMAINS = (
+    "doubleclick.net",
+    "google-analytics.com",
+    "googletagmanager.com",
+    "googlesyndication.com",
+    "googleadservices.com",
+    "adservice.google.com",
+    "facebook.net",
+    "fbcdn.net",
+    "connect.facebook.net",
+    "ads-twitter.com",
+    "platform.twitter.com",
+    "analytics.tiktok.com",
+    "ads.tiktok.com",
+    "amazon-adsystem.com",
+    "adnxs.com",
+    "criteo.com",
+    "scorecardresearch.com",
+    "quantserve.com",
+    "rubiconproject.com",
+    "pubmatic.com",
+    "taboola.com",
+    "outbrain.com",
+)
+DEFAULT_BLOCKED_RESOURCE_TYPES = ("image", "font", "media", "websocket")
+# fastMode appends these to whatever the pool config carries
+# (PlaywrightEngine.ts:975-977)
+FAST_MODE_EXTRA_BLOCKED_TYPES = ("image", "font", "stylesheet", "media")
+
+
+def blocked_domain_regex(patterns: tuple[str, ...] | list[str]) -> str:
+    """Glob patterns -> one alternation regex with the reference's exact
+    translation (escape '.', '*' -> '.*'; every other character is passed
+    through raw, faithful to PlaywrightEngine.ts:995-997).  The translation
+    uses no constructs that differ between Java regex (Spark rlike) and
+    RE2 (DuckDB regexp_matches), so both engines match identically."""
+    if not patterns:
+        # match nothing: empty alternation is illegal; an empty character
+        # class is the portable never-match (RE2 has no lookahead)
+        return r"[^\s\S]"
+    alts = "|".join(p.replace(".", r"\.").replace("*", ".*") for p in patterns)
+    return f"({alts})"
+
+
+def block_resources(
+    df: DataFrame,
+    url_col: str = "url",
+    kind_col: str = "kind",
+    blocked_domains: tuple[str, ...] | list[str] = DEFAULT_BLOCKED_DOMAINS,
+    blocked_resource_types: tuple[str, ...] | list[str] = DEFAULT_BLOCKED_RESOURCE_TYPES,
+    fast_mode: bool = False,
+) -> DataFrame:
+    """Annotate a resource-reference table with the reference's blocking
+    verdicts: ``blocked_by_type`` (resource-type membership, checked FIRST
+    as in applyBlockingRules), ``blocked_by_domain`` (glob-pattern search
+    over the full URL), and the combined ``blocked``.  Rows, not filters:
+    callers drop or keep (the reference aborts the request; a corpus job
+    usually also wants the audit trail of WHAT was blocked).
+
+    Scale shape: pure native Column expressions (one rlike against a
+    compiled alternation + an isin) riding the scan — zero shuffles, zero
+    Python, safe at any corpus size."""
+    types = tuple(blocked_resource_types) + (
+        FAST_MODE_EXTRA_BLOCKED_TYPES if fast_mode else ()
+    )
+    rx = blocked_domain_regex(blocked_domains)
+    by_type = F.col(kind_col).isin(*types) if types else F.lit(False)
+    by_domain = F.coalesce(F.col(url_col).rlike(rx), F.lit(False))
+    return df.withColumns(
+        {
+            "blocked_by_type": by_type,
+            "blocked_by_domain": by_domain,
+            "blocked": by_type | by_domain,
+        }
+    )
+
+
+def block_resources_sql(
+    url: str,
+    kind: str,
+    blocked_domains: tuple[str, ...] | list[str] = DEFAULT_BLOCKED_DOMAINS,
+    blocked_resource_types: tuple[str, ...] | list[str] = DEFAULT_BLOCKED_RESOURCE_TYPES,
+    fast_mode: bool = False,
+) -> str:
+    """DuckDB twin of :func:`block_resources`: SELECT-fragment producing
+    (blocked_by_type, blocked_by_domain, blocked) from expressions ``url``
+    and ``kind``; the regex is GENERATED from the same tuple as the Spark
+    expression, so the engines cannot drift."""
+    types = tuple(blocked_resource_types) + (
+        FAST_MODE_EXTRA_BLOCKED_TYPES if fast_mode else ()
+    )
+    rx = blocked_domain_regex(blocked_domains).replace("'", "''")
+    in_list = ",".join(f"'{t}'" for t in types) or "''"
+    by_type = f"coalesce({kind} IN ({in_list}), FALSE)"
+    by_domain = f"coalesce(regexp_matches({url}, '{rx}'), FALSE)"
+    return (
+        f"{by_type} AS blocked_by_type, {by_domain} AS blocked_by_domain, "
+        f"({by_type} OR {by_domain}) AS blocked"
+    )

@@ -33,6 +33,7 @@ ANNOTATIONS = {
     "embedding_topk_ivf": "k-means coarse codebook (integer-exact Lloyd, checkpointed 8-row table) broadcast as ONE row; cell assignment and probe selection are shuffle-free array-argmin expressions (the old per-vector window-argmin cost a full shuffle); candidate search joins only on cell_id.",
     "embedding_topk_ivfpq": "IVF-PQ: coarse cells + residual sub-codebooks all broadcast; encoding is shuffle-free argmin over the residual slices; scoring is broadcast equi-joins on (cell, code_j), so a neighbor is scored only when its cell is probed — the corpus never shuffles and floats never rematerialize.",
     "dedup_simhash_capped": "64-bit SimHash, 4x16-bit pigeonhole blocks through the SHARED capped bucket join: window count sizes every (block_id, block_val) bucket, degenerate buckets route to the linear signature-star path, hamming verify joins the checkpointed signature table — no quadratic key, no Python.",
+    "resource_blocking": "S5 blocking analog: the domain blocklist compiles to ONE rlike alternation and the resource-type list to an isin — verdict columns ride the scan, zero Exchange, zero Python, nothing joined.",
     "corpus_curation_full": "Quality/repetition gates ride the scan stage; the substring gate adds its fingerprint agg+join; one keeper-election shuffle; one final per-source agg — the whole curation chain in a single composed plan.",
     "embedding_topk_lsh": "Scale-config multi-table ANN: the bucket index is a pre-materialized checkpoint (ONE Arrow matmul upstream, invisible here); candidates come from a broadcast bucket equi-join, scoring joins only the candidate set — no cartesian, no nested loop.",
     "dedup_embedding_capped": "Window count over (table_id, bucket) sizes every LSH bucket; degenerate buckets route to the signature-star path; all joins equi, downstream plan Python-free (bucket matmul pre-materialized).",

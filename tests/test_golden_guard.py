@@ -111,12 +111,16 @@ def test_driver_window_covers_every_operator_family():
         "pricing_summary", "events_daily", "events_user_sessions",
         "events_asof_attribution", "events_range_join", "events_rollup",
         "salted_join", "bucketed_join", "url_canonicalize",
+        # S5 blocking (corpus-side analog, added round 5)
+        "resource_blocking",
         # text analysis (sampling family: source_cap; sketch: vocab_cms)
         "lang_id", "text_quality", "text_repetition", "doc_winnowing",
         "doc_tfidf_topk", "doc_hashed_embedding", "doc_chunks",
         "source_cap", "vocab_cms",
-        # dedup (capped family: dedup_minhash_capped + embedding_capped)
-        "dedup_exact", "dedup_minhash_prod", "dedup_minhash_capped",
+        # dedup (capped-join family represented by embedding_capped;
+        # minhash_capped moved past the window for resource_blocking —
+        # it carries a round-4 driver verdict)
+        "dedup_exact", "dedup_minhash_prod",
         "dedup_ngram_jaccard", "dedup_ngram_containment", "dedup_simhash",
         "dedup_substring", "dedup_incremental", "decontaminate",
         "decontaminate_fuzzy", "dedup_clusters", "dedup_embedding_capped",

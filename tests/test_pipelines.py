@@ -2060,3 +2060,89 @@ def test_cms_merge_sums_cells_and_guards_metadata(spark):
         cms_merge([s1, s3])
     with _pytest.raises(ValueError, match="mixed depth/width"):
         cms_estimate(s1.unionByName(s3), ["alpha"])
+
+
+def test_block_resources_reference_semantics(spark):
+    """S5 blocking analog must reproduce applyBlockingRules exactly
+    (reference src/PlaywrightEngine.ts:974-1001): resource-type
+    membership; glob -> regex with ONLY dots escaped and '*' -> '.*';
+    UNANCHORED search over the whole URL (a blocked domain in the query
+    string blocks); fast mode appends image/font/stylesheet/media."""
+    from fetch_engines_spark.pipelines.urls import (
+        DEFAULT_BLOCKED_DOMAINS,
+        block_resources,
+        blocked_domain_regex,
+    )
+
+    rows = [
+        # (url, kind) -> expected (by_type, by_domain) with defaults
+        ("https://cdn.example.com/a.js", "script", False, False),
+        ("https://cdn.example.com/a.png", "image", True, False),
+        ("https://stats.doubleclick.net/pix", "xhr", False, True),
+        # unanchored: blocked domain appears only in the query string
+        ("https://proxy.example.net/f?u=doubleclick.net/x", "xhr", False, True),
+        # subdomain of a blocked pattern matches (substring search)
+        ("https://a.b.google-analytics.com/g", "script", False, True),
+        # the pattern is a SUBSTRING match, so a lookalike TLD also hits —
+        # faithful to the reference, which has the same property
+        ("https://doubleclick.netflix.example/x", "xhr", False, True),
+        ("wss://chat.example.com/s", "websocket", True, False),
+        (None, "script", False, False),  # null URL never crashes
+    ]
+    df = spark.createDataFrame(
+        [(i, u, k) for i, (u, k, _, _) in enumerate(rows)],
+        "rid long, url string, kind string",
+    )
+    got = {r.rid: r for r in block_resources(df).collect()}
+    for i, (_, _, by_type, by_domain) in enumerate(rows):
+        assert got[i].blocked_by_type is by_type, (i, got[i])
+        assert got[i].blocked_by_domain is by_domain, (i, got[i])
+        assert got[i].blocked is (by_type or by_domain)
+
+    # fast mode: stylesheet joins the blocked set
+    fast = {
+        r.rid: r
+        for r in block_resources(
+            spark.createDataFrame(
+                [(0, "https://x.example/s.css", "stylesheet")],
+                "rid long, url string, kind string",
+            ),
+            fast_mode=True,
+        ).collect()
+    }
+    assert fast[0].blocked_by_type and fast[0].blocked
+
+    # glob '*' translation: pattern 'ads.*.example' blocks any middle label
+    custom = block_resources(
+        spark.createDataFrame(
+            [(0, "https://ads.x.example/b", "xhr"), (1, "https://ads_x.example/b", "xhr")],
+            "rid long, url string, kind string",
+        ),
+        blocked_domains=("ads.*.example",),
+    ).collect()
+    by_rid = {r.rid: r for r in custom}
+    assert by_rid[0].blocked_by_domain
+    # '.' is escaped, so 'ads_x' must NOT match the literal 'ads.' prefix
+    assert not by_rid[1].blocked_by_domain
+
+    # empty pattern list matches nothing (portable never-match regex)
+    none_blocked = block_resources(
+        spark.createDataFrame(
+            [(0, "https://doubleclick.net/x", "xhr")], "rid long, url string, kind string"
+        ),
+        blocked_domains=(),
+        blocked_resource_types=(),
+    ).collect()[0]
+    assert not none_blocked.blocked
+
+    # the compiled default regex matches in DuckDB identically (RE2 parity)
+    import duckdb
+
+    rx = blocked_domain_regex(DEFAULT_BLOCKED_DOMAINS)
+    for url, _, _, by_domain in rows:
+        if url is None:
+            continue
+        (dd,) = duckdb.sql(
+            "SELECT regexp_matches(?, ?)", params=[url, rx]
+        ).fetchone()
+        assert dd is by_domain, url

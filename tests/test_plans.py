@@ -274,3 +274,14 @@ def test_lsh_topk_allpairs_does_not_broadcast_corpus(spark):
     bounded = lsh_topk(emb, k=3, num_planes=2, dims=8, query_ids=[0, 1])
     assert "hint" in analyzed(bounded).lower()
     assert "BroadcastHashJoin" in plan_of(bounded)
+
+
+def test_resource_blocking_is_shuffle_free_native(spark):
+    """S5 blocking verdicts are one compiled rlike + isin riding the
+    scan: zero Exchange, zero Python — the blocklist never becomes a
+    join."""
+    df = entrymod.queries()["resource_blocking"](spark, SF)
+    plan = plan_of(df)
+    assert "Exchange" not in plan, plan
+    for marker in ("MapInArrow", "MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
