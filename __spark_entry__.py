@@ -463,6 +463,25 @@ def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_features(docs)
 
 
+def _q_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM surprisal quality filter (CCNet-style perplexity gate):
+    the reference model is trained on the ``doc_id % 5 < 2`` slice and
+    every document is scored against it in integer bits — the corpus
+    never shuffles (model broadcasts; one combinable groupBy(doc_id))."""
+    from fetch_engines_spark.pipelines.text import lm_surprisal
+
+    docs = _read(spark, sf_dir, "documents")
+    return lm_surprisal(
+        docs, ref_filter=F.col("doc_id") % 5 < 2, min_count=2
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_bigrams",
+        "oov_bigrams",
+        "total_bits",
+        "avg_centibits",
+    )
+
+
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fetch_engines_spark.pipelines.text import fingerprint
 
@@ -1816,12 +1835,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": _q_events_range_join,
         "events_rollup": _q_events_rollup,
         "salted_join": _q_salted_join,
-        "bucketed_join": _q_bucketed_join,
         "url_canonicalize": _q_url_canonicalize,
         "resource_blocking": _q_resource_blocking,
         # text analysis / training-data prep
         "lang_id": _q_lang_id,
         "text_quality": _q_text_quality,
+        "lm_surprisal": _q_lm_surprisal,
         "text_repetition": _q_text_repetition,
         "doc_winnowing": _q_winnowing,
         "doc_tfidf_topk": _q_doc_tfidf_topk,
@@ -1857,6 +1876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # already driver-verified above (judge replica covers these).
         # Rotated out in round 5 to make room for the round-4 operators
         # (each already carries a round-4 driver verdict): ---------------
+        "bucketed_join": _q_bucketed_join,
         "dedup_simhash_capped": _q_dedup_simhash_capped,
         "dedup_minhash_capped": _q_dedup_minhash_capped,
         "embedding_topk_pq": _q_embedding_topk_pq,
@@ -2229,6 +2249,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id": LANG_ID_SQL,
         "text_quality": QUALITY_SQL,
+        "lm_surprisal": __import__(
+            "fetch_engines_spark.pipelines.text", fromlist=["x"]
+        ).lm_surprisal_sql(ref_where="doc_id % 5 < 2", min_count=2),
         "vocab_topk": VOCAB_TOPK_SQL.format(k=100),
         "sample_by_hash": "SELECT doc_id, source, n_chars FROM ("
         + __import__("fetch_engines_spark.pipelines.text", fromlist=["x"]).sample_by_hash_sql(

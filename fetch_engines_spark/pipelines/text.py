@@ -854,3 +854,159 @@ SELECT doc_id,
   )) AS fp_set
 FROM h
 """
+
+
+# --- bigram-LM surprisal scoring (perplexity-style quality filter) ----------
+
+
+def _flog2(c: Column) -> Column:
+    """floor(log2(n)) for a positive integer column, computed EXACTLY as
+    length(bin(n)) - 1 — no float log anywhere, so Spark and DuckDB agree
+    bit-for-bit (float log2 can straddle a floor boundary differently per
+    libm)."""
+    return (F.length(F.bin(c)) - 1).cast("long")
+
+
+def lm_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    ref_filter: Column | None = None,
+    min_count: int = 2,
+) -> DataFrame:
+    """Bigram language-model surprisal per document — the perplexity-style
+    quality filter of LLM-corpus pipelines (CCNet trains a reference LM
+    and drops high-perplexity documents), integer-quantized so the score
+    is hash-exact across engines.
+
+    Model: bigram and unigram counts over the REFERENCE slice
+    (``ref_filter``; the whole input when None), bigrams kept at
+    ``min_count``+.  Score: a seen bigram (w1,w2) costs
+    ``flog2(c(w1)) - flog2(c(w1 w2))`` bits — within 1 bit of the true
+    ``-log2 c(w1w2)/c(w1)`` MLE surprisal; an unseen/below-threshold
+    bigram costs ``flog2(N) + 1`` bits (N = reference token count, i.e.
+    "rarer than anything observed").  All arithmetic is integer
+    (``flog2`` = binary-string length - 1), so sums are order-free.
+
+    Returns (doc_id, n_bigrams, oov_bigrams, total_bits, avg_centibits)
+    for every document with at least one bigram; ``avg_centibits`` =
+    ``total_bits*100 div n_bigrams`` is the filterable score (high =
+    unlike the reference corpus).
+
+    Scale shape (10^12 docs): the model aggregations shuffle only the
+    REFERENCE slice (two map-side-combinable groupBys); the model and
+    the 1-row token total broadcast; corpus scoring is explode →
+    broadcast left joins → one combinable groupBy(doc_id) — the corpus
+    never sort-merge-joins.  At production scale raise ``min_count`` (or
+    cap the model to top-V bigrams) to bound the broadcast."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    base = df.select("doc_id", toks.alias("toks"))
+    # bigram strings "w1 w2"; tokens cannot contain the separator (they
+    # come from a split on it), so w1 recovers exactly via substring_index
+    # clamp the slice length at 0: slice() raises on a negative length and
+    # when() does not guarantee the untaken branch is never evaluated
+    n_bg = F.greatest(F.size("toks") - 1, F.lit(0))
+    bgs = F.zip_with(
+        F.slice("toks", 1, n_bg),
+        F.slice("toks", 2, n_bg),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    pairs = base.select("doc_id", F.explode(bgs).alias("bg")).withColumn(
+        "w1", F.substring_index("bg", " ", 1)
+    )
+    ref = base if ref_filter is None else df.filter(ref_filter).select(
+        "doc_id", toks.alias("toks")
+    )
+    ref_pairs = ref.select(F.explode(bgs).alias("bg"))
+    model_bg = (
+        ref_pairs.groupBy("bg")
+        .agg(F.count("*").alias("bg_cnt"))
+        .filter(F.col("bg_cnt") >= min_count)
+    )
+    model_uni = (
+        ref.select(F.explode("toks").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("uni_cnt"))
+    )
+    total = model_uni.agg(F.sum("uni_cnt").alias("ref_tokens"))
+    scored = (
+        pairs.join(F.broadcast(model_bg), "bg", "left")
+        .join(F.broadcast(model_uni), "w1", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("bg_cnt").isNotNull(),
+                _flog2(F.col("uni_cnt")) - _flog2(F.col("bg_cnt")),
+            )
+            .otherwise(_flog2(F.col("ref_tokens")) + 1)
+            .alias("bits"),
+            F.col("bg_cnt").isNull().alias("oov"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.col("oov").cast("long")).alias("oov_bigrams"),
+            F.sum("bits").alias("total_bits"),
+        )
+        .withColumn(
+            "avg_centibits",
+            F.expr("total_bits * 100 div n_bigrams").cast("long"),
+        )
+    )
+
+
+def lm_surprisal_sql(
+    source: str = "documents",
+    text_col: str = "text",
+    ref_where: str = "TRUE",
+    min_count: int = 2,
+) -> str:
+    """DuckDB twin of :func:`lm_surprisal` — same whitespace tokens, same
+    bigram model over the ``ref_where`` slice, same bin()-based integer
+    flog2, same OOV penalty; generated so the engines cannot drift."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split({text_col}, ' '), t -> t <> '') AS toks
+  FROM {source}
+),
+pairs AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) >= 2
+         THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+         ELSE [] END) AS bg
+  FROM tok
+),
+pairs_w AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM pairs),
+ref_ids AS (SELECT doc_id FROM {source} WHERE {ref_where}),
+model_bg AS (
+  SELECT bg, CAST(count(*) AS BIGINT) AS bg_cnt
+  FROM pairs_w JOIN ref_ids USING (doc_id)
+  GROUP BY bg HAVING count(*) >= {min_count}
+),
+model_uni AS (
+  SELECT t AS w1, CAST(count(*) AS BIGINT) AS uni_cnt
+  FROM (SELECT doc_id, unnest(toks) AS t FROM tok JOIN ref_ids USING (doc_id))
+  GROUP BY t
+),
+total AS (SELECT CAST(sum(uni_cnt) AS BIGINT) AS ref_tokens FROM model_uni),
+scored AS (
+  SELECT p.doc_id,
+    CASE WHEN mb.bg_cnt IS NOT NULL
+         THEN (length(bin(mu.uni_cnt)) - 1) - (length(bin(mb.bg_cnt)) - 1)
+         ELSE length(bin(t.ref_tokens)) END AS bits,
+    (mb.bg_cnt IS NULL) AS oov
+  FROM pairs_w p
+  LEFT JOIN model_bg mb USING (bg)
+  LEFT JOIN model_uni mu USING (w1)
+  CROSS JOIN total t
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_bigrams,
+  CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS oov_bigrams,
+  CAST(sum(bits) AS BIGINT) AS total_bits,
+  CAST((CAST(sum(bits) AS BIGINT) * 100) // CAST(count(*) AS BIGINT) AS BIGINT)
+    AS avg_centibits
+FROM scored GROUP BY doc_id
+"""

@@ -110,13 +110,18 @@ def test_driver_window_covers_every_operator_family():
         # relational / events
         "pricing_summary", "events_daily", "events_user_sessions",
         "events_asof_attribution", "events_range_join", "events_rollup",
-        "salted_join", "bucketed_join", "url_canonicalize",
+        # join-strategy family: salted_join in-window; bucketed_join moved
+        # past the window in round 5 for lm_surprisal (it carries a
+        # round-4 driver verdict and its zero-Exchange plan gate stays in
+        # tests/test_plans.py)
+        "salted_join", "url_canonicalize",
         # S5 blocking (corpus-side analog, added round 5)
         "resource_blocking",
-        # text analysis (sampling family: source_cap; sketch: vocab_cms)
+        # text analysis (sampling family: source_cap; sketch: vocab_cms;
+        # LM-quality family: lm_surprisal, added round 5)
         "lang_id", "text_quality", "text_repetition", "doc_winnowing",
         "doc_tfidf_topk", "doc_hashed_embedding", "doc_chunks",
-        "source_cap", "vocab_cms",
+        "source_cap", "vocab_cms", "lm_surprisal",
         # dedup (capped-join family represented by embedding_capped;
         # minhash_capped moved past the window for resource_blocking —
         # it carries a round-4 driver verdict)

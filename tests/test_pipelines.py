@@ -2146,3 +2146,48 @@ def test_block_resources_reference_semantics(spark):
             "SELECT regexp_matches(?, ?)", params=[url, rx]
         ).fetchone()
         assert dd is by_domain, url
+
+
+def test_lm_surprisal_hand_computed_and_oracle_parity(spark):
+    """Bigram-LM surprisal: hand-computed integer bits on a tiny corpus
+    (seen bigram = flog2 c(w1) - flog2 c(bigram); OOV = flog2(N)+1), a
+    sub-2-token doc yields no row, and the DuckDB twin value-matches on
+    the same frame."""
+    import duckdb
+    import pandas as pd
+
+    from fetch_engines_spark.pipelines.text import lm_surprisal, lm_surprisal_sql
+
+    rows = [
+        (1, "a b a b c", "ref"),
+        (2, "a b x", "ref"),
+        (3, "a b z z", "other"),
+        (4, "solo", "other"),  # one token -> zero bigrams -> no output row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r.doc_id: r
+        for r in lm_surprisal(
+            df, ref_filter=F.col("source") == "ref", min_count=2
+        ).collect()
+    }
+    # model: bigram "a b" x3 survives min_count; unigrams a:3 b:3 c:1 x:1, N=8
+    # doc 3: "a b" -> flog2(3)-flog2(3)=0; "b z","z z" OOV -> flog2(8)+1=4
+    assert 4 not in got
+    assert got[3].n_bigrams == 3 and got[3].oov_bigrams == 2
+    assert got[3].total_bits == 8 and got[3].avg_centibits == 266
+    # doc 1: "a b"(0) "b a"(OOV 4) "a b"(0) "b c"(OOV 4) -> 8 bits / 4
+    assert got[1].total_bits == 8 and got[1].avg_centibits == 200
+
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    )
+    oracle = con.execute(
+        lm_surprisal_sql(ref_where="source = 'ref'", min_count=2)
+    ).fetchdf()
+    ow = {int(r.doc_id): r for r in oracle.itertuples(index=False)}
+    assert set(ow) == set(got)
+    for d in got:
+        for c in ("n_bigrams", "oov_bigrams", "total_bits", "avg_centibits"):
+            assert int(getattr(ow[d], c)) == int(getattr(got[d], c)), (d, c)
