@@ -463,6 +463,52 @@ def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_features(docs)
 
 
+def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents with deterministic doc_id-derived PII
+    injected (the synthetic corpus is PII-free word salad, so the query
+    plants one email per doc plus modular IP/phone/SSN strings — the
+    oracle twin plants the identical strings in SQL).  Pure native
+    regexp expressions riding the scan; no shuffle."""
+    from fetch_engines_spark.pipelines.pii import pii_features
+
+    docs = _read(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" host 10.0."),
+                    (F.col("doc_id") % 200).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0, F.lit(" call (555) 123-4567")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" ssn 123-45-678"),
+                    (F.col("doc_id") % 10).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_features(injected).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_email",
+        "n_ip",
+        "n_ssn",
+        "n_phone",
+        "redacted_md5",
+    )
+
+
 def _q_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM surprisal quality filter (CCNet-style perplexity gate):
     the reference model is trained on the ``doc_id % 5 < 2`` slice and
@@ -1829,7 +1875,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "structured_validation": _q_structured_validation,
         # relational / events analytics
         "pricing_summary": _q_pricing_summary,
-        "events_daily": _q_events_daily,
         "events_user_sessions": _q_events_user_sessions,
         "events_asof_attribution": _q_events_asof_attribution,
         "events_range_join": _q_events_range_join,
@@ -1841,6 +1886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "text_quality": _q_text_quality,
         "lm_surprisal": _q_lm_surprisal,
+        "pii_redact": _q_pii_redact,
         "text_repetition": _q_text_repetition,
         "doc_winnowing": _q_winnowing,
         "doc_tfidf_topk": _q_doc_tfidf_topk,
@@ -1877,6 +1923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Rotated out in round 5 to make room for the round-4 operators
         # (each already carries a round-4 driver verdict): ---------------
         "bucketed_join": _q_bucketed_join,
+        "events_daily": _q_events_daily,
         "dedup_simhash_capped": _q_dedup_simhash_capped,
         "dedup_minhash_capped": _q_dedup_minhash_capped,
         "embedding_topk_pq": _q_embedding_topk_pq,
@@ -2252,6 +2299,20 @@ def oracle_sql() -> dict[str, str]:
         "lm_surprisal": __import__(
             "fetch_engines_spark.pipelines.text", fromlist=["x"]
         ).lm_surprisal_sql(ref_where="doc_id % 5 < 2", min_count=2),
+        "pii_redact": __import__(
+            "fetch_engines_spark.pipelines.pii", fromlist=["x"]
+        ).pii_oracle_sql(
+            source="""(SELECT doc_id,
+              text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              || CASE WHEN doc_id % 3 = 0
+                 THEN ' host 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.7'
+                 ELSE '' END
+              || CASE WHEN doc_id % 4 = 0 THEN ' call (555) 123-4567' ELSE '' END
+              || CASE WHEN doc_id % 5 = 0
+                 THEN ' ssn 123-45-678' || CAST(doc_id % 10 AS VARCHAR)
+                 ELSE '' END AS text
+              FROM documents)"""
+        ),
         "vocab_topk": VOCAB_TOPK_SQL.format(k=100),
         "sample_by_hash": "SELECT doc_id, source, n_chars FROM ("
         + __import__("fetch_engines_spark.pipelines.text", fromlist=["x"]).sample_by_hash_sql(

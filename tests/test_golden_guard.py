@@ -107,8 +107,10 @@ def test_driver_window_covers_every_operator_family():
         # sources / checkpoint / streaming / structured
         "jsonl_ingest", "resume_anti_join", "streaming_windowed_counts",
         "streaming_extract", "structured_validation",
-        # relational / events
-        "pricing_summary", "events_daily", "events_user_sessions",
+        # relational / events (plain-groupBy family: pricing_summary +
+        # events_rollup; events_daily moved past the window in round 5
+        # for pii_redact — it carries a round-4 driver verdict)
+        "pricing_summary", "events_user_sessions",
         "events_asof_attribution", "events_range_join", "events_rollup",
         # join-strategy family: salted_join in-window; bucketed_join moved
         # past the window in round 5 for lm_surprisal (it carries a
@@ -122,6 +124,8 @@ def test_driver_window_covers_every_operator_family():
         "lang_id", "text_quality", "text_repetition", "doc_winnowing",
         "doc_tfidf_topk", "doc_hashed_embedding", "doc_chunks",
         "source_cap", "vocab_cms", "lm_surprisal",
+        # PII scrub family, added round 5
+        "pii_redact",
         # dedup (capped-join family represented by embedding_capped;
         # minhash_capped moved past the window for resource_blocking —
         # it carries a round-4 driver verdict)

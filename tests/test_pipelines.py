@@ -2191,3 +2191,54 @@ def test_lm_surprisal_hand_computed_and_oracle_parity(spark):
     for d in got:
         for c in ("n_bigrams", "oov_bigrams", "total_bits", "avg_centibits"):
             assert int(getattr(ow[d], c)) == int(getattr(got[d], c)), (d, c)
+
+
+def test_pii_redaction_adversarial_parity_and_masks(spark):
+    """PII scrub: adversarial corpus (emails with subdomains, version
+    strings vs IPs, year runs vs phones, unicode adjacency, empty text)
+    — counts and the redacted text agree with the DuckDB twin generated
+    from the same pattern table, and masks land where expected."""
+    import duckdb
+    import pandas as pd
+
+    from fetch_engines_spark.pipelines.pii import (
+        pii_features,
+        pii_oracle_sql,
+        redact_pii,
+    )
+
+    rows = [
+        (0, "see a.b@x.io and c@d.org. end"),
+        (1, "ip 10.2.3.4, version 1.2.3.4000 and 999.999.999.999"),
+        (2, "ssn 123-45-6789. call (555) 123-4567 or +1 555-123-4567"),
+        (3, "years 2020 2021 2022 id 5551234567 price 3.14.15.92"),
+        (4, "mail bob@sub.domain.co.uk, bad@@x.com, trailing@dot."),
+        (5, "phone 555.123.4567 and 555 123 4567 and (02) 123 4567"),
+        (6, ""),
+        (7, "unicode café@résumé.fr naïve 10.0.0.1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in pii_features(df).collect()}
+    # hand-checked: 2 emails; version/999 strings count as conservative
+    # IP over-triggers (identical on both engines, documented); year
+    # runs and bare digit ids never match the phone pattern
+    assert (got[0]["n_email"], got[4]["n_email"]) == (2, 1)
+    assert (got[1]["n_ip"], got[3]["n_ip"], got[7]["n_ip"]) == (2, 1, 1)
+    assert (got[2]["n_ssn"], got[2]["n_phone"]) == (1, 2)
+    assert got[3]["n_phone"] == 0 and got[5]["n_phone"] == 2
+    assert got[6] == {
+        "doc_id": 6, "n_email": 0, "n_ip": 0, "n_ssn": 0, "n_phone": 0,
+        "redacted_md5": got[6]["redacted_md5"],
+    }
+    red = {r.doc_id: r.redacted for r in redact_pii(df).collect()}
+    assert red[0] == "see <EMAIL> and <EMAIL>. end"
+    assert red[2] == "ssn <ID>. call <PHONE> or <PHONE>"
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    ora = con.execute(pii_oracle_sql()).fetchdf()
+    for r in ora.itertuples(index=False):
+        g = got[r.doc_id]
+        for c in ("n_email", "n_ip", "n_ssn", "n_phone"):
+            assert int(getattr(r, c)) == g[c], (r.doc_id, c)
+        assert r.redacted_md5 == g["redacted_md5"], r.doc_id
