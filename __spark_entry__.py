@@ -1112,6 +1112,45 @@ def _q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit perceptual hash (dHash) fused with real image decode in one
+    Arrow stage over all four image corpora (PNG/GIF/JPEG + the near-dup
+    corpus): integer luma → 9x8 nearest-neighbor resample →
+    adjacent-column comparisons packed MSB-first, plus the four 16-bit
+    pigeonhole blocks used for banded near-dup search.  Oracle = the
+    generator's plain-Python dHash of the raw pre-encode pixels."""
+    from fetch_engines_spark.pipelines.multimodal import image_dhash
+
+    imgs = spark.read.parquet(
+        *[
+            os.path.join(FIXTURES_DIR, f"{n}.parquet")
+            for n in ("pngs", "gifs", "jpegs", "images_neardup")
+        ]
+    )
+    return image_dhash(imgs).select(
+        "media_id", "dhash_hex", "b0", "b1", "b2", "b3",
+        F.substring(F.col("error"), 1, 7).alias("error_prefix"),
+    )
+
+
+def _q_media_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs at hamming <= 3 over the planted corpus
+    (exact copies, local-edit near-dups, far-apart noise, a 7-image
+    uniform 'blank thumbnail' cluster that all hashes to zero): dHash →
+    4x16-bit pigeonhole banding → bucketed join via the shared capped
+    guard → carried-block hamming verify.  Banding is exact-recall at
+    this threshold, so the oracle is the brute-force hamming join over
+    the generator's expected blocks — the banded plan must reproduce it
+    pair-for-pair."""
+    from fetch_engines_spark.pipelines.multimodal import (
+        dhash_near_dup_pairs,
+        image_dhash,
+    )
+
+    nd = spark.read.parquet(os.path.join(FIXTURES_DIR, "images_neardup.parquet"))
+    return dhash_near_dup_pairs(image_dhash(nd), max_hamming=3)
+
+
 def _q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC ingestion (the Common Crawl landing format): the gzip-member
     fixture archive parsed to one row per record — warcinfo, request,
@@ -1868,9 +1907,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mime_split": _q_mime_split,
         "pdf_extract": _q_pdf_extract,
         # sources, checkpoint/resume, streaming, structured (S1/S6/S7/O7)
-        "jsonl_ingest": _q_jsonl_ingest,
+        "warc_ingest": _q_warc_ingest,
         "resume_anti_join": _q_resume_anti_join,
-        "streaming_windowed_counts": _q_streaming_windowed_counts,
         "streaming_extract": _q_streaming_extract,
         "structured_validation": _q_structured_validation,
         # relational / events analytics
@@ -1896,7 +1934,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deduplication
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_prod": _q_dedup_minhash_prod,
-        "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_ngram_containment": _q_ngram_containment,
         "dedup_simhash": _q_simhash,
         "dedup_substring": _q_dedup_substring,
@@ -1912,16 +1949,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_ivf": _q_embedding_topk_ivf,
         "embedding_topk_ivfpq": _q_embedding_topk_ivfpq,
         # multimodal
-        "media_metadata": _q_media_metadata,
         "media_pixel_stats": _q_media_pixel_stats,
         "media_audio_stats": _q_media_audio_stats,
         "media_resize": _q_media_resize,
+        "media_gif_frames": _q_media_gif_frames,
+        "media_dhash": _q_media_dhash,
+        "media_neardup_pairs": _q_media_neardup_pairs,
         # end-to-end composite
         "training_pipeline_full": _q_training_pipeline_full,
         # --- past the driver window: variants + extra gates of families
         # already driver-verified above (judge replica covers these).
-        # Rotated out in round 5 to make room for the round-4 operators
-        # (each already carries a round-4 driver verdict): ---------------
+        # Round-5 rotation: jsonl_ingest, streaming_windowed_counts,
+        # dedup_ngram_jaccard, media_metadata (all green in r1-r4 driver
+        # windows, each family still represented above) moved down to make
+        # room for the round-5 operators warc_ingest, media_gif_frames,
+        # media_dhash, media_neardup_pairs: ------------------------------
+        "jsonl_ingest": _q_jsonl_ingest,
+        "streaming_windowed_counts": _q_streaming_windowed_counts,
+        "dedup_ngram_jaccard": _q_ngram_jaccard,
+        "media_metadata": _q_media_metadata,
         "bucketed_join": _q_bucketed_join,
         "events_daily": _q_events_daily,
         "dedup_simhash_capped": _q_dedup_simhash_capped,
@@ -1963,8 +2009,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_domain_stats": _q_url_domain_stats,
         "dedup_clusters_chain": _q_dedup_clusters_chain,
         "dedup_index_compaction": _q_dedup_index_compaction,
-        "media_gif_frames": _q_media_gif_frames,
-        "warc_ingest": _q_warc_ingest,
     }
 
 
@@ -2559,6 +2603,32 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet(['{os.path.join(FIXTURES_DIR, "pngs.parquet")}',
                                '{os.path.join(FIXTURES_DIR, "gifs.parquet")}',
                                '{os.path.join(FIXTURES_DIR, "jpegs.parquet")}'])
+        """,
+        "media_dhash": f"""
+            SELECT media_id, exp_dhash_hex AS dhash_hex,
+                   exp_b0 AS b0, exp_b1 AS b1, exp_b2 AS b2, exp_b3 AS b3,
+                   exp_error_prefix AS error_prefix
+            FROM read_parquet(['{os.path.join(FIXTURES_DIR, "pngs.parquet")}',
+                               '{os.path.join(FIXTURES_DIR, "gifs.parquet")}',
+                               '{os.path.join(FIXTURES_DIR, "jpegs.parquet")}',
+                               '{os.path.join(FIXTURES_DIR, "images_neardup.parquet")}'],
+                              union_by_name=true)
+        """,
+        "media_neardup_pairs": f"""
+            WITH s AS (
+              SELECT media_id, exp_b0, exp_b1, exp_b2, exp_b3
+              FROM read_parquet('{os.path.join(FIXTURES_DIR, "images_neardup.parquet")}')
+            )
+            SELECT a.media_id AS media_a, b.media_id AS media_b,
+                   CAST(bit_count(xor(a.exp_b0, b.exp_b0))
+                      + bit_count(xor(a.exp_b1, b.exp_b1))
+                      + bit_count(xor(a.exp_b2, b.exp_b2))
+                      + bit_count(xor(a.exp_b3, b.exp_b3)) AS INTEGER) AS hamming
+            FROM s a JOIN s b ON a.media_id < b.media_id
+            WHERE bit_count(xor(a.exp_b0, b.exp_b0))
+                + bit_count(xor(a.exp_b1, b.exp_b1))
+                + bit_count(xor(a.exp_b2, b.exp_b2))
+                + bit_count(xor(a.exp_b3, b.exp_b3)) <= 3
         """,
         "warc_ingest": f"""
             SELECT record_id, warc_type, url, warc_date, content_type,

@@ -25,6 +25,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,
@@ -1406,4 +1407,157 @@ def frame_sample_plan(media_meta: DataFrame, every_n: int = 10) -> DataFrame:
         F.explode(
             F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n))
         ).alias("frame_idx"),
+    )
+
+# --- perceptual hash (dHash) + image near-duplicate pairs -------------------
+
+IMAGE_DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("dhash_hex", StringType()),
+        StructField("b0", IntegerType()),
+        StructField("b1", IntegerType()),
+        StructField("b2", IntegerType()),
+        StructField("b3", IntegerType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def dhash64(pixels: bytes, w: int, h: int, ch: int) -> tuple[str, int, int, int, int]:
+    """64-bit difference hash of an interleaved raster: integer luma
+    ((299R+587G+114B) div 1000 for >=3 channels, channel 0 otherwise),
+    nearest-neighbor resample to 9x8 with the same floor(i*src/out) rule
+    as :func:`resize_nearest`, bit(y,x) = luma[y][x+1] > luma[y][x],
+    packed row-major MSB-first.  Returns (hex16, b0..b3) where b0 is the
+    top 16 bits — the four pigeonhole blocks for banded near-dup search
+    (hamming <= 3 guarantees at least one equal block).  All arithmetic
+    is integer, so the fixture generator's plain-Python twin reproduces
+    it bit-for-bit."""
+    import numpy as np
+
+    a = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, ch)
+    if ch >= 3:
+        g = (
+            299 * a[:, :, 0].astype(np.int64)
+            + 587 * a[:, :, 1].astype(np.int64)
+            + 114 * a[:, :, 2].astype(np.int64)
+        ) // 1000
+    else:
+        g = a[:, :, 0].astype(np.int64)
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(9) * w) // 9
+    t = g[ys][:, xs]
+    bits = (t[:, 1:] > t[:, :-1]).flatten()
+    v = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    return (
+        format(v, "016x"),
+        (v >> 48) & 0xFFFF,
+        (v >> 32) & 0xFFFF,
+        (v >> 16) & 0xFFFF,
+        v & 0xFFFF,
+    )
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """media(media_id, payload) → 64-bit dHash per image, decode
+    (PNG/GIF/JPEG by signature) fused with the hash in one Arrow-batched
+    stage — pixels never leave the worker; never-fail contract (error
+    rows carry NULL hash).  The per-image half of image near-dup
+    detection; pair generation is :func:`dhash_near_dup_pairs`."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {k: [] for k in IMAGE_DHASH_SCHEMA.names}
+            for row in pdf.itertuples(index=False):
+                width = height = hex16 = None
+                blocks = (None, None, None, None)
+                err = None
+                try:
+                    img, ch = _decode_image(row.payload)
+                    width, height = img["width"], img["height"]
+                    hex16, *blocks = dhash64(img["pixels"], width, height, ch)
+                except Exception as exc:
+                    err = f"ERR_IMG: {type(exc).__name__}: {exc}"[:200]
+                out["media_id"].append(row.media_id)
+                out["width"].append(width)
+                out["height"].append(height)
+                out["dhash_hex"].append(hex16)
+                for i in range(4):
+                    out[f"b{i}"].append(blocks[i])
+                out["error"].append(err)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=IMAGE_DHASH_SCHEMA
+    )
+
+
+def dhash_near_dup_pairs(
+    sigs: DataFrame,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """dHash table (from :func:`image_dhash`) → ordered near-duplicate
+    pairs (media_a, media_b, hamming) with hamming <= ``max_hamming``.
+
+    Pigeonhole banding: the 64-bit hash splits into four 16-bit blocks;
+    any pair within hamming 3 shares at least one block, so candidate
+    generation is a bucketed join on (block_id, block_value) — EXACT
+    recall at the default threshold, never all-pairs.  Routed through
+    the shared capped guard (`candidates.bucket_pairs`): blank/uniform
+    images all hash to the same value (the classic degenerate bucket),
+    and with ``max_bucket_size`` set they take the linear star path.
+    Blocks ride the join via carry_cols, so hamming verification needs
+    no join back to the signature table.  Scale shape: one shuffle on
+    the block key; 65,536 values per block keeps buckets fine-grained.
+    """
+    from .candidates import bucket_pairs
+
+    ok = sigs.filter(F.col("error").isNull())
+    buckets = ok.select(
+        "media_id",
+        "dhash_hex",
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("block_id"), F.col(f"b{i}").alias("block_val")
+                )
+                for i in range(4)
+            ])
+        ).alias("blk"),
+    ).select(
+        "media_id",
+        "dhash_hex",
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        F.col("blk.block_id").alias("block_id"),
+        F.col("blk.block_val").alias("block_val"),
+    )
+    pairs = bucket_pairs(
+        buckets,
+        key_cols=["block_id", "block_val"],
+        id_col="media_id",
+        sig_col="dhash_hex",
+        max_bucket_size=max_bucket_size,
+        out_a="media_a",
+        out_b="media_b",
+        carry_cols=["b0", "b1", "b2", "b3"],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"b{i}_a").bitwiseXOR(F.col(f"b{i}_b")))
+        for i in range(4)
+    )
+    return (
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("media_a", "media_b", "hamming")
     )

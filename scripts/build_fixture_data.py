@@ -1056,6 +1056,47 @@ def _resize8_sum(px: bytes, w: int, h: int, ch: int) -> int:
     return total
 
 
+def _dhash_expected(px: bytes, w: int, h: int, ch: int):
+    """Expected 64-bit dHash (hex + four 16-bit blocks), computed with
+    plain-Python loops INDEPENDENT of the pipeline's numpy implementation
+    (same integer luma (299R+587G+114B)//1000, same floor(i*src/out)
+    resample to 9x8, same row-major MSB-first packing)."""
+
+    def luma(x: int, y: int) -> int:
+        o = (y * w + x) * ch
+        if ch >= 3:
+            return (299 * px[o] + 587 * px[o + 1] + 114 * px[o + 2]) // 1000
+        return px[o]
+
+    v = 0
+    for y in range(8):
+        sy = (y * h) // 8
+        row = [luma((x * w) // 9, sy) for x in range(9)]
+        for x in range(8):
+            v = (v << 1) | (1 if row[x + 1] > row[x] else 0)
+    return (
+        format(v, "016x"),
+        (v >> 48) & 0xFFFF,
+        (v >> 32) & 0xFFFF,
+        (v >> 16) & 0xFFFF,
+        v & 0xFFFF,
+    )
+
+
+def _dhash_cols(rows, hex_i: int):
+    """pa.table columns for the expected-dhash fields appended at
+    ``rows[i][hex_i:hex_i+5]`` (hex, b0..b3)."""
+    return {
+        "exp_dhash_hex": [r[hex_i] for r in rows],
+        **{
+            f"exp_b{j}": pa.array(
+                [r[hex_i + 1 + j] for r in rows], pa.int32()
+            )
+            for j in range(4)
+        },
+    }
+
+
 def build_pngs() -> None:
     """Real-PNG decode fixture: generator-written PNGs (every filter type,
     gray/RGB/RGBA) with the expected width/height/channels/pixel_sum
@@ -1085,9 +1126,12 @@ def build_pngs() -> None:
         ch = {0: 1, 2: 3, 6: 4}[ct]
         px = gradient(w, h, ch, seed)
         payload = _png_bytes(w, h, ct, px, filters, interlaced=mid.startswith("png-adam7"))
-        rows.append((mid, payload, w, h, ch, sum(px), None, _resize8_sum(px, w, h, ch)))
-    rows.append(("png-truncated", rows[0][1][:40], None, None, None, None, "ERR_IMG", None))
-    rows.append(("png-not-a-png", b"JFIF not a png", None, None, None, None, "ERR_IMG", None))
+        rows.append((mid, payload, w, h, ch, sum(px), None, _resize8_sum(px, w, h, ch),
+                     *_dhash_expected(px, w, h, ch)))
+    rows.append(("png-truncated", rows[0][1][:40], None, None, None, None, "ERR_IMG", None,
+                 None, None, None, None, None))
+    rows.append(("png-not-a-png", b"JFIF not a png", None, None, None, None, "ERR_IMG", None,
+                 None, None, None, None, None))
 
     pq.write_table(
         pa.table(
@@ -1100,6 +1144,7 @@ def build_pngs() -> None:
                 "exp_pixel_sum": pa.array([r[5] for r in rows], pa.int64()),
                 "exp_error_prefix": [r[6] for r in rows],
                 "exp_resize8_sum": pa.array([r[7] for r in rows], pa.int64()),
+                **_dhash_cols(rows, 8),
             }
         ),
         os.path.join(OUT, "pngs.parquet"),
@@ -1127,7 +1172,8 @@ def build_gifs() -> None:
             idx = bytes(((x * 7 + y * 13 + seed) % ncolors) for y in range(h) for x in range(w))
         payload = _gif_bytes(w, h, palette, idx, with_extension=ext)
         px = b"".join(bytes(palette[i]) for i in idx)
-        rows.append((mid, payload, w, h, 3, sum(px), None, _resize8_sum(px, w, h, 3)))
+        rows.append((mid, payload, w, h, 3, sum(px), None, _resize8_sum(px, w, h, 3),
+                     *_dhash_expected(px, w, h, 3)))
     # genuinely interlaced frame: rows stored in 4-pass order, decoder
     # must de-interlace back to display order (the expected pixels)
     w, h, ncolors = 24, 19, 8
@@ -1135,8 +1181,10 @@ def build_gifs() -> None:
     idx = bytes(((x * 5 + y * 11) % ncolors) for y in range(h) for x in range(w))
     payload = _gif_bytes(w, h, palette, idx, interlaced=True)
     px = b"".join(bytes(palette[i]) for i in idx)
-    rows.append(("gif-interlaced", payload, w, h, 3, sum(px), None, _resize8_sum(px, w, h, 3)))
-    rows.append(("gif-truncated", rows[0][1][:20], None, None, None, None, "ERR_IMG", None))
+    rows.append(("gif-interlaced", payload, w, h, 3, sum(px), None, _resize8_sum(px, w, h, 3),
+                 *_dhash_expected(px, w, h, 3)))
+    rows.append(("gif-truncated", rows[0][1][:20], None, None, None, None, "ERR_IMG", None,
+                 None, None, None, None, None))
 
     pq.write_table(
         pa.table(
@@ -1149,6 +1197,7 @@ def build_gifs() -> None:
                 "exp_pixel_sum": pa.array([r[5] for r in rows], pa.int64()),
                 "exp_error_prefix": [r[6] for r in rows],
                 "exp_resize8_sum": pa.array([r[7] for r in rows], pa.int64()),
+                **_dhash_cols(rows, 8),
             }
         ),
         os.path.join(OUT, "gifs.parquet"),
@@ -1691,7 +1740,8 @@ def build_jpegs() -> None:
         got = decode_jpeg(payload)
         assert (got["width"], got["height"]) == (w, h), mid
         assert got["pixels"] == px, f"{mid}: writer/decoder pixel disagreement"
-        rows.append((mid, payload, w, h, len(comps), sum(px), None, _resize8_sum(px, w, h, len(comps))))
+        rows.append((mid, payload, w, h, len(comps), sum(px), None, _resize8_sum(px, w, h, len(comps)),
+                     *_dhash_expected(px, w, h, len(comps))))
     # chroma-subsampled color: 4:2:0 (the dominant web layout — 4 Y
     # blocks + 1 Cb + 1 Cr per MCU, chroma upsampled by replication) and
     # 4:2:2 (2 Y + 1 + 1); Y carries per-block DC steps + an AC ripple
@@ -1713,7 +1763,8 @@ def build_jpegs() -> None:
         px = _jpeg_expected_pixels(w, h, comps, qts, sampling=samp)
         got = decode_jpeg(payload)
         assert got["pixels"] == px, f"{mid}: writer/decoder pixel disagreement"
-        rows.append((mid, payload, w, h, len(comps), sum(px), None, _resize8_sum(px, w, h, len(comps))))
+        rows.append((mid, payload, w, h, len(comps), sum(px), None, _resize8_sum(px, w, h, len(comps)),
+                     *_dhash_expected(px, w, h, len(comps))))
     # progressive (SOF2): same quantized coefficients as a baseline encode
     # — progressive coding is lossless over them, so expected pixels are
     # identical; scripts exercise spectral selection, EOBn runs, DC+AC
@@ -1747,22 +1798,23 @@ def build_jpegs() -> None:
         got = decode_jpeg(payload)
         assert (got["width"], got["height"]) == (w, h), mid
         assert got["pixels"] == px, f"{mid}: writer/decoder pixel disagreement"
-        rows.append((mid, payload, w, h, len(comps), sum(px), None, _resize8_sum(px, w, h, len(comps))))
+        rows.append((mid, payload, w, h, len(comps), sum(px), None, _resize8_sum(px, w, h, len(comps)),
+                     *_dhash_expected(px, w, h, len(comps))))
     # error rows: an SOF2 frame whose single scan claims the BASELINE
     # band 0..63 (illegal in progressive: Ss=0 requires Se=0), an
     # arithmetic-coded frame (SOF9), truncation, unsupported chroma
     # sampling
     rows.append(
-        ("jpeg-progressive", _jpeg_bytes(8, 8, [[dc_block(50)]], [flat1], sof=0xC2), None, None, None, None, "ERR_IMG", None)
+        ("jpeg-progressive", _jpeg_bytes(8, 8, [[dc_block(50)]], [flat1], sof=0xC2), None, None, None, None, "ERR_IMG", None, None, None, None, None, None)
     )
     rows.append(
-        ("jpeg-arithmetic", _jpeg_bytes(8, 8, [[dc_block(50)]], [flat1], sof=0xC9), None, None, None, None, "ERR_IMG", None)
+        ("jpeg-arithmetic", _jpeg_bytes(8, 8, [[dc_block(50)]], [flat1], sof=0xC9), None, None, None, None, "ERR_IMG", None, None, None, None, None, None)
     )
-    rows.append(("jpeg-truncated", rows[0][1][:30], None, None, None, None, "ERR_IMG", None))
+    rows.append(("jpeg-truncated", rows[0][1][:30], None, None, None, None, "ERR_IMG", None, None, None, None, None, None))
     sub = bytearray(_jpeg_bytes(16, 16, [y420, [dc_block(90)], [dc_block(170)]], [flat1, flat1, flat1], sampling=[(2, 2), (1, 1), (1, 1)]))
     sof_at = sub.find(b"\xff\xc0")
     sub[sof_at + 14] = 0x22  # CHROMA sampling 2x2 — out of the supported set
-    rows.append(("jpeg-subsampled", bytes(sub), None, None, None, None, "ERR_IMG", None))
+    rows.append(("jpeg-subsampled", bytes(sub), None, None, None, None, "ERR_IMG", None, None, None, None, None, None))
 
     pq.write_table(
         pa.table(
@@ -1775,9 +1827,79 @@ def build_jpegs() -> None:
                 "exp_pixel_sum": pa.array([r[5] for r in rows], pa.int64()),
                 "exp_error_prefix": [r[6] for r in rows],
                 "exp_resize8_sum": pa.array([r[7] for r in rows], pa.int64()),
+                **_dhash_cols(rows, 8),
             }
         ),
         os.path.join(OUT, "jpegs.parquet"),
+    )
+
+
+def build_images_neardup() -> None:
+    """Image near-duplicate fixture for the dHash pipeline: deterministic
+    LCG-noise RGB PNGs with planted exact duplicates (hamming 0), planted
+    few-bit near-duplicates (a strong local edit at a dHash sample point
+    flips 1-3 bits), unrelated noise images (far apart), and a uniform
+    'blank thumbnail' cluster — every uniform image hashes to all-zero
+    dHash regardless of its gray level, which is exactly the degenerate
+    hot bucket the capped star path must linearize.  Expected hashes come
+    from the plain-Python ``_dhash_expected`` twin, independent of the
+    pipeline's numpy implementation."""
+    w, h, ch = 24, 16, 3
+
+    def noise(seed: int) -> bytearray:
+        s = seed
+        out = bytearray()
+        for _ in range(w * h * ch):
+            s = (s * 1103515245 + 12345) & 0x7FFFFFFF
+            out.append((s >> 16) & 0xFF)
+        return out
+
+    rows = []
+
+    def add(mid: str, px: bytes) -> None:
+        payload = _png_bytes(w, h, 2, bytes(px), [0])
+        rows.append((mid, payload, *_dhash_expected(px, w, h, ch)))
+
+    base_px: dict[str, bytearray] = {}
+    for i in range(20):
+        px = noise(1000 + 7 * i)
+        base_px[f"img-{i:03d}"] = px
+        add(f"img-{i:03d}", px)
+    # exact duplicates of four bases
+    for i in (0, 5, 10, 15):
+        add(f"img-{i:03d}-copy", base_px[f"img-{i:03d}"])
+    # near duplicates: overwrite a 3x2 pixel patch at a sampled dHash
+    # cell (xs contains 10, ys contains 6) with white — flips the two
+    # comparisons that read that sample in at most one sampled row
+    for i in (2, 7, 12):
+        px = bytearray(base_px[f"img-{i:03d}"])
+        for y in (6, 7):
+            for x in (10, 11, 12):
+                o = (y * w + x) * ch
+                px[o : o + 3] = b"\xff\xff\xff"
+        add(f"img-{i:03d}-near", px)
+    # uniform cluster: all-identical-luma rasters -> all-zero dHash (the
+    # degenerate bucket); two gray levels so payloads differ but hashes
+    # collide
+    for j in range(7):
+        level = 128 if j < 4 else 200
+        add(f"blank-{j}", bytes([level]) * (w * h * ch))
+
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": [r[0] for r in rows],
+                "payload": pa.array([r[1] for r in rows], pa.binary()),
+                "exp_dhash_hex": [r[2] for r in rows],
+                **{
+                    f"exp_b{j}": pa.array(
+                        [r[3 + j] for r in rows], pa.int32()
+                    )
+                    for j in range(4)
+                },
+            }
+        ),
+        os.path.join(OUT, "images_neardup.parquet"),
     )
 
 
@@ -2066,6 +2188,7 @@ if __name__ == "__main__":
     build_pngs()
     build_gifs()
     build_jpegs()
+    build_images_neardup()
     build_gif_anim()
     build_warc()
     build_wavs()

@@ -98,14 +98,21 @@ def test_driver_window_covers_every_operator_family():
     # six near-variants whose families stay represented moved past the
     # window (simhash_capped/embedding_topk_pq/streaming_interval_join/
     # events_kmv_distinct/vocab_topk/sample_by_hash — each carries a
-    # round-4 driver verdict)
+    # round-4 driver verdict).  Late-round-5 rotation: the round-5
+    # operators warc_ingest / media_gif_frames / media_dhash /
+    # media_neardup_pairs moved IN; jsonl_ingest (ingestion family →
+    # warc_ingest), streaming_windowed_counts (family →
+    # streaming_extract), dedup_ngram_jaccard (family → containment) and
+    # media_metadata moved past the window — each green in all four
+    # prior driver windows.
     required = {
         # extraction / classification / routing
         "extract_spans_fixture", "extract_markdown_fixture",
         "classifier_assessment", "routing_decisions", "mime_split",
         "pdf_extract",
-        # sources / checkpoint / streaming / structured
-        "jsonl_ingest", "resume_anti_join", "streaming_windowed_counts",
+        # sources / checkpoint / streaming / structured (ingestion family
+        # represented by WARC — the Common Crawl landing format)
+        "warc_ingest", "resume_anti_join",
         "streaming_extract", "structured_validation",
         # relational / events (plain-groupBy family: pricing_summary +
         # events_rollup; events_daily moved past the window in round 5
@@ -130,15 +137,17 @@ def test_driver_window_covers_every_operator_family():
         # minhash_capped moved past the window for resource_blocking —
         # it carries a round-4 driver verdict)
         "dedup_exact", "dedup_minhash_prod",
-        "dedup_ngram_jaccard", "dedup_ngram_containment", "dedup_simhash",
+        "dedup_ngram_containment", "dedup_simhash",
         "dedup_substring", "dedup_incremental", "decontaminate",
         "decontaminate_fuzzy", "dedup_clusters", "dedup_embedding_capped",
         # ANN (PQ family represented via IVF-PQ)
         "embedding_topk", "embedding_topk_lsh", "embedding_topk_ivf",
         "embedding_topk_ivfpq",
-        # multimodal + composite
-        "media_metadata", "media_pixel_stats", "media_audio_stats",
-        "media_resize", "training_pipeline_full",
+        # multimodal (single-frame decode, audio, fused resize, animated
+        # GIF multi-frame, perceptual hash, image near-dup) + composite
+        "media_pixel_stats", "media_audio_stats",
+        "media_resize", "media_gif_frames", "media_dhash",
+        "media_neardup_pairs", "training_pipeline_full",
     }
     assert len(required) == 50
     missing = required - window

@@ -2242,3 +2242,123 @@ def test_pii_redaction_adversarial_parity_and_masks(spark):
         for c in ("n_email", "n_ip", "n_ssn", "n_phone"):
             assert int(getattr(r, c)) == g[c], (r.doc_id, c)
         assert r.redacted_md5 == g["redacted_md5"], r.doc_id
+
+
+# --- image dHash near-duplicate detection -----------------------------------
+
+
+def _fixture_path(name: str) -> str:
+    import os
+
+    return os.path.join(
+        os.path.dirname(__file__), "..", "data", "fixtures", f"{name}.parquet"
+    )
+
+
+def test_dhash64_unit_properties():
+    """Pure function sanity: uniform raster → all-zero hash regardless of
+    level (every adjacent-sample comparison ties, > is strict); a strict
+    left-to-right luminance ramp → all-ones hash; block split recombines
+    to the full value."""
+    from fetch_engines_spark.pipelines.multimodal import dhash64
+
+    for level in (0, 128, 255):
+        hex16, b0, b1, b2, b3 = dhash64(bytes([level]) * (9 * 8 * 3), 9, 8, 3)
+        assert hex16 == "0" * 16 and (b0, b1, b2, b3) == (0, 0, 0, 0)
+    ramp = bytes(b for x in range(9) for b in (x * 28,) * 3) * 8
+    hex16, b0, b1, b2, b3 = dhash64(ramp, 9, 8, 3)
+    assert hex16 == "f" * 16
+    assert ((b0 << 48) | (b1 << 32) | (b2 << 16) | b3) == int(hex16, 16)
+
+
+def test_image_dhash_matches_independent_twin(spark):
+    """Fused decode+dHash over all four image fixture corpora (PNG every
+    filter type + Adam7, GIF incl. interlaced, JPEG baseline +
+    subsampled + progressive, and the near-dup corpus) must reproduce
+    the generator's plain-Python dHash of the raw pre-encode pixels
+    bit-for-bit; undecodable rows → NULL hash + error."""
+    from fetch_engines_spark.pipelines.multimodal import image_dhash
+
+    df = spark.read.parquet(
+        _fixture_path("pngs"), _fixture_path("gifs"), _fixture_path("jpegs"),
+        _fixture_path("images_neardup"),
+    )
+    got = {r.media_id: r for r in image_dhash(df).collect()}
+    checked = 0
+    for e in df.select(
+        "media_id", "exp_dhash_hex", "exp_b0", "exp_b1", "exp_b2", "exp_b3"
+    ).collect():
+        g = got[e.media_id]
+        assert g.dhash_hex == e.exp_dhash_hex, e.media_id
+        assert (g.b0, g.b1, g.b2, g.b3) == (
+            e.exp_b0, e.exp_b1, e.exp_b2, e.exp_b3
+        ), e.media_id
+        if e.exp_dhash_hex is None:
+            assert g.error is not None and g.error.startswith("ERR_IMG")
+        else:
+            assert g.error is None
+            checked += 1
+    assert checked >= 30  # decodable rows actually exercised
+
+
+def test_dhash_near_dup_pairs_exact_recall(spark):
+    """Banded pair generation must equal the brute-force hamming<=3 set
+    (pigeonhole: 4x16-bit blocks give exact recall at the default
+    threshold).  The fixture plants exact copies (hamming 0 with
+    different payload bytes), local-edit near-dups, far-apart noise, and
+    a 7-image uniform 'blank thumbnail' cluster."""
+    from fetch_engines_spark.pipelines.multimodal import (
+        dhash_near_dup_pairs,
+        image_dhash,
+    )
+
+    nd = spark.read.parquet(_fixture_path("images_neardup"))
+    exp_rows = nd.select("media_id", "exp_b0", "exp_b1", "exp_b2", "exp_b3").collect()
+    brute = {}
+    for i, a in enumerate(exp_rows):
+        for b in exp_rows[i + 1 :]:
+            lo, hi = sorted([a, b], key=lambda r: r.media_id)
+            ham = sum(
+                bin(getattr(lo, f"exp_b{j}") ^ getattr(hi, f"exp_b{j}")).count("1")
+                for j in range(4)
+            )
+            if ham <= 3:
+                brute[(lo.media_id, hi.media_id)] = ham
+    got = {
+        (r.media_a, r.media_b): r.hamming
+        for r in dhash_near_dup_pairs(image_dhash(nd)).collect()
+    }
+    assert got == brute
+    assert len(brute) == 28  # 21 blank + 4 copies + 3 near-dups
+    assert 1 in got.values()  # at least one genuinely-nonzero near-dup
+
+
+def test_dhash_near_dup_capped_linearizes_blank_cluster(spark):
+    """With a bucket cap below the blank cluster's size, the shared
+    guard's star path replaces its 21 quadratic pairs with 6 linear
+    star edges that still connect all 7 blanks; pairs outside the hot
+    bucket are unchanged."""
+    from fetch_engines_spark.pipelines.multimodal import (
+        dhash_near_dup_pairs,
+        image_dhash,
+    )
+
+    sigs = image_dhash(spark.read.parquet(_fixture_path("images_neardup")))
+    got = {
+        (r.media_a, r.media_b): r.hamming
+        for r in dhash_near_dup_pairs(sigs, max_bucket_size=5).collect()
+    }
+    blank = {p for p in got if p[0].startswith("blank")}
+    other = {p: h for p, h in got.items() if not p[0].startswith("blank")}
+    assert len(blank) == 6
+    assert {m for p in blank for m in p} == {f"blank-{j}" for j in range(7)}
+    assert all(h == 0 for p, h in got.items() if p in blank)
+    assert other == {
+        ("img-000", "img-000-copy"): 0,
+        ("img-002", "img-002-near"): 0,
+        ("img-005", "img-005-copy"): 0,
+        ("img-007", "img-007-near"): 0,
+        ("img-010", "img-010-copy"): 0,
+        ("img-012", "img-012-near"): 1,
+        ("img-015", "img-015-copy"): 0,
+    }
