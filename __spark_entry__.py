@@ -1151,6 +1151,43 @@ def _q_media_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dhash_near_dup_pairs(image_dhash(nd), max_hamming=3)
 
 
+def _q_media_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit audio fingerprint (segment-energy difference coding) fused
+    with the real PCM 8/16/24-bit WAV decode in one Arrow stage over
+    both audio corpora: per-frame channel-sum downmix → 65 equal
+    segments → loudness comparisons packed MSB-first, plus the four
+    16-bit pigeonhole blocks.  Oracle = the generator's plain-Python
+    fingerprint of the raw pre-encode samples."""
+    from fetch_engines_spark.pipelines.multimodal import audio_fingerprint
+
+    clips = spark.read.parquet(
+        os.path.join(FIXTURES_DIR, "wavs.parquet"),
+        os.path.join(FIXTURES_DIR, "audio_neardup.parquet"),
+    )
+    return audio_fingerprint(clips).select(
+        "media_id", "afp_hex", "b0", "b1", "b2", "b3",
+        F.substring(F.col("error"), 1, 7).alias("error_prefix"),
+    )
+
+
+def _q_media_audio_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs at hamming <= 3 over the planted corpus
+    (exact copies, amplitude-scaled copies and a stereo re-layout —
+    hamming 0 with different payload bytes, the fingerprint's
+    invariances — local segment edits, far noise, and a silent cluster
+    that all hashes to zero): fingerprint → 4x16-bit pigeonhole banding
+    → shared capped bucket join → carried-block hamming verify.  Exact
+    recall at the threshold, so the oracle is the brute-force hamming
+    join over the generator's expected blocks."""
+    from fetch_engines_spark.pipelines.multimodal import (
+        afp_near_dup_pairs,
+        audio_fingerprint,
+    )
+
+    nd = spark.read.parquet(os.path.join(FIXTURES_DIR, "audio_neardup.parquet"))
+    return afp_near_dup_pairs(audio_fingerprint(nd), max_hamming=3)
+
+
 def _q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC ingestion (the Common Crawl landing format): the gzip-member
     fixture archive parsed to one row per record — warcinfo, request,
@@ -2009,6 +2046,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_domain_stats": _q_url_domain_stats,
         "dedup_clusters_chain": _q_dedup_clusters_chain,
         "dedup_index_compaction": _q_dedup_index_compaction,
+        # late round 5 (next rotation candidates): audio fingerprinting
+        "media_audio_fp": _q_media_audio_fp,
+        "media_audio_neardup_pairs": _q_media_audio_neardup_pairs,
     }
 
 
@@ -2618,6 +2658,30 @@ def oracle_sql() -> dict[str, str]:
             WITH s AS (
               SELECT media_id, exp_b0, exp_b1, exp_b2, exp_b3
               FROM read_parquet('{os.path.join(FIXTURES_DIR, "images_neardup.parquet")}')
+            )
+            SELECT a.media_id AS media_a, b.media_id AS media_b,
+                   CAST(bit_count(xor(a.exp_b0, b.exp_b0))
+                      + bit_count(xor(a.exp_b1, b.exp_b1))
+                      + bit_count(xor(a.exp_b2, b.exp_b2))
+                      + bit_count(xor(a.exp_b3, b.exp_b3)) AS INTEGER) AS hamming
+            FROM s a JOIN s b ON a.media_id < b.media_id
+            WHERE bit_count(xor(a.exp_b0, b.exp_b0))
+                + bit_count(xor(a.exp_b1, b.exp_b1))
+                + bit_count(xor(a.exp_b2, b.exp_b2))
+                + bit_count(xor(a.exp_b3, b.exp_b3)) <= 3
+        """,
+        "media_audio_fp": f"""
+            SELECT media_id, exp_afp_hex AS afp_hex,
+                   exp_b0 AS b0, exp_b1 AS b1, exp_b2 AS b2, exp_b3 AS b3,
+                   exp_error_prefix AS error_prefix
+            FROM read_parquet(['{os.path.join(FIXTURES_DIR, "wavs.parquet")}',
+                               '{os.path.join(FIXTURES_DIR, "audio_neardup.parquet")}'],
+                              union_by_name=true)
+        """,
+        "media_audio_neardup_pairs": f"""
+            WITH s AS (
+              SELECT media_id, exp_b0, exp_b1, exp_b2, exp_b3
+              FROM read_parquet('{os.path.join(FIXTURES_DIR, "audio_neardup.parquet")}')
             )
             SELECT a.media_id AS media_a, b.media_id AS media_b,
                    CAST(bit_count(xor(a.exp_b0, b.exp_b0))

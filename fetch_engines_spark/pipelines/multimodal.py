@@ -1514,16 +1514,28 @@ def dhash_near_dup_pairs(
     no join back to the signature table.  Scale shape: one shuffle on
     the block key; 65,536 values per block keeps buckets fine-grained.
     """
+    return _banded_hamming_pairs(sigs, "dhash_hex", max_hamming, max_bucket_size)
+
+
+def _banded_hamming_pairs(
+    sigs: DataFrame,
+    hex_col: str,
+    max_hamming: int,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """Shared 64-bit-signature near-dup core (dHash images, audio
+    fingerprints): explode the four 16-bit pigeonhole blocks (columns
+    b0..b3 + ``hex_col`` on ``sigs``; error rows dropped), bucket-join
+    via the shared capped guard with blocks carried, verify hamming
+    JVM-side (xor + bit_count), filter to ``max_hamming``."""
     from .candidates import bucket_pairs
 
     ok = sigs.filter(F.col("error").isNull())
+    bcols = [f"b{i}" for i in range(4)]
     buckets = ok.select(
         "media_id",
-        "dhash_hex",
-        "b0",
-        "b1",
-        "b2",
-        "b3",
+        hex_col,
+        *bcols,
         F.explode(
             F.array(*[
                 F.struct(
@@ -1534,11 +1546,8 @@ def dhash_near_dup_pairs(
         ).alias("blk"),
     ).select(
         "media_id",
-        "dhash_hex",
-        "b0",
-        "b1",
-        "b2",
-        "b3",
+        hex_col,
+        *bcols,
         F.col("blk.block_id").alias("block_id"),
         F.col("blk.block_val").alias("block_val"),
     )
@@ -1546,11 +1555,11 @@ def dhash_near_dup_pairs(
         buckets,
         key_cols=["block_id", "block_val"],
         id_col="media_id",
-        sig_col="dhash_hex",
+        sig_col=hex_col,
         max_bucket_size=max_bucket_size,
         out_a="media_a",
         out_b="media_b",
-        carry_cols=["b0", "b1", "b2", "b3"],
+        carry_cols=bcols,
     )
     hamming = sum(
         F.bit_count(F.col(f"b{i}_a").bitwiseXOR(F.col(f"b{i}_b")))
@@ -1561,3 +1570,111 @@ def dhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("media_a", "media_b", "hamming")
     )
+
+
+# --- audio fingerprint (segment-energy difference coding) -------------------
+
+AUDIO_AFP_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("afp_hex", StringType()),
+        StructField("b0", IntegerType()),
+        StructField("b1", IntegerType()),
+        StructField("b2", IntegerType()),
+        StructField("b3", IntegerType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def afp64(samples, channels: int) -> tuple[str, int, int, int, int]:
+    """64-bit audio fingerprint of interleaved PCM samples: downmix to
+    mono by per-frame channel SUM (integer, no rounding), split the mono
+    stream into 65 equal segments with the same floor(i*n/out) boundary
+    rule as the image resample, segment loudness = sum of |sample|, and
+    bit(i) = loudness[i+1] > loudness[i], packed MSB-first.  Returns
+    (hex16, b0..b3), b0 = top 16 bits.
+
+    Invariances (by construction, tested): positive amplitude scaling
+    (k·x keeps every comparison), channel layout (a stereo clip whose
+    downmix is proportional to a mono clip's stream fingerprints
+    identically), and silence → all-zero hash (ties are strict-greater
+    false) — the degenerate cluster for the capped bucket guard.
+    Overflow-safe: |sample| <= 2^23 (24-bit PCM) x 2^24 samples (the
+    decoder cap) = 2^47 running sum, inside int64."""
+    import numpy as np
+
+    m = np.asarray(samples, dtype=np.int64)
+    if channels > 1:
+        n = (len(m) // channels) * channels
+        m = m[:n].reshape(-1, channels).sum(axis=1)
+    a = np.abs(m)
+    nf = len(a)
+    bounds = (np.arange(66, dtype=np.int64) * nf) // 65
+    cs = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(a)])
+    e = cs[bounds[1:]] - cs[bounds[:-1]]
+    bits = e[1:] > e[:-1]
+    v = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    return (
+        format(v, "016x"),
+        (v >> 48) & 0xFFFF,
+        (v >> 32) & 0xFFFF,
+        (v >> 16) & 0xFFFF,
+        v & 0xFFFF,
+    )
+
+
+def audio_fingerprint(media: DataFrame) -> DataFrame:
+    """media(media_id, payload) → 64-bit audio fingerprint per WAV clip,
+    decode (PCM 8/16/24-bit) fused with the fingerprint in one
+    Arrow-batched stage — samples never leave the worker; never-fail
+    contract (error rows carry NULL hash).  The per-clip half of audio
+    near-dup detection; pair generation is :func:`afp_near_dup_pairs`."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {k: [] for k in AUDIO_AFP_SCHEMA.names}
+            for row in pdf.itertuples(index=False):
+                rate = ch = n_frames = hex16 = None
+                blocks = (None, None, None, None)
+                err = None
+                try:
+                    rate, ch, bits, data = _parse_wav(
+                        bytes(row.payload) if row.payload is not None else None
+                    )
+                    arr = _wav_samples_np(data, bits)
+                    n_frames = len(arr) // max(ch, 1)
+                    hex16, *blocks = afp64(arr, ch)
+                except Exception as exc:
+                    err = f"ERR_WAV: {type(exc).__name__}: {exc}"[:200]
+                out["media_id"].append(row.media_id)
+                out["sample_rate"].append(rate)
+                out["channels"].append(ch)
+                out["n_frames"].append(n_frames)
+                out["afp_hex"].append(hex16)
+                for i in range(4):
+                    out[f"b{i}"].append(blocks[i])
+                out["error"].append(err)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=AUDIO_AFP_SCHEMA
+    )
+
+
+def afp_near_dup_pairs(
+    sigs: DataFrame,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Audio fingerprint table (from :func:`audio_fingerprint`) → ordered
+    near-duplicate pairs (media_a, media_b, hamming) at hamming <=
+    ``max_hamming`` — same 4x16-bit pigeonhole banding, shared capped
+    bucket guard, and carried-block hamming verify as the image path
+    (:func:`dhash_near_dup_pairs`); exact recall at the default
+    threshold.  Silent clips all hash to zero (the degenerate hot
+    bucket) and take the linear star path when capped."""
+    return _banded_hamming_pairs(sigs, "afp_hex", max_hamming, max_bucket_size)

@@ -1928,6 +1928,33 @@ def _wav_bytes(sample_rate: int, channels: int, samples: list[int], extra_chunk:
     return b"RIFF" + _s.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
+def _afp_expected(samples, channels: int):
+    """Expected 64-bit audio fingerprint (hex + four 16-bit blocks),
+    plain-Python loops INDEPENDENT of the pipeline's numpy
+    implementation (same per-frame channel-sum downmix, same
+    floor(i*n/65) segment boundaries, segment loudness = sum of
+    |sample|, bit = next segment louder, MSB-first)."""
+    mono = []
+    nfr = len(samples) // channels
+    for f in range(nfr):
+        mono.append(sum(samples[f * channels + c] for c in range(channels)))
+    n = len(mono)
+    e = []
+    for i in range(65):
+        lo, hi = (i * n) // 65, ((i + 1) * n) // 65
+        e.append(sum(abs(x) for x in mono[lo:hi]))
+    v = 0
+    for i in range(64):
+        v = (v << 1) | (1 if e[i + 1] > e[i] else 0)
+    return (
+        format(v, "016x"),
+        (v >> 48) & 0xFFFF,
+        (v >> 32) & 0xFFFF,
+        (v >> 16) & 0xFFFF,
+        v & 0xFFFF,
+    )
+
+
 def build_wavs() -> None:
     """Real-WAV decode fixture: generator-written PCM16 clips (mono,
     stereo, extra-chunk layout) with expected frame count / peak / energy
@@ -1955,12 +1982,17 @@ def build_wavs() -> None:
         payload = _wav_bytes(
             rate, ch, samples, extra_chunk=(mid == "wav-listchunk"), bits=bits
         )
+        # 8-bit is stored unsigned; the decoder returns it CENTERED, so
+        # the expected fingerprint reads the same centered values
         rows.append(
             (mid, payload, rate, ch, len(samples) // ch,
-             max(abs(s) for s in samples), sum(s * s for s in samples), None)
+             max(abs(s) for s in samples), sum(s * s for s in samples), None,
+             *_afp_expected(samples, ch))
         )
-    rows.append(("wav-truncated", rows[0][1][:30], None, None, None, None, None, "ERR_WAV"))
-    rows.append(("wav-not-riff", b"OggS not a wav", None, None, None, None, None, "ERR_WAV"))
+    rows.append(("wav-truncated", rows[0][1][:30], None, None, None, None, None, "ERR_WAV",
+                 None, None, None, None, None))
+    rows.append(("wav-not-riff", b"OggS not a wav", None, None, None, None, None, "ERR_WAV",
+                 None, None, None, None, None))
 
     pq.write_table(
         pa.table(
@@ -1973,9 +2005,106 @@ def build_wavs() -> None:
                 "exp_peak": pa.array([r[5] for r in rows], pa.int32()),
                 "exp_energy": pa.array([r[6] for r in rows], pa.int64()),
                 "exp_error_prefix": [r[7] for r in rows],
+                "exp_afp_hex": [r[8] for r in rows],
+                **{
+                    f"exp_b{j}": pa.array(
+                        [r[9 + j] for r in rows], pa.int32()
+                    )
+                    for j in range(4)
+                },
             }
         ),
         os.path.join(OUT, "wavs.parquet"),
+    )
+
+
+def build_audio_neardup() -> None:
+    """Audio near-duplicate fixture for the fingerprint pipeline:
+    deterministic LCG-noise PCM16 mono clips with planted exact copies
+    (hamming 0, identical payload), amplitude-scaled copies (hamming 0,
+    DIFFERENT payload — the fingerprint's positive-scale invariance), a
+    stereo re-layout of a mono clip (per-frame channel sum is 2x the
+    mono stream → identical fingerprint across channel layouts),
+    local-edit near-dups (one segment amplified → few flipped bits),
+    unrelated noise, and a silent cluster — every all-zero clip hashes
+    to the all-zero fingerprint, the degenerate hot bucket the capped
+    star path must linearize.  Expected hashes from the plain-Python
+    ``_afp_expected`` twin."""
+    rate, nfr = 8000, 1300
+
+    def noise(seed: int, amp: int = 4000) -> list[int]:
+        s = seed
+        out = []
+        for _ in range(nfr):
+            s = (s * 1103515245 + 12345) & 0x7FFFFFFF
+            out.append(((s >> 16) % (2 * amp + 1)) - amp)
+        return out
+
+    rows = []
+
+    def add(mid: str, samples: list[int], ch: int = 1) -> None:
+        rows.append(
+            (mid, _wav_bytes(rate, ch, samples), *_afp_expected(samples, ch))
+        )
+
+    base: dict[str, list[int]] = {}
+    for i in range(14):
+        base[f"clip-{i:03d}"] = noise(4000 + 11 * i)
+        add(f"clip-{i:03d}", base[f"clip-{i:03d}"])
+    # exact copies (identical payload)
+    for i in (0, 4):
+        add(f"clip-{i:03d}-copy", base[f"clip-{i:03d}"])
+    # amplitude-scaled copies: x3 keeps |sample| <= 12000 (no clipping),
+    # every segment-loudness comparison is scale-invariant
+    for i in (1, 8):
+        add(f"clip-{i:03d}-scaled", [3 * s for s in base[f"clip-{i:03d}"]])
+    # stereo re-layout: L = R = mono sample, downmix = 2x mono stream
+    m = base["clip-002"]
+    add("clip-002-stereo", [s for x in m for s in (x, x)], ch=2)
+    # local-edit near-dups: amplify one interior segment 5x — flips the
+    # comparisons that read that segment.  The flip count depends on the
+    # clip's original bits, so pick the first interior segment (from a
+    # deterministic start offset per clip) whose edit lands at hamming
+    # 1-3: genuinely-near, genuinely-nonzero
+    for i, seg0 in ((3, 20), (9, 44)):
+        src = base[f"clip-{i:03d}"]
+        edited = ham = None
+        for seg in range(seg0, seg0 + 30):
+            lo, hi = (seg * nfr) // 65, ((seg + 1) * nfr) // 65
+            cand = src[:lo] + [min(5 * s, 32767) for s in src[lo:hi]] + src[hi:]
+            ham = sum(
+                bin(a ^ b).count("1")
+                for a, b in zip(
+                    _afp_expected(src, 1)[1:], _afp_expected(cand, 1)[1:]
+                )
+            )
+            if 1 <= ham <= 3:
+                edited = cand
+                break
+        assert edited is not None, (i, seg0, ham)
+        add(f"clip-{i:03d}-near", edited)
+    # silent cluster: zero samples at differing lengths all hash to the
+    # all-zero fingerprint (strict-greater ties) — the degenerate bucket
+    for j, n in enumerate((600, 900, 1300, 1300, 2000)):
+        rows.append(
+            (f"silent-{j}", _wav_bytes(rate, 1, [0] * n), *_afp_expected([0] * n, 1))
+        )
+
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": [r[0] for r in rows],
+                "payload": pa.array([r[1] for r in rows], pa.binary()),
+                "exp_afp_hex": [r[2] for r in rows],
+                **{
+                    f"exp_b{j}": pa.array(
+                        [r[3 + j] for r in rows], pa.int32()
+                    )
+                    for j in range(4)
+                },
+            }
+        ),
+        os.path.join(OUT, "audio_neardup.parquet"),
     )
 
 
@@ -2192,5 +2321,6 @@ if __name__ == "__main__":
     build_gif_anim()
     build_warc()
     build_wavs()
+    build_audio_neardup()
     build_events_csv()
     print(f"wrote fixture data to {OUT}")

@@ -2362,3 +2362,109 @@ def test_dhash_near_dup_capped_linearizes_blank_cluster(spark):
         ("img-012", "img-012-near"): 1,
         ("img-015", "img-015-copy"): 0,
     }
+
+
+# --- audio fingerprint near-duplicate detection -----------------------------
+
+
+def test_afp64_unit_properties():
+    """Pure function sanity: silence → all-zero fingerprint (ties are
+    strict-greater false) at any length; strictly-louder-by-segment
+    stream → all ones; positive amplitude scaling and mono→stereo
+    re-layout (channel-sum downmix) are invariances."""
+    from fetch_engines_spark.pipelines.multimodal import afp64
+
+    for n in (0, 64, 130, 1300):
+        hex16, b0, b1, b2, b3 = afp64([0] * n, 1)
+        assert hex16 == "0" * 16 and (b0, b1, b2, b3) == (0, 0, 0, 0)
+    ramp = [i for i in range(65) for _ in range(4)]  # 65 segments of 4
+    assert afp64(ramp, 1)[0] == "f" * 16
+    import random
+
+    rng = random.Random(7)
+    clip = [rng.randint(-4000, 4000) for _ in range(1300)]
+    assert afp64(clip, 1) == afp64([3 * s for s in clip], 1)
+    stereo = [s for x in clip for s in (x, x)]
+    assert afp64(clip, 1)[0] == afp64(stereo, 2)[0]
+
+
+def test_audio_fingerprint_matches_independent_twin(spark):
+    """Fused WAV decode + fingerprint over both audio corpora (8/16/24-bit
+    depths, mono/stereo, extra-chunk layout, error rows, and the near-dup
+    corpus) must reproduce the generator's plain-Python fingerprint of
+    the raw pre-encode samples bit-for-bit."""
+    from fetch_engines_spark.pipelines.multimodal import audio_fingerprint
+
+    df = spark.read.parquet(
+        _fixture_path("wavs"), _fixture_path("audio_neardup")
+    )
+    got = {r.media_id: r for r in audio_fingerprint(df).collect()}
+    checked = 0
+    for e in df.select(
+        "media_id", "exp_afp_hex", "exp_b0", "exp_b1", "exp_b2", "exp_b3"
+    ).collect():
+        g = got[e.media_id]
+        assert g.afp_hex == e.exp_afp_hex, e.media_id
+        assert (g.b0, g.b1, g.b2, g.b3) == (
+            e.exp_b0, e.exp_b1, e.exp_b2, e.exp_b3
+        ), e.media_id
+        if e.exp_afp_hex is None:
+            assert g.error is not None and g.error.startswith("ERR_WAV")
+        else:
+            assert g.error is None
+            checked += 1
+    assert checked >= 30
+
+
+def test_afp_near_dup_pairs_exact_recall(spark):
+    """Banded audio pair generation must equal the brute-force hamming<=3
+    set.  The fixture plants exact copies, amplitude-scaled copies and a
+    stereo re-layout (hamming 0 with DIFFERENT payload bytes — the
+    fingerprint invariances), local segment edits (hamming 1-3), far
+    noise, and a 5-clip silent cluster."""
+    from fetch_engines_spark.pipelines.multimodal import (
+        afp_near_dup_pairs,
+        audio_fingerprint,
+    )
+
+    nd = spark.read.parquet(_fixture_path("audio_neardup"))
+    exp_rows = nd.select("media_id", "exp_b0", "exp_b1", "exp_b2", "exp_b3").collect()
+    brute = {}
+    for i, a in enumerate(exp_rows):
+        for b in exp_rows[i + 1 :]:
+            lo, hi = sorted([a, b], key=lambda r: r.media_id)
+            ham = sum(
+                bin(getattr(lo, f"exp_b{j}") ^ getattr(hi, f"exp_b{j}")).count("1")
+                for j in range(4)
+            )
+            if ham <= 3:
+                brute[(lo.media_id, hi.media_id)] = ham
+    got = {
+        (r.media_a, r.media_b): r.hamming
+        for r in afp_near_dup_pairs(audio_fingerprint(nd)).collect()
+    }
+    assert got == brute
+    assert len(brute) == 17  # 10 silent + 2 copies + 2 scaled + 1 stereo + 2 near
+    assert sorted(h for h in got.values() if h > 0) == [1, 2]
+
+
+def test_afp_near_dup_capped_linearizes_silent_cluster(spark):
+    """With a bucket cap below the silent cluster's size, the shared
+    guard's star path replaces its 10 quadratic pairs with 4 linear star
+    edges connecting all 5 silent clips; pairs outside the hot bucket
+    are unchanged (7 planted dup/near pairs)."""
+    from fetch_engines_spark.pipelines.multimodal import (
+        afp_near_dup_pairs,
+        audio_fingerprint,
+    )
+
+    sigs = audio_fingerprint(spark.read.parquet(_fixture_path("audio_neardup")))
+    got = {
+        (r.media_a, r.media_b): r.hamming
+        for r in afp_near_dup_pairs(sigs, max_bucket_size=4).collect()
+    }
+    silent = {p for p in got if p[0].startswith("silent")}
+    other = set(got) - silent
+    assert len(silent) == 4
+    assert {m for p in silent for m in p} == {f"silent-{j}" for j in range(5)}
+    assert len(other) == 7 and all(not p[0].startswith("silent") for p in other)
