@@ -1188,6 +1188,38 @@ def _q_media_audio_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return afp_near_dup_pairs(audio_fingerprint(nd), max_hamming=3)
 
 
+def _q_media_span_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The interleaved-corpus composite: image near-dup clusters
+    (decode+dHash → pigeonhole banding → connected components) rewrite
+    every media span's media_ref to its cluster-canonical id across the
+    span documents, preserving span order, text spans, unique images,
+    and DANGLING refs.  Output is the exploded ordered span sequence —
+    the north rule's per-row invariant shape (kind, text, media_ref,
+    order).  Oracle recomputes the clusters from the image fixture's
+    expected dHash blocks via recursive CTE and rewrites with a plain
+    unnest + left join."""
+    from fetch_engines_spark.pipelines.multimodal import (
+        canonical_media_map,
+        canonicalize_media_refs,
+        dhash_near_dup_pairs,
+        image_dhash,
+    )
+
+    media = spark.read.parquet(os.path.join(FIXTURES_DIR, "images_neardup.parquet"))
+    docs = spark.read.parquet(os.path.join(FIXTURES_DIR, "documents_media.parquet"))
+    cmap = canonical_media_map(dhash_near_dup_pairs(image_dhash(media)))
+    out = canonicalize_media_refs(docs, cmap)
+    ex = out.select("doc_id", F.posexplode("spans").alias("pos", "s"))
+    return ex.select(
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+
+
 def _q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC ingestion (the Common Crawl landing format): the gzip-member
     fixture archive parsed to one row per record — warcinfo, request,
@@ -2046,9 +2078,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_domain_stats": _q_url_domain_stats,
         "dedup_clusters_chain": _q_dedup_clusters_chain,
         "dedup_index_compaction": _q_dedup_index_compaction,
-        # late round 5 (next rotation candidates): audio fingerprinting
+        # late round 5 (next rotation candidates): audio fingerprinting +
+        # the interleaved-corpus media-span canonicalization composite
         "media_audio_fp": _q_media_audio_fp,
         "media_audio_neardup_pairs": _q_media_audio_neardup_pairs,
+        "media_span_canonicalize": _q_media_span_canonicalize,
     }
 
 
@@ -2693,6 +2727,42 @@ def oracle_sql() -> dict[str, str]:
                 + bit_count(xor(a.exp_b1, b.exp_b1))
                 + bit_count(xor(a.exp_b2, b.exp_b2))
                 + bit_count(xor(a.exp_b3, b.exp_b3)) <= 3
+        """,
+        "media_span_canonicalize": f"""
+            WITH RECURSIVE s AS (
+              SELECT media_id, exp_b0, exp_b1, exp_b2, exp_b3
+              FROM read_parquet('{os.path.join(FIXTURES_DIR, "images_neardup.parquet")}')
+            ),
+            pairs AS (
+              SELECT a.media_id AS doc_a, b.media_id AS doc_b
+              FROM s a JOIN s b ON a.media_id < b.media_id
+              WHERE bit_count(xor(a.exp_b0, b.exp_b0)) + bit_count(xor(a.exp_b1, b.exp_b1))
+                  + bit_count(xor(a.exp_b2, b.exp_b2)) + bit_count(xor(a.exp_b3, b.exp_b3)) <= 3
+            ),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION
+              SELECT doc_b AS src, doc_a AS dst FROM pairs
+            ),
+            reach(node, r) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.node
+            ),
+            comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+            canon AS (
+              SELECT node AS media_ref, component AS canonical
+              FROM comp WHERE node <> component
+            ),
+            ex AS (
+              SELECT doc_id, unnest(spans) AS sp,
+                     CAST(generate_subscripts(spans, 1) - 1 AS INTEGER) AS pos
+              FROM read_parquet('{os.path.join(FIXTURES_DIR, "documents_media.parquet")}')
+            )
+            SELECT ex.doc_id, ex.pos, ex.sp['kind'] AS kind, ex.sp['text'] AS text,
+                   coalesce(c.canonical, ex.sp['media_ref']) AS media_ref,
+                   ex.sp['offset'] AS "offset"
+            FROM ex LEFT JOIN canon c ON ex.sp['media_ref'] = c.media_ref
         """,
         "warc_ingest": f"""
             SELECT record_id, warc_type, url, warc_date, content_type,

@@ -1678,3 +1678,104 @@ def afp_near_dup_pairs(
     threshold.  Silent clips all hash to zero (the degenerate hot
     bucket) and take the linear star path when capped."""
     return _banded_hamming_pairs(sigs, "afp_hex", max_hamming, max_bucket_size)
+
+
+def canonical_media_map(pairs: DataFrame) -> DataFrame:
+    """Near-dup media pairs (media_a, media_b) → the canonical-reference
+    map (media_ref, canonical_ref): connected components over the pair
+    graph (shared star-contraction/label-propagation core with document
+    dedup), canonical = min media id per cluster, IDENTITY ROWS DROPPED
+    — the map carries only media that actually need rewriting, which is
+    what makes it broadcastable at corpus scale (dup clusters are a
+    small fraction of the media table)."""
+    from .dedup import connected_components
+
+    comp = connected_components(pairs, a_col="media_a", b_col="media_b")
+    return comp.filter(F.col("doc_id") != F.col("component")).select(
+        F.col("doc_id").alias("media_ref"),
+        F.col("component").alias("canonical_ref"),
+    )
+
+
+def canonicalize_media_refs(
+    docs: DataFrame,
+    canon_map: DataFrame,
+    broadcast_map: bool = True,
+) -> DataFrame:
+    """Interleaved-corpus media dedup: rewrite every span's ``media_ref``
+    to its cluster-canonical id (``canon_map`` from
+    :func:`canonical_media_map`), preserving span order, text spans
+    (NULL media_ref), and references to media outside the map (dangling
+    or unique — both pass through unchanged).  Returns the documents
+    frame with the rewritten ``spans`` column; docs with empty or NULL
+    spans survive with their value intact.
+
+    Scale shape: posexplode → LEFT join on media_ref → re-assemble
+    ordered by position.  With ``broadcast_map`` (the default — the map
+    holds only media needing rewrite) the ref join is broadcast, so the
+    shuffles are the groupBy(doc_id) re-assembly and the doc_id
+    join-back of the untouched document columns (the aggregated side is
+    already partitioned on doc_id, so only the input side exchanges);
+    set it False to let AQE pick a shuffle join when a pathological
+    corpus makes the map huge.
+    Giant documents are one row each here — the same salted-repartition
+    guidance as the extract stage applies upstream."""
+    m = canon_map.select(
+        F.col("media_ref").alias("_ref"), F.col("canonical_ref").alias("_canon")
+    )
+    if broadcast_map:
+        m = F.broadcast(m)
+    ex = docs.select(
+        "doc_id", F.posexplode_outer("spans").alias("_pos", "_s")
+    )
+    rewritten = (
+        ex.join(m, ex["_s"]["media_ref"] == F.col("_ref"), "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("_pos").isNotNull(),
+                F.struct(
+                    F.col("_pos").alias("pos"),
+                    F.col("_s")["kind"].alias("kind"),
+                    F.col("_s")["text"].alias("text"),
+                    F.coalesce(F.col("_canon"), F.col("_s")["media_ref"]).alias(
+                        "media_ref"
+                    ),
+                    F.col("_s")["offset"].alias("offset"),
+                ),
+            ).alias("_span"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list("_span")  # collect_list drops NULLs
+            ).alias("_spans")
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                F.col("_spans"),
+                lambda x: F.named_struct(
+                    F.lit("kind"), x["kind"],
+                    F.lit("text"), x["text"],
+                    F.lit("media_ref"), x["media_ref"],
+                    F.lit("offset"), x["offset"],
+                ),
+            ).alias("spans"),
+        )
+    )
+    # docs whose spans were NULL (not empty) must come back NULL, and
+    # other doc columns ride along: join the rewritten spans back onto
+    # the input frame's non-span columns
+    other_cols = [c for c in docs.columns if c != "spans"]
+    null_spans = F.col("_had_spans").isNull() | (~F.col("_had_spans"))
+    base = docs.select(
+        *other_cols, F.col("spans").isNotNull().alias("_had_spans")
+    )
+    out = base.join(rewritten.withColumnRenamed("spans", "_new_spans"), "doc_id", "left")
+    return out.select(
+        *other_cols,
+        F.when(F.col("_had_spans"), F.coalesce(F.col("_new_spans"), F.array().cast(
+            "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+        ))).alias("spans"),
+    )

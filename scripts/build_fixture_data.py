@@ -1903,6 +1903,49 @@ def build_images_neardup() -> None:
     )
 
 
+def build_documents_media() -> None:
+    """Interleaved text+media documents whose media spans reference the
+    ``images_neardup`` corpus — input for the media-span canonicalization
+    operator (near-dup image clusters → canonical media_ref rewrite).
+    Mix: docs referencing cluster members (rewritten), cluster canonicals
+    (identity), unique images (untouched), a DANGLING ref (no such
+    media — passes through), text-only docs, an empty-spans doc, and a
+    NULL-spans doc.  No expected columns: the oracle recomputes the
+    clusters from the image fixture's expected dHash blocks by recursive
+    CTE."""
+    span_type = pa.struct(
+        [("kind", pa.string()), ("text", pa.string()), ("media_ref", pa.string()), ("offset", pa.int32())]
+    )
+
+    def t(text, off):
+        return ("text", text, None, off)
+
+    def m(ref, off):
+        return ("image", None, ref, off)
+
+    docs = [
+        ("dm-01", [t("intro", 0), m("img-000-copy", 5), t("body text here", 6)]),
+        ("dm-02", [m("blank-5", 0), m("img-002-near", 1), m("blank-2", 2)]),
+        ("dm-03", [m("img-001", 0), t("unique image stays", 1), m("img-404-missing", 2)]),
+        ("dm-04", [t("text only document", 0), t("second paragraph", 19)]),
+        ("dm-05", []),
+        ("dm-06", None),
+        ("dm-07", [m("img-010", 0), m("img-010-copy", 1), t("dup pair in one doc", 2)]),
+        ("dm-08", [m("img-015-copy", 0)]),
+        ("dm-09", [m("blank-0", 0), t("already canonical", 1), m("img-012-near", 2)]),
+        ("dm-10", [m("img-007-near", 0), m("img-005", 1), m("img-003", 2), t("tail", 3)]),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [d[0] for d in docs],
+                "spans": pa.array([d[1] for d in docs], type=pa.list_(span_type)),
+            }
+        ),
+        os.path.join(OUT, "documents_media.parquet"),
+    )
+
+
 def _wav_bytes(sample_rate: int, channels: int, samples: list[int], extra_chunk: bool = False, bits: int = 16) -> bytes:
     """WAV WRITER (independent of the decoder under test): PCM RIFF with
     fmt + data chunks at 8/16/24-bit depth (8-bit stored UNSIGNED:
@@ -2322,5 +2365,6 @@ if __name__ == "__main__":
     build_warc()
     build_wavs()
     build_audio_neardup()
+    build_documents_media()
     build_events_csv()
     print(f"wrote fixture data to {OUT}")

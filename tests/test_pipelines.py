@@ -2468,3 +2468,47 @@ def test_afp_near_dup_capped_linearizes_silent_cluster(spark):
     assert len(silent) == 4
     assert {m for p in silent for m in p} == {f"silent-{j}" for j in range(5)}
     assert len(other) == 7 and all(not p[0].startswith("silent") for p in other)
+
+
+def test_canonicalize_media_refs_semantics(spark):
+    """Interleaved-corpus media dedup composite: cluster members rewrite
+    to the cluster-canonical id, canonicals/unique/dangling refs and
+    text spans pass through, span order and non-span columns are
+    preserved, and empty-spans / NULL-spans docs survive with their
+    value intact (the distinction collect_list would otherwise erase)."""
+    from fetch_engines_spark.pipelines.multimodal import (
+        canonical_media_map,
+        canonicalize_media_refs,
+        dhash_near_dup_pairs,
+        image_dhash,
+    )
+
+    media = spark.read.parquet(_fixture_path("images_neardup"))
+    cm = canonical_media_map(dhash_near_dup_pairs(image_dhash(media)))
+    cmap = {r.media_ref: r.canonical_ref for r in cm.collect()}
+    # identity rows dropped: only members needing rewrite are in the map
+    assert cmap["img-000-copy"] == "img-000" and "img-000" not in cmap
+    assert cmap["blank-6"] == "blank-0" and "blank-0" not in cmap
+
+    schema = (
+        "doc_id string, title string, "
+        "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    )
+    docs = spark.createDataFrame(
+        [
+            ("d1", "a", [("text", "hi", None, 0), ("image", None, "img-000-copy", 1)]),
+            ("d2", "b", [("image", None, "img-002-near", 0), ("image", None, "blank-4", 1)]),
+            ("d3", "c", [("image", None, "img-001", 0), ("image", None, "nope-404", 1)]),
+            ("d4", "d", []),
+            ("d5", "e", None),
+        ],
+        schema,
+    )
+    out = {r.doc_id: r for r in canonicalize_media_refs(docs, cm).collect()}
+    assert [s.media_ref for s in out["d1"].spans] == [None, "img-000"]
+    assert [s.text for s in out["d1"].spans] == ["hi", None]
+    assert [s.offset for s in out["d1"].spans] == [0, 1]
+    assert [s.media_ref for s in out["d2"].spans] == ["img-002", "blank-0"]
+    assert [s.media_ref for s in out["d3"].spans] == ["img-001", "nope-404"]
+    assert out["d4"].spans == [] and out["d5"].spans is None
+    assert {r.title for r in out.values()} == {"a", "b", "c", "d", "e"}

@@ -285,3 +285,56 @@ def test_resource_blocking_is_shuffle_free_native(spark):
     assert "Exchange" not in plan, plan
     for marker in ("MapInArrow", "MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert marker not in plan
+
+
+def test_banded_hamming_pairs_no_cartesian_jvm_verify(spark):
+    """Image/audio near-dup pair generation: candidate join is a bucketed
+    equi-join (never CartesianProduct/BroadcastNestedLoop), and the
+    hamming verify runs JVM-side on carried blocks — after the one
+    Arrow stage that computes signatures, NO further Python stage may
+    appear (no join back to the signature table either: exactly one
+    Arrow marker in the whole plan because the self-join reuses it on
+    both sides is wrong — the explode fans one signature scan into both
+    join sides, so the marker appears once per side, but never a THIRD
+    time for a verify join-back)."""
+    from fetch_engines_spark.pipelines.multimodal import (
+        dhash_near_dup_pairs,
+        image_dhash,
+    )
+
+    sigs = image_dhash(
+        spark.read.parquet("data/fixtures/images_neardup.parquet")
+    )
+    plan = plan_of(dhash_near_dup_pairs(sigs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    for marker in ("ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
+    # the decode+hash Arrow stage feeds both join sides; a third
+    # occurrence would mean a redundant signature join-back
+    assert plan.count("MapInPandas") <= 2, plan
+
+
+def test_canonicalize_media_refs_broadcast_rewrite(spark):
+    """The media-span rewrite: the canonical-map join against the
+    exploded spans must BROADCAST (the map carries only media needing
+    rewrite — never a shuffle of the span stream on media_ref), no
+    cartesian anywhere, and the rewrite itself is pure JVM (no Python
+    stage — the frame input here is a plain DataFrame)."""
+    from fetch_engines_spark.pipelines.multimodal import canonicalize_media_refs
+
+    docs = spark.createDataFrame(
+        [("d1", [("text", "x", None, 0)])],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    cmap = spark.createDataFrame(
+        [("a", "b")], "media_ref string, canonical_ref string"
+    )
+    plan = plan_of(canonicalize_media_refs(docs, cmap))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    for marker in ("MapInArrow", "MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
+    # media_ref must never be a shuffle key (the span stream shuffles
+    # only for doc_id re-assembly)
+    assert "hashpartitioning(_ref" not in plan and "hashpartitioning(media_ref" not in plan
