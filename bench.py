@@ -228,6 +228,58 @@ def run_media_bench(spark, replicas: int = 1000) -> dict:
     }
 
 
+def run_media_neardup_bench(spark, replicas: int = 1000) -> dict:
+    """Image near-dup throughput AND the capped guard under real
+    adversarial load: the ``images_neardup`` corpus replicated
+    ``replicas``× gives ~34k images where every replica of an image is
+    hash-identical to every other replica — the blank cluster alone
+    becomes a 7,000-strong degenerate bucket (C(7000,2) ≈ 24.5M pairs
+    if the guard ever regressed to quadratic).  With max_bucket_size=50
+    the star path keeps pair output linear in corpus size; the timing
+    covers fused decode+dHash plus banding, capped join, and hamming
+    verify end-to-end."""
+    from pyspark.sql import functions as F
+
+    from fetch_engines_spark.pipelines.multimodal import (
+        dhash_near_dup_pairs,
+        image_dhash,
+    )
+
+    base = spark.read.parquet(
+        os.path.join(REPO, "data", "fixtures", "images_neardup.parquet")
+    ).select("media_id", "payload")
+    idx = spark.range(replicas).select(F.col("id").alias("rep"))
+    corpus = (
+        base.crossJoin(idx)
+        .select(F.concat_ws("#", "media_id", "rep").alias("media_id"), "payload")
+        .repartition(CPUS)
+        .localCheckpoint(eager=True)
+    )
+    n = corpus.count()
+
+    def run():
+        pairs = dhash_near_dup_pairs(image_dhash(corpus), max_bucket_size=50)
+        return pairs.count()
+
+    run()  # warmup
+    best, n_pairs = float("inf"), None
+    for _ in range(2):
+        t0 = time.time()
+        c = run()
+        d = time.time() - t0
+        if d < best:
+            best, n_pairs = d, c
+    # linearity assertion: the capped guard must keep pairs O(corpus),
+    # nowhere near the ~24.5M a quadratic blank bucket would emit
+    assert n_pairs < 40 * n, (n_pairs, n)
+    return {
+        "sec": round(best, 3),
+        "imgs": n,
+        "pairs": int(n_pairs),
+        "imgs_per_sec": round(n / best, 1),
+    }
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from fetch_engines_spark.session import get_spark
@@ -247,6 +299,9 @@ def main() -> None:
 
     media = run_media_bench(spark)
     timings["media_decode"] = media["sec"]
+
+    neardup = run_media_neardup_bench(spark)
+    timings["media_neardup"] = neardup["sec"]
 
     for name in BENCH_QUERIES:
         fn = queries[name]
@@ -271,6 +326,8 @@ def main() -> None:
         "extract_errors": ext["errors"],
         "media_imgs_per_sec": media["imgs_per_sec"],
         "media_imgs": media["imgs"],
+        "neardup_imgs_per_sec": neardup["imgs_per_sec"],
+        "neardup_pairs": neardup["pairs"],
         "cpus": CPUS,
     }
     spark.stop()
