@@ -48,7 +48,7 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument(
         "--stage",
         default="extract",
-        choices=("extract", "curate", "dedup", "compact-index"),
+        choices=("extract", "curate", "dedup", "compact-index", "media-dedup"),
         help="extract: spans→markdown with checkpoint/resume; curate: the "
         "quality/repetition/substring-gate + exact-dup-keeper chain over a "
         "documents(doc_id, text, source) table, writing kept corpus + stats; "
@@ -56,7 +56,26 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         "components → keepers, writing pairs/clusters/keepers; "
         "compact-index: merge N per-increment LSH index parquets "
         "(comma-separated --input) into one deduplicated index so the "
-        "next increment reads one index, not N",
+        "next increment reads one index, not N; "
+        "media-dedup: perceptual near-dup over a media(media_id, payload) "
+        "table (dHash for images, segment-loudness fingerprint for WAV) "
+        "writing signatures/pairs/canonical_map — with --docs, also "
+        "rewrites every media span's media_ref to its cluster-canonical "
+        "id across the interleaved documents",
+    )
+    p.add_argument(
+        "--media-kind",
+        default="image",
+        choices=("image", "audio"),
+        help="--stage media-dedup signature type: image (PNG/GIF/JPEG "
+        "dHash) or audio (WAV fingerprint)",
+    )
+    p.add_argument(
+        "--docs",
+        default=None,
+        help="--stage media-dedup: interleaved documents(doc_id, spans) "
+        "parquet whose media_refs are rewritten to cluster-canonical ids "
+        "(written to {output}/documents)",
     )
     p.add_argument("--min-quality", type=int, default=4)
     p.add_argument("--max-shared-window-bp", type=int, default=5000)
@@ -128,6 +147,59 @@ def _run_compact_index(spark, args) -> dict:
         "n_rows_in": n_in,
         "n_rows_out": n_out,
     }
+
+
+def _run_media_dedup(spark, args) -> dict:
+    """Perceptual media near-dup: one fused decode+signature pass is
+    WRITTEN to {output}/signatures (the durable checkpoint — pairs,
+    map, and any retry read the parquet back instead of re-decoding the
+    corpus), then banded pairs → connected components → canonical map;
+    with --docs, the interleaved documents get their media_refs
+    rewritten to cluster-canonical ids at {output}/documents."""
+    from .pipelines.multimodal import (
+        afp_near_dup_pairs,
+        audio_fingerprint,
+        canonical_media_map,
+        canonicalize_media_refs,
+        dhash_near_dup_pairs,
+        image_dhash,
+    )
+
+    media = spark.read.parquet(args.input)
+    sign, pair_fn = (
+        (image_dhash, dhash_near_dup_pairs)
+        if args.media_kind == "image"
+        else (audio_fingerprint, afp_near_dup_pairs)
+    )
+    sign(media).write.mode("overwrite").parquet(f"{args.output}/signatures")
+    sigs = spark.read.parquet(f"{args.output}/signatures")
+    n_media = sigs.count()
+    n_errors = sigs.filter("error IS NOT NULL").count()
+    pair_fn(
+        sigs,
+        max_hamming=args.max_hamming,
+        max_bucket_size=args.max_bucket_size,
+    ).write.mode("overwrite").parquet(f"{args.output}/pairs")
+    pairs = spark.read.parquet(f"{args.output}/pairs")
+    canonical_media_map(pairs).write.mode("overwrite").parquet(
+        f"{args.output}/canonical_map"
+    )
+    cmap = spark.read.parquet(f"{args.output}/canonical_map")
+    summary = {
+        "stage": "media-dedup",
+        "media_kind": args.media_kind,
+        "n_media": n_media,
+        "n_errors": n_errors,
+        "n_pairs": pairs.count(),
+        "n_remapped_media": cmap.count(),
+    }
+    if args.docs:
+        docs = spark.read.parquet(args.docs)
+        canonicalize_media_refs(docs, cmap).write.mode("overwrite").parquet(
+            f"{args.output}/documents"
+        )
+        summary["n_docs"] = spark.read.parquet(f"{args.output}/documents").count()
+    return summary
 
 
 def _run_dedup(spark, args) -> dict:
@@ -297,6 +369,8 @@ def main(argv: list[str] | None = None) -> int:
             summary = _run_dedup(spark, args)
         elif args.stage == "compact-index":
             summary = _run_compact_index(spark, args)
+        elif args.stage == "media-dedup":
+            summary = _run_media_dedup(spark, args)
         else:
             if args.input_format == "warc":
                 from .warc import read_warc, warc_html_documents

@@ -215,3 +215,55 @@ def test_dedup_stage_incremental_index_roundtrip(spark, tmp_path):
     assert kept2 <= ids and s1["n_keepers"] == len(ids) - len(kept2)
     # audit output exists
     assert os.path.exists(str(tmp_path / "run2" / "cross_candidates"))
+
+
+def test_media_dedup_stage_cli(spark, tmp_path):
+    """The --stage media-dedup CLI end-to-end for both signature kinds:
+    image dHash over the planted image corpus (with --docs rewriting the
+    interleaved documents' media_refs to cluster-canonical ids) and the
+    audio fingerprint over the planted WAV corpus.  Signatures are
+    written BEFORE pair generation (the durable decode checkpoint)."""
+    import os
+
+    from fetch_engines_spark import job
+
+    fx = os.path.join(os.path.dirname(__file__), "..", "data", "fixtures")
+    out = str(tmp_path / "img")
+    args = job.parse_args(
+        [
+            "--input", os.path.join(fx, "images_neardup.parquet"),
+            "--docs", os.path.join(fx, "documents_media.parquet"),
+            "--output", out,
+            "--run-id", "m1",
+            "--stage", "media-dedup",
+            "--media-kind", "image",
+            "--max-bucket-size", "50",
+        ]
+    )
+    s = job._run_media_dedup(spark, args)
+    assert s["n_media"] == 34 and s["n_errors"] == 0
+    assert s["n_pairs"] == 28 and s["n_remapped_media"] == 13
+    assert s["n_docs"] == 10
+    sigs = spark.read.parquet(f"{out}/signatures")
+    assert sigs.filter("dhash_hex IS NULL").count() == 0
+    docs = {r.doc_id: r for r in spark.read.parquet(f"{out}/documents").collect()}
+    assert [sp.media_ref for sp in docs["dm-02"].spans] == [
+        "blank-0", "img-002", "blank-0",
+    ]
+    assert docs["dm-05"].spans == [] and docs["dm-06"].spans is None
+
+    out2 = str(tmp_path / "aud")
+    args2 = job.parse_args(
+        [
+            "--input", os.path.join(fx, "audio_neardup.parquet"),
+            "--output", out2,
+            "--run-id", "m2",
+            "--stage", "media-dedup",
+            "--media-kind", "audio",
+        ]
+    )
+    s2 = job._run_media_dedup(spark, args2)
+    assert s2["n_media"] == 26 and s2["n_pairs"] == 17
+    # silent cluster (5) collapses to 1 canonical + planted dup/near pairs
+    assert s2["n_remapped_media"] == 11
+    assert "n_docs" not in s2
