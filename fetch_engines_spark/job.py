@@ -77,6 +77,18 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         "parquet whose media_refs are rewritten to cluster-canonical ids "
         "(written to {output}/documents)",
     )
+    p.add_argument(
+        "--incremental-signatures",
+        default=None,
+        help="--stage media-dedup: path to a prior run's "
+        "{output}/signatures (or signatures_merged) parquet — the input "
+        "is treated as a NEW crawl increment: items near-duplicate of "
+        "history (hamming <= --max-hamming via the cross-corpus capped "
+        "guard) are written to cross_dups and EXCLUDED from the "
+        "within-increment pair/cluster outputs; a merged signature table "
+        "(history + surviving increment) is written to signatures_merged "
+        "for the next run.  History media is never re-decoded.",
+    )
     p.add_argument("--min-quality", type=int, default=4)
     p.add_argument("--max-shared-window-bp", type=int, default=5000)
     p.add_argument("--minhash-perms", type=int, default=128)
@@ -166,15 +178,61 @@ def _run_media_dedup(spark, args) -> dict:
     )
 
     media = spark.read.parquet(args.input)
-    sign, pair_fn = (
-        (image_dhash, dhash_near_dup_pairs)
+    sign, pair_fn, hex_col = (
+        (image_dhash, dhash_near_dup_pairs, "dhash_hex")
         if args.media_kind == "image"
-        else (audio_fingerprint, afp_near_dup_pairs)
+        else (audio_fingerprint, afp_near_dup_pairs, "afp_hex")
     )
     sign(media).write.mode("overwrite").parquet(f"{args.output}/signatures")
     sigs = spark.read.parquet(f"{args.output}/signatures")
     n_media = sigs.count()
     n_errors = sigs.filter("error IS NOT NULL").count()
+    n_hist_dups = None
+    if args.incremental_signatures:
+        import os as _os
+
+        from .pipelines.multimodal import incremental_media_near_dups
+
+        for own in ("signatures", "signatures_merged"):
+            if _os.path.abspath(args.incremental_signatures) == _os.path.abspath(
+                f"{args.output}/{own}"
+            ):
+                raise ValueError(
+                    "--incremental-signatures must not point inside this "
+                    f"run's own --output — use a fresh --output per increment"
+                )
+        hist = spark.read.parquet(args.incremental_signatures)
+        if hex_col not in hist.columns:
+            raise ValueError(
+                f"--incremental-signatures parquet lacks {hex_col} — it was "
+                f"not written by a --media-kind {args.media_kind} run"
+            )
+        # 1) signature-IDENTITY drops by direct hash semi-join (linear,
+        #    cap-independent — every identical item is caught even when
+        #    its bucket is capped in the banded path below)
+        hist_hex = hist.select(hex_col).filter(
+            f"{hex_col} IS NOT NULL"
+        ).distinct()
+        identical = sigs.join(hist_hex, hex_col, "left_semi")
+        n_identical = identical.count()
+        remaining = sigs.join(hist_hex, hex_col, "left_anti")
+        # 2) near-dup (hamming 1..max) via the banded cross-corpus path
+        incremental_media_near_dups(
+            remaining,
+            hist,
+            hex_col=hex_col,
+            max_hamming=args.max_hamming,
+            max_bucket_size=args.max_bucket_size,
+        ).write.mode("overwrite").parquet(f"{args.output}/cross_dups")
+        cross = spark.read.parquet(f"{args.output}/cross_dups")
+        n_hist_dups = n_identical + cross.select("media_id").distinct().count()
+        # within-increment stages run on the SURVIVORS only
+        sigs = remaining.join(
+            cross.select("media_id").distinct(), "media_id", "left_anti"
+        )
+        hist.unionByName(sigs).write.mode("overwrite").parquet(
+            f"{args.output}/signatures_merged"
+        )
     pair_fn(
         sigs,
         max_hamming=args.max_hamming,
@@ -193,6 +251,8 @@ def _run_media_dedup(spark, args) -> dict:
         "n_pairs": pairs.count(),
         "n_remapped_media": cmap.count(),
     }
+    if n_hist_dups is not None:
+        summary["n_hist_dups"] = n_hist_dups
     if args.docs:
         docs = spark.read.parquet(args.docs)
         canonicalize_media_refs(docs, cmap).write.mode("overwrite").parquet(

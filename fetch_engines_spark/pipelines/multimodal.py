@@ -1517,22 +1517,13 @@ def dhash_near_dup_pairs(
     return _banded_hamming_pairs(sigs, "dhash_hex", max_hamming, max_bucket_size)
 
 
-def _banded_hamming_pairs(
-    sigs: DataFrame,
-    hex_col: str,
-    max_hamming: int,
-    max_bucket_size: int | None,
-) -> DataFrame:
-    """Shared 64-bit-signature near-dup core (dHash images, audio
-    fingerprints): explode the four 16-bit pigeonhole blocks (columns
-    b0..b3 + ``hex_col`` on ``sigs``; error rows dropped), bucket-join
-    via the shared capped guard with blocks carried, verify hamming
-    JVM-side (xor + bit_count), filter to ``max_hamming``."""
-    from .candidates import bucket_pairs
-
-    ok = sigs.filter(F.col("error").isNull())
+def _signature_blocks(sigs: DataFrame, hex_col: str) -> DataFrame:
+    """64-bit signature table → one row per (media, 16-bit pigeonhole
+    block): the bucket assignment for banded near-dup joins (error rows
+    dropped; blocks b0..b3 ride along for the carry verify)."""
     bcols = [f"b{i}" for i in range(4)]
-    buckets = ok.select(
+    ok = sigs.filter(F.col("error").isNull())
+    return ok.select(
         "media_id",
         hex_col,
         *bcols,
@@ -1551,6 +1542,23 @@ def _banded_hamming_pairs(
         F.col("blk.block_id").alias("block_id"),
         F.col("blk.block_val").alias("block_val"),
     )
+
+
+def _banded_hamming_pairs(
+    sigs: DataFrame,
+    hex_col: str,
+    max_hamming: int,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """Shared 64-bit-signature near-dup core (dHash images, audio
+    fingerprints): explode the four 16-bit pigeonhole blocks (columns
+    b0..b3 + ``hex_col`` on ``sigs``; error rows dropped), bucket-join
+    via the shared capped guard with blocks carried, verify hamming
+    JVM-side (xor + bit_count), filter to ``max_hamming``."""
+    from .candidates import bucket_pairs
+
+    bcols = [f"b{i}" for i in range(4)]
+    buckets = _signature_blocks(sigs, hex_col)
     pairs = bucket_pairs(
         buckets,
         key_cols=["block_id", "block_val"],
@@ -1768,7 +1776,6 @@ def canonicalize_media_refs(
     # other doc columns ride along: join the rewritten spans back onto
     # the input frame's non-span columns
     other_cols = [c for c in docs.columns if c != "spans"]
-    null_spans = F.col("_had_spans").isNull() | (~F.col("_had_spans"))
     base = docs.select(
         *other_cols, F.col("spans").isNotNull().alias("_had_spans")
     )
@@ -1778,4 +1785,59 @@ def canonicalize_media_refs(
         F.when(F.col("_had_spans"), F.coalesce(F.col("_new_spans"), F.array().cast(
             "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
         ))).alias("spans"),
+    )
+
+
+def incremental_media_near_dups(
+    inc_sigs: DataFrame,
+    hist_sigs: DataFrame,
+    hex_col: str = "dhash_hex",
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Incremental media dedup: near-duplicates of a NEW crawl increment
+    against a PERSISTED signature table (a prior run's
+    ``{output}/signatures`` parquet) — the historical media is never
+    re-decoded; only its small signature table joins.  Returns ordered
+    (media_id, hist_id, hamming) rows, one per increment×history match
+    at hamming <= ``max_hamming``; an increment item with ANY row here
+    is a near-dup of history.
+
+    Shape: pigeonhole blocks on both sides → the shared cross-corpus
+    capped guard (`candidates.cross_bucket_pairs` — oversized buckets
+    collapse to signature-identical matches, never n_inc × n_hist),
+    then hamming verify by joining the bounded candidate-pair list back
+    to the two signature tables (two id-equi-joins against a pair set
+    that banding already bounded; AQE broadcasts the small side).
+    Exact recall at hamming <= 3 for buckets under the cap — same
+    pigeonhole guarantee as the within-corpus path."""
+    from .candidates import cross_bucket_pairs
+
+    pairs = cross_bucket_pairs(
+        _signature_blocks(inc_sigs, hex_col),
+        _signature_blocks(hist_sigs, hex_col),
+        key_cols=["block_id", "block_val"],
+        id_col="media_id",
+        sig_col=hex_col,
+        max_bucket_size=max_bucket_size,
+        out_a="media_id",
+        out_b="hist_id",
+    )
+    il = inc_sigs.select(
+        "media_id", *[F.col(f"b{i}").alias(f"_ib{i}") for i in range(4)]
+    )
+    hl = hist_sigs.select(
+        F.col("media_id").alias("hist_id"),
+        *[F.col(f"b{i}").alias(f"_hb{i}") for i in range(4)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"_ib{i}").bitwiseXOR(F.col(f"_hb{i}")))
+        for i in range(4)
+    )
+    return (
+        pairs.join(il, "media_id")
+        .join(hl, "hist_id")
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("media_id", "hist_id", "hamming")
     )

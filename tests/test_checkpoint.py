@@ -267,3 +267,68 @@ def test_media_dedup_stage_cli(spark, tmp_path):
     # silent cluster (5) collapses to 1 canonical + planted dup/near pairs
     assert s2["n_remapped_media"] == 11
     assert "n_docs" not in s2
+
+
+def test_media_dedup_stage_incremental(spark, tmp_path):
+    """Two-run incremental media dedup: run 1 indexes the base images;
+    run 2 treats the copies/edits + two history-identical blanks + the
+    untouched remainder as a NEW increment with --incremental-signatures
+    — every item near-dup of history is dropped (identity via the
+    direct hash semi-join even under a tight bucket cap; hamming 1+ via
+    the banded cross path) WITHOUT re-decoding history, and
+    signatures_merged covers history + survivors for the next run."""
+    import os
+
+    from fetch_engines_spark import job
+
+    fx = os.path.join(os.path.dirname(__file__), "..", "data", "fixtures")
+    src = os.path.join(fx, "images_neardup.parquet")
+    inc_ids = (
+        "media_id LIKE '%-copy' OR media_id LIKE '%-near' "
+        "OR media_id IN ('blank-5','blank-6','img-003','img-006')"
+    )
+    base = spark.read.parquet(src)
+    out1, out2 = str(tmp_path / "run1"), str(tmp_path / "run2")
+    base.filter(f"NOT ({inc_ids})").write.parquet(str(tmp_path / "hist.parquet"))
+    base.filter(inc_ids).write.parquet(str(tmp_path / "inc.parquet"))
+
+    s1 = job._run_media_dedup(
+        spark,
+        job.parse_args(
+            ["--input", str(tmp_path / "hist.parquet"), "--output", out1,
+             "--run-id", "r1", "--stage", "media-dedup", "--max-bucket-size", "50"]
+        ),
+    )
+    assert "n_hist_dups" not in s1
+
+    s2 = job._run_media_dedup(
+        spark,
+        job.parse_args(
+            ["--input", str(tmp_path / "inc.parquet"), "--output", out2,
+             "--run-id", "r2", "--stage", "media-dedup",
+             "--incremental-signatures", f"{out1}/signatures",
+             "--max-bucket-size", "4"]
+        ),
+    )
+    # 7 copies/edits + 2 blanks match history; img-003 / img-006 are the
+    # genuinely-new survivors (base images not referenced by any dup)
+    assert s2["n_media"] == 11 and s2["n_hist_dups"] == 9
+    merged = spark.read.parquet(f"{out2}/signatures_merged")
+    assert merged.count() == s1["n_media"] + 2
+    surv = {
+        r.media_id
+        for r in merged.join(
+            spark.read.parquet(f"{out1}/signatures"), "media_id", "left_anti"
+        ).collect()
+    }
+    assert surv == {"img-003", "img-006"}
+    # self-overwrite guard
+    with pytest.raises(ValueError, match="own"):
+        job._run_media_dedup(
+            spark,
+            job.parse_args(
+                ["--input", str(tmp_path / "inc.parquet"), "--output", out2,
+                 "--run-id", "r3", "--stage", "media-dedup",
+                 "--incremental-signatures", f"{out2}/signatures"]
+            ),
+        )

@@ -2512,3 +2512,85 @@ def test_canonicalize_media_refs_semantics(spark):
     assert [s.media_ref for s in out["d3"].spans] == ["img-001", "nope-404"]
     assert out["d4"].spans == [] and out["d5"].spans is None
     assert {r.title for r in out.values()} == {"a", "b", "c", "d", "e"}
+
+
+def test_incremental_media_near_dups(spark):
+    """Cross-corpus media near-dup: a new increment (the planted copies/
+    edits + two genuinely fresh images) against the persisted base
+    signatures finds exactly the planted matches without touching base
+    payloads; with blanks split across the sides and a cap below the
+    history blank count, the guard collapses the hot bucket to
+    signature-identical matches (still found — they ARE identical)
+    instead of n_inc x n_hist."""
+    from fetch_engines_spark.pipelines.multimodal import (
+        image_dhash,
+        incremental_media_near_dups,
+    )
+
+    nd = spark.read.parquet(_fixture_path("images_neardup"))
+    inc_ids = "media_id LIKE '%-copy' OR media_id LIKE '%-near' OR media_id IN ('blank-5','blank-6')"
+    hist = image_dhash(nd.filter(f"NOT ({inc_ids})"))
+    inc = image_dhash(nd.filter(inc_ids))
+    got = {
+        (r.media_id, r.hist_id): r.hamming
+        for r in incremental_media_near_dups(inc, hist).collect()
+    }
+    planted = {
+        ("img-000-copy", "img-000"): 0,
+        ("img-002-near", "img-002"): 0,
+        ("img-005-copy", "img-005"): 0,
+        ("img-007-near", "img-007"): 0,
+        ("img-010-copy", "img-010"): 0,
+        ("img-012-near", "img-012"): 1,
+        ("img-015-copy", "img-015"): 0,
+    }
+    # uncapped: every inc blank matches every hist blank (2 x 5 = 10)
+    blanks = {p for p in got if p[0].startswith("blank")}
+    assert len(blanks) == 10 and all(got[p] == 0 for p in blanks)
+    assert {p: h for p, h in got.items() if not p[0].startswith("blank")} == planted
+    # capped below the history blank count: hot bucket collapses to
+    # signature-identical matches — inc blanks still flagged as dups of
+    # history (identical signature), planted matches intact
+    capped = {
+        (r.media_id, r.hist_id): r.hamming
+        for r in incremental_media_near_dups(inc, hist, max_bucket_size=4).collect()
+    }
+    assert {p: h for p, h in capped.items() if not p[0].startswith("blank")} == planted
+    # capped hot bucket: per-signature-group collapse — one rep-to-rep
+    # pair survives (a true identity dup), never 2x5; the CLI drops ALL
+    # identity dups via the direct hash semi-join BEFORE this path, so
+    # nothing is lost end-to-end (test_media_dedup_stage_incremental)
+    capped_blanks = {p for p in capped if p[0].startswith("blank")}
+    assert capped_blanks and capped_blanks < blanks
+    assert all(capped[p] == 0 for p in capped_blanks)
+
+
+def test_incremental_media_equivalence_with_monolithic(spark):
+    """Increment-vs-history cross pairs + within-increment pairs +
+    within-history pairs must together recover exactly the monolithic
+    corpus's pair set (as unordered id pairs) — the proof that
+    incremental processing loses nothing."""
+    from fetch_engines_spark.pipelines.multimodal import (
+        dhash_near_dup_pairs,
+        image_dhash,
+        incremental_media_near_dups,
+    )
+
+    nd = spark.read.parquet(_fixture_path("images_neardup"))
+    inc_ids = "media_id LIKE '%-copy' OR media_id LIKE '%-near' OR media_id IN ('blank-5','blank-6')"
+    hist_sigs = image_dhash(nd.filter(f"NOT ({inc_ids})"))
+    inc_sigs = image_dhash(nd.filter(inc_ids))
+    mono = {
+        frozenset((r.media_a, r.media_b))
+        for r in dhash_near_dup_pairs(image_dhash(nd)).collect()
+    }
+    split = {
+        frozenset((r.media_id, r.hist_id))
+        for r in incremental_media_near_dups(inc_sigs, hist_sigs).collect()
+    }
+    for part in (hist_sigs, inc_sigs):
+        split |= {
+            frozenset((r.media_a, r.media_b))
+            for r in dhash_near_dup_pairs(part).collect()
+        }
+    assert split == mono
