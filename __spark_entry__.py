@@ -1220,6 +1220,24 @@ def _q_media_span_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode — AVI/RIFF Motion-JPEG: container chunk walk
+    (avih, 'vids' strh/strf, movi '00dc' frames) + the from-scratch
+    baseline JPEG entropy decoder per frame (gray, 4:4:4 color, 4:2:0
+    subsampled, odd crop), one row per frame with its pixel sum; wrong
+    codec / empty movi / header-stream dimension mismatch / truncation
+    become error rows.  Oracle = the generator's spec-IDCT per-frame
+    expected table."""
+    from fetch_engines_spark.pipelines.multimodal import video_frame_stats
+
+    vids = spark.read.parquet(os.path.join(FIXTURES_DIR, "avi_videos.parquet"))
+    return video_frame_stats(vids).select(
+        "media_id", "frame_idx", "width", "height", "channels",
+        "n_frames", "pixel_sum",
+        F.substring(F.col("error"), 1, 7).alias("error_prefix"),
+    )
+
+
 def _q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC ingestion (the Common Crawl landing format): the gzip-member
     fixture archive parsed to one row per record — warcinfo, request,
@@ -2083,6 +2101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio_fp": _q_media_audio_fp,
         "media_audio_neardup_pairs": _q_media_audio_neardup_pairs,
         "media_span_canonicalize": _q_media_span_canonicalize,
+        "media_video_frames": _q_media_video_frames,
     }
 
 
@@ -2763,6 +2782,13 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(c.canonical, ex.sp['media_ref']) AS media_ref,
                    ex.sp['offset'] AS "offset"
             FROM ex LEFT JOIN canon c ON ex.sp['media_ref'] = c.media_ref
+        """,
+        "media_video_frames": f"""
+            SELECT media_id, frame_idx, exp_width AS width,
+                   exp_height AS height, exp_channels AS channels,
+                   exp_n_frames AS n_frames, exp_pixel_sum AS pixel_sum,
+                   exp_error_prefix AS error_prefix
+            FROM read_parquet('{os.path.join(FIXTURES_DIR, "avi_expected.parquet")}')
         """,
         "warc_ingest": f"""
             SELECT record_id, warc_type, url, warc_date, content_type,

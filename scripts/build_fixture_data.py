@@ -1946,6 +1946,138 @@ def build_documents_media() -> None:
     )
 
 
+def _avi_bytes(
+    width: int,
+    height: int,
+    frame_payloads: list[bytes],
+    fourcc: bytes = b"MJPG",
+    total_override: int | None = None,
+    strf_wh: tuple[int, int] | None = None,
+) -> bytes:
+    """Minimal AVI/RIFF writer (independent of the decoder under test):
+    hdrl (avih + one 'vids' strl with strh/strf BITMAPINFOHEADER) +
+    movi with one word-aligned '00dc' chunk per frame payload.
+    ``total_override`` / ``strf_wh`` let error fixtures plant
+    header-vs-content disagreements."""
+    import struct as _s
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + _s.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    n = total_override if total_override is not None else len(frame_payloads)
+    avih = _s.pack(
+        "<14I", 33333, 0, 0, 0, n, 0, 1, 0, width, height, 0, 0, 0, 0
+    )
+    strh = b"vids" + fourcc + _s.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 30, 0, n, 0, 10000, 0) + _s.pack("<4H", 0, 0, width, height)
+    sw, sh = strf_wh if strf_wh is not None else (width, height)
+    strf = _s.pack("<IiiHH4sIiiII", 40, sw, sh, 1, 24, fourcc, 0, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frame_payloads))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + _s.pack("<I", len(body)) + body
+
+
+def build_avi_videos() -> None:
+    """AVI/MJPEG video fixture: writer-emitted RIFF containers whose
+    frames are generator-encoded baseline JPEGs (gray DC tiles, YCbCr
+    4:4:4 color, 4:2:0 subsampled, odd non-MCU-multiple crop) with the
+    expected per-frame pixel sums derived from the quantized
+    coefficients via the spec IDCT — plus error rows: a non-MJPG
+    codec fourcc, an empty movi, a header/stream dimension mismatch,
+    truncation, and not-a-RIFF.  Self-checked through the pipeline
+    decoder at build time."""
+    from fetch_engines_spark.pipelines.multimodal import decode_avi_frames
+
+    flat1 = [1] * 64
+    q2 = [2] * 64
+
+    def dc_block(v: int) -> list[int]:
+        blk = [0] * 64
+        blk[0] = (v - 128) * 8
+        return blk
+
+    def gray_frame(w: int, h: int, levels: list[int], q) -> tuple[bytes, bytes]:
+        bx, by = (w + 7) // 8, (h + 7) // 8
+        blocks = [dc_block(levels[i % len(levels)]) for i in range(bx * by)]
+        return (
+            _jpeg_bytes(w, h, [blocks], [q]),
+            _jpeg_expected_pixels(w, h, [blocks], [q]),
+        )
+
+    def color_frame(w: int, h: int, y: int, cb: int, cr: int) -> tuple[bytes, bytes]:
+        bx, by = (w + 7) // 8, (h + 7) // 8
+        comps = [[dc_block(v)] * (bx * by) for v in (y, cb, cr)]
+        return (
+            _jpeg_bytes(w, h, comps, [flat1, flat1, flat1]),
+            _jpeg_expected_pixels(w, h, comps, [flat1, flat1, flat1]),
+        )
+
+    rows = []  # (media_id, payload, [(frame_idx, w, h, ch, pixel_sum)], err)
+
+    def add(mid: str, w: int, h: int, fr: list[tuple[bytes, bytes]], ch: int) -> None:
+        payload = _avi_bytes(w, h, [f[0] for f in fr])
+        got = decode_avi_frames(payload)
+        assert got["n_frames"] == len(fr) and (got["width"], got["height"]) == (w, h), mid
+        for i, (_, px) in enumerate(fr):
+            assert got["frames"][i] == px, f"{mid}: frame {i} writer/decoder disagreement"
+        rows.append(
+            (mid, payload,
+             [(i, w, h, ch, sum(f[1])) for i, f in enumerate(fr)], None)
+        )
+
+    add("avi-gray", 16, 16, [gray_frame(16, 16, [40 + 30 * i, 90 + 10 * i], q2) for i in range(4)], 1)
+    add("avi-color", 16, 8, [color_frame(16, 8, 60, 110, 150), color_frame(16, 8, 200, 140, 120)], 3)
+    # 4:2:0 subsampled color frame (the dominant web MJPEG layout)
+    y420 = [dc_block(v) for v in (50, 100, 150, 200)]
+    sub = _jpeg_bytes(16, 16, [y420, [dc_block(90)], [dc_block(170)]], [flat1, flat1, flat1], sampling=[(2, 2), (1, 1), (1, 1)])
+    sub_px = _jpeg_expected_pixels(16, 16, [y420, [dc_block(90)], [dc_block(170)]], [flat1, flat1, flat1], sampling=[(2, 2), (1, 1), (1, 1)])
+    add("avi-420", 16, 16, [(sub, sub_px)], 3)
+    add("avi-odd", 11, 9, [gray_frame(11, 9, [77], flat1), gray_frame(11, 9, [154, 31], q2)], 1)
+
+    g1, _ = gray_frame(8, 8, [128], flat1)
+    rows.append(("avi-wrong-codec", _avi_bytes(8, 8, [g1], fourcc=b"H264"), None, "ERR_VID"))
+    rows.append(("avi-no-frames", _avi_bytes(8, 8, []), None, "ERR_VID"))
+    rows.append(("avi-dim-mismatch", _avi_bytes(8, 8, [g1], strf_wh=(16, 16)), None, "ERR_VID"))
+    rows.append(("avi-truncated", rows[0][1][:40], None, "ERR_VID"))
+    rows.append(("avi-not-riff", b"MOOV not an avi", None, "ERR_VID"))
+
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": [r[0] for r in rows],
+                "payload": pa.array([r[1] for r in rows], pa.binary()),
+            }
+        ),
+        os.path.join(OUT, "avi_videos.parquet"),
+    )
+    exp_rows = []
+    for mid, _, frames, err in rows:
+        if err is not None:
+            exp_rows.append((mid, None, None, None, None, None, None, err))
+        else:
+            nf = len(frames)
+            for i, w, h, ch, ps in frames:
+                exp_rows.append((mid, i, w, h, ch, nf, ps, None))
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": [r[0] for r in exp_rows],
+                "frame_idx": pa.array([r[1] for r in exp_rows], pa.int32()),
+                "exp_width": pa.array([r[2] for r in exp_rows], pa.int32()),
+                "exp_height": pa.array([r[3] for r in exp_rows], pa.int32()),
+                "exp_channels": pa.array([r[4] for r in exp_rows], pa.int32()),
+                "exp_n_frames": pa.array([r[5] for r in exp_rows], pa.int32()),
+                "exp_pixel_sum": pa.array([r[6] for r in exp_rows], pa.int64()),
+                "exp_error_prefix": [r[7] for r in exp_rows],
+            }
+        ),
+        os.path.join(OUT, "avi_expected.parquet"),
+    )
+
+
 def _wav_bytes(sample_rate: int, channels: int, samples: list[int], extra_chunk: bool = False, bits: int = 16) -> bytes:
     """WAV WRITER (independent of the decoder under test): PCM RIFF with
     fmt + data chunks at 8/16/24-bit depth (8-bit stored UNSIGNED:
@@ -2366,5 +2498,6 @@ if __name__ == "__main__":
     build_wavs()
     build_audio_neardup()
     build_documents_media()
+    build_avi_videos()
     build_events_csv()
     print(f"wrote fixture data to {OUT}")

@@ -2594,3 +2594,57 @@ def test_incremental_media_equivalence_with_monolithic(spark):
             for r in dhash_near_dup_pairs(part).collect()
         }
     assert split == mono
+
+
+# --- AVI/MJPEG video decode -------------------------------------------------
+
+
+def test_video_frame_stats_matches_expected(spark):
+    """Real AVI/MJPEG decode over the fixture corpus (gray DC tiles,
+    YCbCr 4:4:4, 4:2:0 subsampled, odd crop; wrong-codec / no-frames /
+    dim-mismatch / truncated / not-RIFF error rows) must reproduce the
+    generator's spec-IDCT per-frame pixel sums exactly."""
+    from fetch_engines_spark.pipelines.multimodal import video_frame_stats
+
+    vids = spark.read.parquet(_fixture_path("avi_videos"))
+    got = {
+        (r.media_id, r.frame_idx): r
+        for r in video_frame_stats(vids).collect()
+    }
+    exp = spark.read.parquet(_fixture_path("avi_expected")).collect()
+    assert len(got) == len(exp) == 14
+    for e in exp:
+        g = got[(e.media_id, e.frame_idx)]
+        if e.exp_error_prefix is not None:
+            assert g.error is not None and g.error.startswith(e.exp_error_prefix), e.media_id
+        else:
+            assert g.error is None, (e.media_id, g.error)
+            assert (g.width, g.height, g.channels, g.n_frames, g.pixel_sum) == (
+                e.exp_width, e.exp_height, e.exp_channels,
+                e.exp_n_frames, e.exp_pixel_sum,
+            ), (e.media_id, e.frame_idx)
+
+
+def test_avi_frame_sampling_skips_decode():
+    """``sample_every`` must genuinely SKIP the entropy decode of
+    unsampled frames (the point of frame sampling at scale): an AVI
+    whose odd frames are corrupt decodes fine at every_n=2 — frame
+    indices and true n_frames intact — and fails at every_n=1."""
+    import pytest as _pytest
+
+    from scripts.build_fixture_data import _avi_bytes, _jpeg_bytes
+    from fetch_engines_spark.pipelines.multimodal import decode_avi_frames
+
+    def blk(v):
+        b = [0] * 64
+        b[0] = (v - 128) * 8
+        return b
+
+    good = [_jpeg_bytes(8, 8, [[blk(v)]], [[1] * 64]) for v in (50, 120, 200)]
+    frames = [good[0], b"\xff\xd8garbage-not-a-jpeg", good[2]]
+    payload = _avi_bytes(8, 8, frames)
+    v = decode_avi_frames(payload, sample_every=2)
+    assert v["n_frames"] == 3 and v["frame_indices"] == [0, 2]
+    assert len(v["frames"]) == 2
+    with _pytest.raises(ValueError):
+        decode_avi_frames(payload)  # every frame -> hits the corrupt one
