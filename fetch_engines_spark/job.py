@@ -82,12 +82,16 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         default=None,
         help="--stage media-dedup: path to a prior run's "
         "{output}/signatures (or signatures_merged) parquet — the input "
-        "is treated as a NEW crawl increment: items near-duplicate of "
-        "history (hamming <= --max-hamming via the cross-corpus capped "
-        "guard) are written to cross_dups and EXCLUDED from the "
-        "within-increment pair/cluster outputs; a merged signature table "
-        "(history + surviving increment) is written to signatures_merged "
-        "for the next run.  History media is never re-decoded.",
+        "is treated as a NEW crawl increment: every item near-duplicate "
+        "of history is written to cross_dups (identity dups via a direct "
+        "hash join against one representative per hash; hamming 1+ via "
+        "the cross-corpus capped guard) and EXCLUDED from the "
+        "within-increment pair/cluster outputs; the canonical map gains "
+        "each dropped item's best history match (so --docs rewrites land "
+        "on surviving history media); a merged signature table (history "
+        "+ surviving increment) is written to signatures_merged for the "
+        "next run.  History media is never re-decoded.  Increment "
+        "media_ids must be fresh (re-crawled ids fail loudly).",
     )
     p.add_argument("--min-quality", type=int, default=4)
     p.add_argument("--max-shared-window-bp", type=int, default=5000)
@@ -163,11 +167,20 @@ def _run_compact_index(spark, args) -> dict:
 
 def _run_media_dedup(spark, args) -> dict:
     """Perceptual media near-dup: one fused decode+signature pass is
-    WRITTEN to {output}/signatures (the durable checkpoint — pairs,
-    map, and any retry read the parquet back instead of re-decoding the
-    corpus), then banded pairs → connected components → canonical map;
-    with --docs, the interleaved documents get their media_refs
-    rewritten to cluster-canonical ids at {output}/documents."""
+    WRITTEN to {output}/signatures — every downstream stage of this run
+    (pairs, cross-dups, map) reads the parquet back instead of holding
+    pixels in memory or re-decoding; a RE-INVOCATION of the stage
+    re-decodes from scratch (unlike the extract stage's per-bucket
+    resume — signature runs are single-pass by design).  Then banded
+    pairs → connected components → canonical map; with --docs, the
+    interleaved documents get their media_refs rewritten to
+    cluster-canonical ids at {output}/documents (incremental runs
+    extend the map with each dropped item's best history match, so
+    spans referencing dropped increment media rewrite to surviving
+    HISTORY ids — assumes history was itself canonicalized by its own
+    run's map)."""
+    from pyspark.sql import functions as F
+
     from .pipelines.multimodal import (
         afp_near_dup_pairs,
         audio_fingerprint,
@@ -188,6 +201,7 @@ def _run_media_dedup(spark, args) -> dict:
     n_media = sigs.count()
     n_errors = sigs.filter("error IS NOT NULL").count()
     n_hist_dups = None
+    cross = None
     if args.incremental_signatures:
         import os as _os
 
@@ -207,25 +221,54 @@ def _run_media_dedup(spark, args) -> dict:
                 f"--incremental-signatures parquet lacks {hex_col} — it was "
                 f"not written by a --media-kind {args.media_kind} run"
             )
-        # 1) signature-IDENTITY drops by direct hash semi-join (linear,
+        # re-crawl guard: an increment media_id already present in history
+        # would silently merge two signatures under one id (the cross-pair
+        # generator drops same-id pairs, and signatures_merged would carry
+        # duplicate ids that fan out every later run) — fail loudly, like
+        # the text index's re-crawled-id conflict guard
+        n_conflicts = sigs.join(
+            hist.select("media_id"), "media_id", "left_semi"
+        ).count()
+        if n_conflicts:
+            raise ValueError(
+                f"{n_conflicts} increment media_ids already exist in "
+                "--incremental-signatures history — media ids must be "
+                "unique per crawl (re-crawled items need fresh ids, or "
+                "drop them from the increment)"
+            )
+        # 1) signature-IDENTITY dups by direct hash join (linear,
         #    cap-independent — every identical item is caught even when
-        #    its bucket is capped in the banded path below)
-        hist_hex = hist.select(hex_col).filter(
-            f"{hex_col} IS NOT NULL"
-        ).distinct()
-        identical = sigs.join(hist_hex, hex_col, "left_semi")
-        n_identical = identical.count()
-        remaining = sigs.join(hist_hex, hex_col, "left_anti")
+        #    its bucket is capped in the banded path below).  History is
+        #    collapsed to ONE representative id per hash first, so a hot
+        #    hash (blank thumbnails) yields one audit row per increment
+        #    item, never n_inc x n_hist.
+        hist_rep = (
+            hist.filter(f"{hex_col} IS NOT NULL")
+            .groupBy(hex_col)
+            .agg(F.min("media_id").alias("hist_id"))
+        )
+        identity = (
+            sigs.filter(f"{hex_col} IS NOT NULL")
+            .select("media_id", hex_col)
+            .join(hist_rep, hex_col)
+            .select("media_id", "hist_id", F.lit(0).alias("hamming"))
+        )
+        remaining = sigs.join(
+            identity.select("media_id").distinct(), "media_id", "left_anti"
+        )
         # 2) near-dup (hamming 1..max) via the banded cross-corpus path
-        incremental_media_near_dups(
+        near = incremental_media_near_dups(
             remaining,
             hist,
             hex_col=hex_col,
             max_hamming=args.max_hamming,
             max_bucket_size=args.max_bucket_size,
-        ).write.mode("overwrite").parquet(f"{args.output}/cross_dups")
+        )
+        identity.unionByName(near).write.mode("overwrite").parquet(
+            f"{args.output}/cross_dups"
+        )
         cross = spark.read.parquet(f"{args.output}/cross_dups")
-        n_hist_dups = n_identical + cross.select("media_id").distinct().count()
+        n_hist_dups = cross.select("media_id").distinct().count()
         # within-increment stages run on the SURVIVORS only
         sigs = remaining.join(
             cross.select("media_id").distinct(), "media_id", "left_anti"
@@ -239,9 +282,21 @@ def _run_media_dedup(spark, args) -> dict:
         max_bucket_size=args.max_bucket_size,
     ).write.mode("overwrite").parquet(f"{args.output}/pairs")
     pairs = spark.read.parquet(f"{args.output}/pairs")
-    canonical_media_map(pairs).write.mode("overwrite").parquet(
-        f"{args.output}/canonical_map"
-    )
+    cmap_df = canonical_media_map(pairs)
+    if cross is not None:
+        # incremental: each dropped increment item maps to its BEST
+        # history match (lowest hamming, then lowest hist_id) so span
+        # rewrites land on surviving history media, never dangling refs
+        cross_best = (
+            cross.groupBy("media_id")
+            .agg(F.min(F.struct("hamming", "hist_id")).alias("_m"))
+            .select(
+                F.col("media_id").alias("media_ref"),
+                F.col("_m.hist_id").alias("canonical_ref"),
+            )
+        )
+        cmap_df = cmap_df.unionByName(cross_best)
+    cmap_df.write.mode("overwrite").parquet(f"{args.output}/canonical_map")
     cmap = spark.read.parquet(f"{args.output}/canonical_map")
     summary = {
         "stage": "media-dedup",

@@ -1731,12 +1731,19 @@ def canonicalize_media_refs(
     set it False to let AQE pick a shuffle join when a pathological
     corpus makes the map huge.
     Giant documents are one row each here — the same salted-repartition
-    guidance as the extract stage applies upstream."""
+    guidance as the extract stage applies upstream.
+
+    Rows with NULL ``doc_id`` pass through UNTOUCHED (spans included):
+    there is no grouping key to re-assemble them on, and collapsing
+    every NULL-id row into one group would merge unrelated documents'
+    spans — surface them upstream if they matter."""
     m = canon_map.select(
         F.col("media_ref").alias("_ref"), F.col("canonical_ref").alias("_canon")
     )
     if broadcast_map:
         m = F.broadcast(m)
+    null_id_docs = docs.filter(F.col("doc_id").isNull())
+    docs = docs.filter(F.col("doc_id").isNotNull())
     ex = docs.select(
         "doc_id", F.posexplode_outer("spans").alias("_pos", "_s")
     )
@@ -1784,12 +1791,13 @@ def canonicalize_media_refs(
         *other_cols, F.col("spans").isNotNull().alias("_had_spans")
     )
     out = base.join(rewritten.withColumnRenamed("spans", "_new_spans"), "doc_id", "left")
-    return out.select(
+    out = out.select(
         *other_cols,
         F.when(F.col("_had_spans"), F.coalesce(F.col("_new_spans"), F.array().cast(
             "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
         ))).alias("spans"),
     )
+    return out.unionByName(null_id_docs.select(*other_cols, "spans"))
 
 
 def incremental_media_near_dups(
@@ -1929,12 +1937,23 @@ def decode_avi_frames(
         raise ValueError("unsupported video codec (MJPG only)")
     if not frames_raw:
         raise ValueError("movi list has no frame chunks")
-    if len(frames_raw) > max_frames:
-        raise ValueError(f"{len(frames_raw)} frames (cap {max_frames})")
+    if avih["n_frames"] not in (0, len(frames_raw)):
+        # dwTotalFrames=0 is tolerated (common in real muxers); a nonzero
+        # count disagreeing with the movi content is a corrupt container
+        raise ValueError(
+            f"avih says {avih['n_frames']} frames, movi has {len(frames_raw)}"
+        )
     w, h = avih["width"], avih["height"]
     if strf_wh is not None and strf_wh != (w, h):
         raise ValueError(f"strf {strf_wh} disagrees with avih {(w, h)}")
     frame_indices = list(range(0, len(frames_raw), max(sample_every, 1)))
+    # the cap bounds DECODED work: a long video sparsely sampled is fine
+    # (the container walk is O(payload), the entropy decode is the cost)
+    if len(frame_indices) > max_frames:
+        raise ValueError(
+            f"{len(frame_indices)} sampled frames (cap {max_frames}; "
+            f"raise sample_every)"
+        )
     if len(frame_indices) * w * h > MAX_AVI_FRAME_PIXELS:
         raise ValueError(
             f"{len(frame_indices)}x{w}x{h} decoded frames exceed total pixel cap"

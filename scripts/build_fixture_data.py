@@ -2039,6 +2039,7 @@ def build_avi_videos() -> None:
 
     g1, _ = gray_frame(8, 8, [128], flat1)
     rows.append(("avi-wrong-codec", _avi_bytes(8, 8, [g1], fourcc=b"H264"), None, "ERR_VID"))
+    rows.append(("avi-count-mismatch", _avi_bytes(8, 8, [g1, g1], total_override=5), None, "ERR_VID"))
     rows.append(("avi-no-frames", _avi_bytes(8, 8, []), None, "ERR_VID"))
     rows.append(("avi-dim-mismatch", _avi_bytes(8, 8, [g1], strf_wh=(16, 16)), None, "ERR_VID"))
     rows.append(("avi-truncated", rows[0][1][:40], None, "ERR_VID"))

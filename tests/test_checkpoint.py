@@ -307,12 +307,38 @@ def test_media_dedup_stage_incremental(spark, tmp_path):
             ["--input", str(tmp_path / "inc.parquet"), "--output", out2,
              "--run-id", "r2", "--stage", "media-dedup",
              "--incremental-signatures", f"{out1}/signatures",
+             "--docs", os.path.join(fx, "documents_media.parquet"),
              "--max-bucket-size", "4"]
         ),
     )
     # 7 copies/edits + 2 blanks match history; img-003 / img-006 are the
     # genuinely-new survivors (base images not referenced by any dup)
     assert s2["n_media"] == 11 and s2["n_hist_dups"] == 9
+    # audit completeness: EVERY dropped item appears in cross_dups with
+    # the history item it matched (identity rows included, hamming 0
+    # against the per-hash history representative)
+    cross = {
+        r.media_id: (r.hist_id, r.hamming)
+        for r in spark.read.parquet(f"{out2}/cross_dups").collect()
+    }
+    assert set(cross) == {
+        "img-000-copy", "img-002-near", "img-005-copy", "img-007-near",
+        "img-010-copy", "img-012-near", "img-015-copy", "blank-5", "blank-6",
+    }
+    assert cross["img-000-copy"] == ("img-000", 0)
+    assert cross["blank-5"] == ("blank-0", 0)  # per-hash history rep
+    assert cross["img-012-near"] == ("img-012", 1)  # banded near path
+    # --docs with incremental: spans referencing DROPPED increment media
+    # rewrite to the surviving history id, never dangling
+    docs = {r.doc_id: r for r in spark.read.parquet(f"{out2}/documents").collect()}
+    assert [sp.media_ref for sp in docs["dm-01"].spans] == [None, "img-000", None]
+    # blank-5 (dropped increment) -> its history match; img-002-near
+    # (banded near-dup) -> its history match; blank-2 is a HISTORY ref —
+    # untouched here, by contract history refs were canonicalized by
+    # run 1's own map
+    assert [sp.media_ref for sp in docs["dm-02"].spans] == [
+        "blank-0", "img-002", "blank-2",
+    ]
     merged = spark.read.parquet(f"{out2}/signatures_merged")
     assert merged.count() == s1["n_media"] + 2
     surv = {
@@ -330,5 +356,17 @@ def test_media_dedup_stage_incremental(spark, tmp_path):
                 ["--input", str(tmp_path / "inc.parquet"), "--output", out2,
                  "--run-id", "r3", "--stage", "media-dedup",
                  "--incremental-signatures", f"{out2}/signatures"]
+            ),
+        )
+    # re-crawl guard: an increment reusing a history media_id fails
+    # loudly instead of merging two signatures under one id
+    with pytest.raises(ValueError, match="already exist"):
+        job._run_media_dedup(
+            spark,
+            job.parse_args(
+                ["--input", str(tmp_path / "hist.parquet"),
+                 "--output", str(tmp_path / "run3"),
+                 "--run-id", "r4", "--stage", "media-dedup",
+                 "--incremental-signatures", f"{out1}/signatures"]
             ),
         )

@@ -2612,7 +2612,7 @@ def test_video_frame_stats_matches_expected(spark):
         for r in video_frame_stats(vids).collect()
     }
     exp = spark.read.parquet(_fixture_path("avi_expected")).collect()
-    assert len(got) == len(exp) == 14
+    assert len(got) == len(exp) == 15
     for e in exp:
         g = got[(e.media_id, e.frame_idx)]
         if e.exp_error_prefix is not None:
@@ -2648,3 +2648,11 @@ def test_avi_frame_sampling_skips_decode():
     assert len(v["frames"]) == 2
     with _pytest.raises(ValueError):
         decode_avi_frames(payload)  # every frame -> hits the corrupt one
+    # the max_frames cap bounds DECODED work, not container length: a
+    # 300-frame video sparsely sampled decodes fine (3 frames), densely
+    # sampled it trips the cap with an actionable message
+    long = _avi_bytes(8, 8, [good[0]] * 300)
+    vl = decode_avi_frames(long, sample_every=100)
+    assert vl["n_frames"] == 300 and vl["frame_indices"] == [0, 100, 200]
+    with _pytest.raises(ValueError, match="sample_every"):
+        decode_avi_frames(long)
