@@ -1238,6 +1238,38 @@ def _q_media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_video_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame perceptual hash of AVI/MJPEG video: container walk +
+    JPEG entropy decode + dHash fused in one Arrow stage, one row per
+    frame.  Oracle = the generator's plain-Python dhash of the
+    spec-IDCT expected pixels."""
+    from fetch_engines_spark.pipelines.multimodal import video_frame_dhash
+
+    nd = spark.read.parquet(os.path.join(FIXTURES_DIR, "avi_neardup.parquet"))
+    return video_frame_dhash(nd).select(
+        "media_id", "frame_idx", "n_frames", "dhash_hex",
+        F.substring(F.col("error"), 1, 7).alias("error_prefix"),
+    )
+
+
+def _q_media_video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate pairs by frame-hash containment over the
+    planted corpus (exact copy, re-ordered copy, trimmed prefix — all
+    10000 bp despite differing payloads/order/frame counts; half
+    overlap excluded at the 8000 threshold; black-frame degenerate
+    bucket + tiny-clip containment): per-frame dHash → bucketed join on
+    the exact frame hash through the shared capped guard → shared-count
+    join-back → integer containment score.  Oracle = the brute-force
+    shared-hash join over the generator's expected frame table."""
+    from fetch_engines_spark.pipelines.multimodal import (
+        video_frame_dhash,
+        video_near_dup_pairs,
+    )
+
+    nd = spark.read.parquet(os.path.join(FIXTURES_DIR, "avi_neardup.parquet"))
+    return video_near_dup_pairs(video_frame_dhash(nd), min_share_bp=8000)
+
+
 def _q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC ingestion (the Common Crawl landing format): the gzip-member
     fixture archive parsed to one row per record — warcinfo, request,
@@ -2102,6 +2134,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio_neardup_pairs": _q_media_audio_neardup_pairs,
         "media_span_canonicalize": _q_media_span_canonicalize,
         "media_video_frames": _q_media_video_frames,
+        "media_video_dhash": _q_media_video_dhash,
+        "media_video_neardup_pairs": _q_media_video_neardup_pairs,
     }
 
 
@@ -2789,6 +2823,36 @@ def oracle_sql() -> dict[str, str]:
                    exp_n_frames AS n_frames, exp_pixel_sum AS pixel_sum,
                    exp_error_prefix AS error_prefix
             FROM read_parquet('{os.path.join(FIXTURES_DIR, "avi_expected.parquet")}')
+        """,
+        "media_video_dhash": f"""
+            SELECT media_id, frame_idx, exp_n_frames AS n_frames,
+                   exp_dhash_hex AS dhash_hex,
+                   exp_error_prefix AS error_prefix
+            FROM read_parquet('{os.path.join(FIXTURES_DIR, "avi_neardup_expected.parquet")}')
+        """,
+        "media_video_neardup_pairs": f"""
+            WITH fh AS (
+              SELECT DISTINCT media_id, exp_dhash_hex
+              FROM read_parquet('{os.path.join(FIXTURES_DIR, "avi_neardup_expected.parquet")}')
+              WHERE exp_dhash_hex IS NOT NULL
+            ),
+            sz AS (
+              SELECT media_id, CAST(count(*) AS BIGINT) AS n FROM fh GROUP BY media_id
+            ),
+            sh AS (
+              SELECT a.media_id AS media_a, b.media_id AS media_b,
+                     CAST(count(*) AS BIGINT) AS n_shared
+              FROM fh a
+              JOIN fh b ON a.exp_dhash_hex = b.exp_dhash_hex
+                       AND a.media_id < b.media_id
+              GROUP BY 1, 2
+            )
+            SELECT media_a, media_b, CAST(n_shared AS INTEGER) AS n_shared,
+                   CAST((10000 * n_shared) // least(sa.n, sb.n) AS INTEGER) AS share_bp
+            FROM sh
+            JOIN sz sa ON sh.media_a = sa.media_id
+            JOIN sz sb ON sh.media_b = sb.media_id
+            WHERE (10000 * n_shared) // least(sa.n, sb.n) >= 8000
         """,
         "warc_ingest": f"""
             SELECT record_id, warc_type, url, warc_date, content_type,

@@ -2039,3 +2039,132 @@ def video_frame_stats(media: DataFrame, every_n: int = 1) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         batches, schema=VIDEO_FRAME_STATS_SCHEMA
     )
+
+
+VIDEO_FRAME_DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("dhash_hex", StringType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def video_frame_dhash(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """media(media_id, payload) → one row per (sampled) AVI/MJPEG frame
+    with its 64-bit dHash — container walk + per-frame JPEG decode +
+    hash fused in one Arrow stage, unsampled frames' entropy decode
+    skipped.  The per-clip half of video near-dup detection; pair
+    scoring is :func:`video_near_dup_pairs`."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {k: [] for k in VIDEO_FRAME_DHASH_SCHEMA.names}
+
+            def emit(mid, fi, nf, hx, err):
+                out["media_id"].append(mid)
+                out["frame_idx"].append(fi)
+                out["n_frames"].append(nf)
+                out["dhash_hex"].append(hx)
+                out["error"].append(err)
+
+            for row in pdf.itertuples(index=False):
+                try:
+                    v = decode_avi_frames(
+                        bytes(row.payload) if row.payload is not None else None,
+                        sample_every=every_n,
+                    )
+                except Exception as exc:
+                    emit(row.media_id, None, None, None,
+                         f"ERR_VID: {type(exc).__name__}: {exc}"[:200])
+                    continue
+                for fi, px in zip(v["frame_indices"], v["frames"]):
+                    hx, *_ = dhash64(px, v["width"], v["height"], v["channels"])
+                    emit(row.media_id, fi, v["n_frames"], hx, None)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=VIDEO_FRAME_DHASH_SCHEMA
+    )
+
+
+def video_near_dup_pairs(
+    frame_sigs: DataFrame,
+    min_share_bp: int = 8000,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Per-frame dHash table (from :func:`video_frame_dhash`) → ordered
+    clip near-duplicate pairs (media_a, media_b, n_shared, share_bp):
+    two clips are near-dups when the smaller one's DISTINCT frame-hash
+    set is largely contained in the other's (share_bp = 10000 *
+    |shared| / min(|A|, |B|), integer floor — re-ordered, trimmed, or
+    frame-sampled copies of a video keep high containment even when
+    frame COUNTS differ).
+
+    Shape: candidate pairs come from a bucketed join on the exact frame
+    hash through the shared capped guard — a hot frame hash (black
+    frames, station idents, title cards across thousands of videos) is
+    the classic degenerate bucket, and with ``max_bucket_size`` set it
+    takes the linear star path keyed on a whole-clip signature (md5 of
+    the sorted distinct hash set, so clip-identical copies always
+    match).  The shared-count then comes from joining the BOUNDED
+    candidate list back to the two per-clip hash sets (id-equi-joins;
+    AQE broadcasts the small side) — never a quadratic self-join."""
+    ok = frame_sigs.filter(
+        F.col("error").isNull() & F.col("dhash_hex").isNotNull()
+    )
+    per_clip = ok.select("media_id", "dhash_hex").distinct()
+    clip_sig = per_clip.groupBy("media_id").agg(
+        F.md5(
+            F.concat_ws(",", F.array_sort(F.collect_list("dhash_hex")))
+        ).alias("clip_sig"),
+        F.count("*").alias("n_distinct"),
+    )
+    from .candidates import bucket_pairs
+
+    buckets = per_clip.join(clip_sig, "media_id")
+    cand = bucket_pairs(
+        buckets,
+        key_cols=["dhash_hex"],
+        id_col="media_id",
+        sig_col="clip_sig",
+        max_bucket_size=max_bucket_size,
+        out_a="media_a",
+        out_b="media_b",
+    )
+    a = per_clip.select(
+        F.col("media_id").alias("media_a"), F.col("dhash_hex").alias("_ha")
+    )
+    b = per_clip.select(
+        F.col("media_id").alias("media_b"), F.col("dhash_hex").alias("_hb")
+    )
+    shared = (
+        cand.join(a, "media_a")
+        .join(b, "media_b")
+        .filter(F.col("_ha") == F.col("_hb"))
+        .groupBy("media_a", "media_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = clip_sig.select(
+        F.col("media_id").alias("media_a"), F.col("n_distinct").alias("_na")
+    )
+    sb = clip_sig.select(
+        F.col("media_id").alias("media_b"), F.col("n_distinct").alias("_nb")
+    )
+    return (
+        shared.join(sa, "media_a")
+        .join(sb, "media_b")
+        .withColumn(
+            # true integer division (div), not double-divide-then-cast:
+            # exact floor on both engines by construction
+            "share_bp",
+            F.expr("cast((10000 * n_shared) div least(_na, _nb) as int)"),
+        )
+        .filter(F.col("share_bp") >= min_share_bp)
+        .select(
+            "media_a", "media_b",
+            F.col("n_shared").cast("int").alias("n_shared"), "share_bp",
+        )
+    )

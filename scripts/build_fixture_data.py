@@ -2079,6 +2079,116 @@ def build_avi_videos() -> None:
     )
 
 
+def build_avi_neardup() -> None:
+    """Video near-duplicate fixture: AVI/MJPEG clips assembled from a
+    shared pool of distinct gray frames — an exact copy, a re-ordered
+    copy and a trimmed prefix (frame-hash containment 10000 despite
+    different payload bytes / frame counts / order), a half-overlap clip
+    (5000 bp, below the default threshold), unrelated clips, a black
+    frame shared into one clip plus three black-only clips (the
+    degenerate hot frame-hash bucket — and the documented
+    tiny-clip-containment property: a 1-distinct-hash black clip is
+    fully contained in ANY clip that has one black frame), and a
+    truncated error row.  Expected per-frame dhashes from the
+    independent plain-Python twin over the spec-IDCT expected pixels."""
+    from fetch_engines_spark.pipelines.multimodal import decode_avi_frames
+
+    flat1 = [1] * 64
+    w = h = 16
+
+    def dc_block(v: int) -> list[int]:
+        blk = [0] * 64
+        blk[0] = (v - 128) * 8
+        return blk
+
+    def frame(i: int) -> tuple[bytes, str]:
+        # DC level + a horizontal AC ripple per block: DC-only tiles
+        # collapse to a handful of tile-order hash patterns, the ripple
+        # gives every pool frame a distinct sampled-luma landscape
+        def blk(k: int) -> list[int]:
+            # a single freq-1 ripple is MONOTONE across a block (every
+            # within-tile comparison gets the same sign) — mix freq 1/2/3
+            # horizontals + a vertical so sampled columns flip
+            # independently per frame
+            b = dc_block((37 * i + 29 * k + 13) % 200 + 20)
+            b[1] = (((17 * i + 11 * k) % 31) - 15) * 4
+            b[2] = (((13 * i + 19 * k) % 29) - 14) * 4
+            b[3] = (((7 * i + 23 * k) % 25) - 12) * 4
+            b[8] = (((23 * i + 7 * k) % 27) - 13) * 4
+            # non-separable (1,1) term: pure f(x)+g(y) mixes keep every
+            # row's comparison signs identical — the cross term varies
+            # them per sampled row
+            b[9] = (((19 * i + 13 * k) % 33) - 16) * 4
+            return b
+
+        blocks = [blk(k) for k in range(4)]
+        payload = _jpeg_bytes(w, h, [blocks], [flat1])
+        px = _jpeg_expected_pixels(w, h, [blocks], [flat1])
+        return payload, _dhash_expected(px, w, h, 1)[0]
+
+    pool = [frame(i) for i in range(24)]
+    hashes = [hx for _, hx in pool]
+    assert len(set(hashes)) == len(hashes), "frame pool hashes must be distinct"
+    black_payload = _jpeg_bytes(w, h, [[dc_block(0)] * 4], [flat1])
+    black_px = _jpeg_expected_pixels(w, h, [[dc_block(0)] * 4], [flat1])
+    black_hx = _dhash_expected(black_px, w, h, 1)[0]
+    assert black_hx == "0" * 16
+
+    clips = [
+        ("vid-a", [0, 1, 2, 3, 4, 5]),
+        ("vid-a-copy", [0, 1, 2, 3, 4, 5]),
+        ("vid-a-reorder", [3, 1, 5, 0, 4, 2]),
+        ("vid-a-trimmed", [0, 1, 2, 3]),
+        ("vid-b", [6, 7, 8, 9, 10, 11]),
+        ("vid-b-half", [6, 7, 8, 20, 21, 22]),
+        ("vid-c", [12, 13, 14, 15, 16, 17, -1]),  # -1 = one black frame
+        ("vid-d", [18, 19, 23]),
+    ]
+    rows = []
+    for mid, idxs in clips:
+        payloads = [black_payload if i < 0 else pool[i][0] for i in idxs]
+        exp = [black_hx if i < 0 else pool[i][1] for i in idxs]
+        payload = _avi_bytes(w, h, payloads)
+        got = decode_avi_frames(payload)
+        from fetch_engines_spark.pipelines.multimodal import dhash64
+        for fi, px in enumerate(got["frames"]):
+            assert dhash64(px, w, h, 1)[0] == exp[fi], (mid, fi)
+        rows.append((mid, payload, exp, None))
+    for j in range(3):
+        payload = _avi_bytes(w, h, [black_payload] * (2 + j))
+        rows.append((f"vid-black-{j}", payload, [black_hx] * (2 + j), None))
+    rows.append(("vid-truncated", rows[0][1][:50], None, "ERR_VID"))
+
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": [r[0] for r in rows],
+                "payload": pa.array([r[1] for r in rows], pa.binary()),
+            }
+        ),
+        os.path.join(OUT, "avi_neardup.parquet"),
+    )
+    exp_rows = []
+    for mid, _, exp, err in rows:
+        if err is not None:
+            exp_rows.append((mid, None, None, None, err))
+        else:
+            for fi, hx in enumerate(exp):
+                exp_rows.append((mid, fi, len(exp), hx, None))
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": [r[0] for r in exp_rows],
+                "frame_idx": pa.array([r[1] for r in exp_rows], pa.int32()),
+                "exp_n_frames": pa.array([r[2] for r in exp_rows], pa.int32()),
+                "exp_dhash_hex": [r[3] for r in exp_rows],
+                "exp_error_prefix": [r[4] for r in exp_rows],
+            }
+        ),
+        os.path.join(OUT, "avi_neardup_expected.parquet"),
+    )
+
+
 def _wav_bytes(sample_rate: int, channels: int, samples: list[int], extra_chunk: bool = False, bits: int = 16) -> bytes:
     """WAV WRITER (independent of the decoder under test): PCM RIFF with
     fmt + data chunks at 8/16/24-bit depth (8-bit stored UNSIGNED:
@@ -2500,5 +2610,6 @@ if __name__ == "__main__":
     build_audio_neardup()
     build_documents_media()
     build_avi_videos()
+    build_avi_neardup()
     build_events_csv()
     print(f"wrote fixture data to {OUT}")

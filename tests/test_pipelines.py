@@ -2656,3 +2656,75 @@ def test_avi_frame_sampling_skips_decode():
     assert vl["n_frames"] == 300 and vl["frame_indices"] == [0, 100, 200]
     with _pytest.raises(ValueError, match="sample_every"):
         decode_avi_frames(long)
+
+
+def test_video_frame_dhash_matches_twin(spark):
+    """Per-frame dHash over the video near-dup corpus must reproduce the
+    generator's plain-Python dhash of the spec-IDCT expected pixels for
+    every frame; the truncated clip yields one error row."""
+    from fetch_engines_spark.pipelines.multimodal import video_frame_dhash
+
+    nd = spark.read.parquet(_fixture_path("avi_neardup"))
+    got = {
+        (r.media_id, r.frame_idx): r
+        for r in video_frame_dhash(nd).collect()
+    }
+    exp = spark.read.parquet(_fixture_path("avi_neardup_expected")).collect()
+    assert len(got) == len(exp) == 54
+    for e in exp:
+        g = got[(e.media_id, e.frame_idx)]
+        if e.exp_error_prefix:
+            assert g.error and g.error.startswith(e.exp_error_prefix)
+        else:
+            assert g.dhash_hex == e.exp_dhash_hex, (e.media_id, e.frame_idx)
+            assert g.n_frames == e.exp_n_frames and g.error is None
+
+
+def test_video_near_dup_pairs_semantics(spark):
+    """Clip-level containment scoring: exact copy, re-ordered copy, and
+    trimmed prefix all score 10000 (payload bytes, frame order, and
+    frame COUNT all differ); the half-overlap clip scores 5000 and is
+    excluded at the default threshold; the black-only clips cluster,
+    and a clip containing ONE black frame fully contains each
+    single-hash black clip (the documented tiny-clip containment
+    property of min()-normalization)."""
+    from fetch_engines_spark.pipelines.multimodal import (
+        video_frame_dhash,
+        video_near_dup_pairs,
+    )
+
+    sigs = video_frame_dhash(spark.read.parquet(_fixture_path("avi_neardup")))
+    got = {
+        (r.media_a, r.media_b): (r.n_shared, r.share_bp)
+        for r in video_near_dup_pairs(sigs).collect()
+    }
+    a_family = {"vid-a", "vid-a-copy", "vid-a-reorder", "vid-a-trimmed"}
+    for p, (n, bp) in got.items():
+        assert bp == 10000, p
+        if set(p) <= a_family:
+            assert n == (4 if "vid-a-trimmed" in p else 6)
+    assert len([p for p in got if set(p) <= a_family]) == 6
+    assert ("vid-b", "vid-b-half") not in got  # 5000 bp < 8000 threshold
+    low = {
+        (r.media_a, r.media_b): r.share_bp
+        for r in video_near_dup_pairs(sigs, min_share_bp=4000).collect()
+    }
+    assert low[("vid-b", "vid-b-half")] == 5000
+    blacks = {p for p in got if p[0].startswith("vid-black") or p[1].startswith("vid-black")}
+    assert {frozenset(p) for p in blacks} == {
+        frozenset(x) for x in (
+            ("vid-black-0", "vid-black-1"), ("vid-black-0", "vid-black-2"),
+            ("vid-black-1", "vid-black-2"), ("vid-black-0", "vid-c"),
+            ("vid-black-1", "vid-c"), ("vid-black-2", "vid-c"),
+        )
+    }
+    # capped: the 4-clip black-frame bucket takes the star path — the
+    # three clip-sig-identical black clips stay linked via their rep;
+    # the sig-diverse vid-c is dropped there (documented cap tradeoff)
+    capped = {
+        (r.media_a, r.media_b)
+        for r in video_near_dup_pairs(sigs, max_bucket_size=3).collect()
+    }
+    assert ("vid-black-0", "vid-black-1") in capped
+    assert ("vid-black-0", "vid-black-2") in capped
+    assert not any("vid-c" in p for p in capped)
