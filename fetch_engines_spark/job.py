@@ -58,7 +58,8 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         "(comma-separated --input) into one deduplicated index so the "
         "next increment reads one index, not N; "
         "media-dedup: perceptual near-dup over a media(media_id, payload) "
-        "table (dHash for images, segment-loudness fingerprint for WAV) "
+        "table (dHash for images, segment-loudness fingerprint for WAV, "
+        "per-frame dHash containment for AVI/MJPEG video) "
         "writing signatures/pairs/canonical_map — with --docs, also "
         "rewrites every media span's media_ref to its cluster-canonical "
         "id across the interleaved documents",
@@ -66,9 +67,18 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument(
         "--media-kind",
         default="image",
-        choices=("image", "audio"),
+        choices=("image", "audio", "video"),
         help="--stage media-dedup signature type: image (PNG/GIF/JPEG "
-        "dHash) or audio (WAV fingerprint)",
+        "dHash), audio (WAV fingerprint), or video (AVI/MJPEG per-frame "
+        "dHash + clip-level frame-hash containment; pairs carry "
+        "n_shared/share_bp instead of hamming)",
+    )
+    p.add_argument(
+        "--min-share-bp",
+        type=int,
+        default=8000,
+        help="video containment threshold: 10000 * shared distinct frame "
+        "hashes / min clip hash-set size",
     )
     p.add_argument(
         "--docs",
@@ -190,12 +200,24 @@ def _run_media_dedup(spark, args) -> dict:
         image_dhash,
     )
 
+    from .pipelines.multimodal import video_frame_dhash, video_near_dup_pairs
+
     media = spark.read.parquet(args.input)
-    sign, pair_fn, hex_col = (
-        (image_dhash, dhash_near_dup_pairs, "dhash_hex")
-        if args.media_kind == "image"
-        else (audio_fingerprint, afp_near_dup_pairs, "afp_hex")
-    )
+    if args.media_kind == "image":
+        sign, hex_col = image_dhash, "dhash_hex"
+        pair_fn = lambda s: dhash_near_dup_pairs(  # noqa: E731
+            s, max_hamming=args.max_hamming, max_bucket_size=args.max_bucket_size
+        )
+    elif args.media_kind == "audio":
+        sign, hex_col = audio_fingerprint, "afp_hex"
+        pair_fn = lambda s: afp_near_dup_pairs(  # noqa: E731
+            s, max_hamming=args.max_hamming, max_bucket_size=args.max_bucket_size
+        )
+    else:  # video: per-frame signatures, containment pairs
+        sign, hex_col = video_frame_dhash, "dhash_hex"
+        pair_fn = lambda s: video_near_dup_pairs(  # noqa: E731
+            s, min_share_bp=args.min_share_bp, max_bucket_size=args.max_bucket_size
+        )
     sign(media).write.mode("overwrite").parquet(f"{args.output}/signatures")
     sigs = spark.read.parquet(f"{args.output}/signatures")
     n_media = sigs.count()
@@ -206,6 +228,14 @@ def _run_media_dedup(spark, args) -> dict:
         import os as _os
 
         from .pipelines.multimodal import incremental_media_near_dups
+
+        if args.media_kind == "video":
+            raise ValueError(
+                "--incremental-signatures supports image/audio (one 64-bit "
+                "hash per item); video clips carry per-frame hash SETS — "
+                "run full video dedup per batch, or dedup at the frame "
+                "level with --media-kind image over extracted frames"
+            )
 
         for own in ("signatures", "signatures_merged"):
             if _os.path.abspath(args.incremental_signatures) == _os.path.abspath(
@@ -276,11 +306,7 @@ def _run_media_dedup(spark, args) -> dict:
         hist.unionByName(sigs).write.mode("overwrite").parquet(
             f"{args.output}/signatures_merged"
         )
-    pair_fn(
-        sigs,
-        max_hamming=args.max_hamming,
-        max_bucket_size=args.max_bucket_size,
-    ).write.mode("overwrite").parquet(f"{args.output}/pairs")
+    pair_fn(sigs).write.mode("overwrite").parquet(f"{args.output}/pairs")
     pairs = spark.read.parquet(f"{args.output}/pairs")
     cmap_df = canonical_media_map(pairs)
     if cross is not None:

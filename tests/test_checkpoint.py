@@ -370,3 +370,42 @@ def test_media_dedup_stage_incremental(spark, tmp_path):
                  "--incremental-signatures", f"{out1}/signatures"]
             ),
         )
+
+
+def test_media_dedup_stage_video(spark, tmp_path):
+    """--stage media-dedup --media-kind video: per-frame dHash signatures,
+    containment pairs, and a canonical map clustering the copy/reorder/
+    trim family and the black-frame family; incremental mode rejects
+    video with an actionable error."""
+    import os
+
+    from fetch_engines_spark import job
+
+    fx = os.path.join(os.path.dirname(__file__), "..", "data", "fixtures")
+    out = str(tmp_path / "vid")
+    s = job._run_media_dedup(
+        spark,
+        job.parse_args(
+            ["--input", os.path.join(fx, "avi_neardup.parquet"),
+             "--output", out, "--run-id", "v1", "--stage", "media-dedup",
+             "--media-kind", "video"]
+        ),
+    )
+    assert s["n_media"] == 54  # per-frame signature rows
+    assert s["n_pairs"] == 12
+    cmap = {
+        r.media_ref: r.canonical_ref
+        for r in spark.read.parquet(f"{out}/canonical_map").collect()
+    }
+    assert cmap["vid-a-copy"] == "vid-a" and cmap["vid-a-trimmed"] == "vid-a"
+    assert cmap["vid-black-1"] == "vid-black-0" and cmap["vid-c"] == "vid-black-0"
+    with pytest.raises(ValueError, match="image/audio"):
+        job._run_media_dedup(
+            spark,
+            job.parse_args(
+                ["--input", os.path.join(fx, "avi_neardup.parquet"),
+                 "--output", str(tmp_path / "vid2"), "--run-id", "v2",
+                 "--stage", "media-dedup", "--media-kind", "video",
+                 "--incremental-signatures", f"{out}/signatures"]
+            ),
+        )
