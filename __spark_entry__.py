@@ -2034,7 +2034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": _q_pricing_summary,
         "events_user_sessions": _q_events_user_sessions,
         "events_asof_attribution": _q_events_asof_attribution,
-        "events_range_join": _q_events_range_join,
+        "media_span_canonicalize": _q_media_span_canonicalize,
         "events_rollup": _q_events_rollup,
         "salted_join": _q_salted_join,
         "url_canonicalize": _q_url_canonicalize,
@@ -2045,7 +2045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_surprisal": _q_lm_surprisal,
         "pii_redact": _q_pii_redact,
         "text_repetition": _q_text_repetition,
-        "doc_winnowing": _q_winnowing,
+        "media_video_frames": _q_media_video_frames,
         "doc_tfidf_topk": _q_doc_tfidf_topk,
         "doc_hashed_embedding": _q_doc_hashed_embedding,
         "doc_chunks": _q_doc_chunks,
@@ -2083,6 +2083,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # windows, each family still represented above) moved down to make
         # room for the round-5 operators warc_ingest, media_gif_frames,
         # media_dhash, media_neardup_pairs: ------------------------------
+        "events_range_join": _q_events_range_join,
+        "doc_winnowing": _q_winnowing,
         "jsonl_ingest": _q_jsonl_ingest,
         "streaming_windowed_counts": _q_streaming_windowed_counts,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
@@ -2132,8 +2134,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the interleaved-corpus media-span canonicalization composite
         "media_audio_fp": _q_media_audio_fp,
         "media_audio_neardup_pairs": _q_media_audio_neardup_pairs,
-        "media_span_canonicalize": _q_media_span_canonicalize,
-        "media_video_frames": _q_media_video_frames,
         "media_video_dhash": _q_media_video_dhash,
         "media_video_neardup_pairs": _q_media_video_neardup_pairs,
     }
