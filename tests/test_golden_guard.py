@@ -104,7 +104,12 @@ def test_driver_window_covers_every_operator_family():
     # warc_ingest), streaming_windowed_counts (family →
     # streaming_extract), dedup_ngram_jaccard (family → containment) and
     # media_metadata moved past the window — each green in all four
-    # prior driver windows.
+    # prior driver windows.  Final round-5 rotation: the north-rule
+    # composite media_span_canonicalize and the video-decode stack
+    # media_video_frames moved IN; events_range_join (temporal-join
+    # family → events_asof_attribution) and doc_winnowing (fingerprint
+    # family → doc_tfidf_topk) moved past the window — each green in
+    # multiple prior driver windows.
     required = {
         # extraction / classification / routing
         "extract_spans_fixture", "extract_markdown_fixture",
@@ -118,7 +123,7 @@ def test_driver_window_covers_every_operator_family():
         # events_rollup; events_daily moved past the window in round 5
         # for pii_redact — it carries a round-4 driver verdict)
         "pricing_summary", "events_user_sessions",
-        "events_asof_attribution", "events_range_join", "events_rollup",
+        "events_asof_attribution", "events_rollup",
         # join-strategy family: salted_join in-window; bucketed_join moved
         # past the window in round 5 for lm_surprisal (it carries a
         # round-4 driver verdict and its zero-Exchange plan gate stays in
@@ -128,7 +133,7 @@ def test_driver_window_covers_every_operator_family():
         "resource_blocking",
         # text analysis (sampling family: source_cap; sketch: vocab_cms;
         # LM-quality family: lm_surprisal, added round 5)
-        "lang_id", "text_quality", "text_repetition", "doc_winnowing",
+        "lang_id", "text_quality", "text_repetition",
         "doc_tfidf_topk", "doc_hashed_embedding", "doc_chunks",
         "source_cap", "vocab_cms", "lm_surprisal",
         # PII scrub family, added round 5
@@ -148,6 +153,8 @@ def test_driver_window_covers_every_operator_family():
         "media_pixel_stats", "media_audio_stats",
         "media_resize", "media_gif_frames", "media_dhash",
         "media_neardup_pairs", "training_pipeline_full",
+        # round-5 north-rule composite + video decode
+        "media_span_canonicalize", "media_video_frames",
     }
     assert len(required) == 50
     missing = required - window
