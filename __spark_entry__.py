@@ -1877,6 +1877,18 @@ def _q_embedding_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the planted near-dup embedding
+    corpus (40 families): k-means cells (integer-exact Lloyd) partition
+    the space, within-cell cosine >= 9500 bp against an earlier id drops
+    the doc — one representative survives per semantic ball.  Oracle is
+    the unrolled-Lloyd DuckDB twin (semantic_dedup_sql)."""
+    from fetch_engines_spark.pipelines.similarity import semantic_dedup
+
+    emb = _fixture(spark, "neardup_embeddings")
+    return semantic_dedup(emb, n_centroids=8, threshold_bp=9500, n_iter=2)
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dup clusters over the planted corpus: LSH candidate pairs →
     connected components → keeper election (the pairs→clusters→keepers
@@ -2136,6 +2148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio_neardup_pairs": _q_media_audio_neardup_pairs,
         "media_video_dhash": _q_media_video_dhash,
         "media_video_neardup_pairs": _q_media_video_neardup_pairs,
+        "dedup_semantic": _q_dedup_semantic,
     }
 
 
@@ -2900,6 +2913,15 @@ def oracle_sql() -> dict[str, str]:
             planes_per_table=8,
             dims=64,
             threshold_bp=9500,
+        ),
+        "dedup_semantic": __import__(
+            "fetch_engines_spark.pipelines.similarity", fromlist=["x"]
+        ).semantic_dedup_sql(
+            source=f"read_parquet('{os.path.join(FIXTURES_DIR, 'neardup_embeddings.parquet')}')",
+            n_centroids=8,
+            threshold_bp=9500,
+            n_iter=2,
+            dims=64,
         ),
         "dedup_embedding_capped": __import__(
             "fetch_engines_spark.pipelines.similarity", fromlist=["x"]

@@ -48,6 +48,7 @@ def bucket_pairs(
     out_a: str = "id_a",
     out_b: str = "id_b",
     carry_cols: list[str] | None = None,
+    distinct_pairs: bool = True,
 ) -> DataFrame:
     """Distinct ordered id pairs co-bucketed on ``key_cols``.
 
@@ -69,8 +70,18 @@ def bucket_pairs(
     Scale shape: one shuffle on the bucket key for the join (plus one
     window count over the same key when capped — same partitioning, reused
     by AQE); never all-pairs.
+
+    ``distinct_pairs=False`` skips the final pair-dedup shuffle — correct
+    ONLY for single-assignment generators where each id contributes
+    exactly one bucket row (e.g. k-means cells), so the join cannot emit
+    a pair twice; multi-bucket generators (LSH tables, SimHash blocks,
+    MinHash bands) must keep the default, a pair colliding in two buckets
+    would otherwise double-count downstream.
     """
     carry = carry_cols or []
+
+    def _dedup(pairs):
+        return pairs.distinct() if distinct_pairs else pairs
 
     def _sides(joined):
         return joined.select(
@@ -81,7 +92,7 @@ def bucket_pairs(
         )
 
     if max_bucket_size is None:
-        return _sides(_in_bucket_join(buckets, key_cols, id_col)).distinct()
+        return _dedup(_sides(_in_bucket_join(buckets, key_cols, id_col)))
     if sig_col is None:
         raise ValueError(
             "max_bucket_size requires sig_col (full-signature digest) for the star path"
@@ -107,7 +118,7 @@ def bucket_pairs(
             *[F.col(c).alias(f"{c}_b") for c in carry],
         )
     )
-    return small_pairs.unionByName(star_pairs).distinct()
+    return _dedup(small_pairs.unionByName(star_pairs))
 
 
 def cross_bucket_pairs(

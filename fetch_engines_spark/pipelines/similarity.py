@@ -822,6 +822,90 @@ def ivfpq_topk(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    threshold_bp: int = 9500,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
+    Data-efficient learning at web-scale through semantic deduplication",
+    arXiv:2303.09540): k-means-cluster the embedding space, then compare
+    documents ONLY within their cluster and drop every document that has
+    an earlier (lower-id) same-cluster neighbor with cosine ≥ the
+    threshold — one deterministic representative survives per semantic
+    ε-ball.
+
+    Returns one row per input vector: (vec_id, cell, n_close, keep)
+    where ``n_close`` counts the lower-id same-cluster near-duplicates
+    and ``keep = 1`` iff there are none.
+
+    Scale shape: the coarse codebook is the shared integer-exact Lloyd
+    (``kmeans_codebook`` — broadcast codebook, shuffle-free assignment,
+    the corpus never shuffles for training); the within-cluster compare
+    is the ONE shared capped bucket join (``candidates.bucket_pairs``,
+    key = cell) with the vectors riding the join as carry columns, so
+    scoring needs no join back to the corpus.  Clustering is what makes
+    this subquadratic: at 10^9+ vectors scale ``n_centroids ~ N /
+    target_cluster_size`` so in-cluster joins stay bounded, and set
+    ``max_cluster_size`` so a degenerate cell (constant/zero vectors)
+    routes to the linear signature-star path instead of a quadratic
+    self-join.  Total shuffle cost: one shuffle on cell for the pair
+    join + one combinable groupBy for the drop counts."""
+    vecs = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        _quantize_vec(F.col(vec_col)).alias("vq"),
+    )
+    cents = kmeans_codebook(vecs.select("vid", "vq"), n_centroids, n_iter)
+    cb = _centroid_arr(cents)
+    assigned = vecs.crossJoin(F.broadcast(cb)).select(
+        "vid",
+        "vec",
+        _nearest(F.col("cb"), F.col("vq"))["cent_id"].alias("cell"),
+    )
+
+    from .candidates import bucket_pairs
+
+    # sig = digest of the exact vector: sig-identical rows carry identical
+    # vecs, satisfying bucket_pairs' carry-determined-by-sig contract
+    buckets = assigned.select(
+        "vid", "cell", "vec", F.md5(F.col("vec").cast("string")).alias("sig_key")
+    )
+    pairs = bucket_pairs(
+        buckets,
+        ["cell"],
+        "vid",
+        sig_col="sig_key",
+        max_bucket_size=max_cluster_size,
+        out_a="id_a",
+        out_b="id_b",
+        carry_cols=["vec"],
+        # each vid has exactly ONE cell, so the join cannot emit a pair
+        # twice — skipping the pair-dedup avoids shuffling the carried
+        # float vectors a second time
+        distinct_pairs=False,
+    )
+    drops = (
+        pairs.filter(
+            cosine_bp(F.col("vec_a"), F.col("vec_b")) >= F.lit(threshold_bp)
+        )
+        .groupBy("id_b")
+        .agg(F.count("*").alias("n_close"))
+    )
+    return assigned.join(
+        drops, assigned["vid"] == drops["id_b"], "left"
+    ).select(
+        F.col("vid").alias("vec_id"),
+        "cell",
+        F.coalesce("n_close", F.lit(0).cast("long")).alias("n_close"),
+        (F.col("n_close").isNull()).cast("int").alias("keep"),
+    )
+
+
 # --- DuckDB oracle twin -------------------------------------------------------
 
 def cosine_bp_sql(a: str, b: str) -> str:
@@ -1279,4 +1363,39 @@ SELECT query_id, neighbor_id, adc_dist, rnk FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS rnk
   FROM scored
 ) WHERE rnk <= {k}
+"""
+
+
+def semantic_dedup_sql(
+    source: str,
+    n_centroids: int = 8,
+    threshold_bp: int = 9500,
+    n_iter: int = 2,
+    dims: int = 64,
+) -> str:
+    """DuckDB twin of semantic_dedup: same integer-exact k-means codebook
+    and cell assignment, same within-cluster cosine_bp compare, same
+    keep-the-lowest-id rule."""
+    d = _int_l2_sql("v.vq", "c.cv", dims)
+    return f"""
+WITH e AS (SELECT vec_id, embedding FROM {source}),
+vq AS (SELECT vec_id AS vid, embedding AS vec, {_quant_sql('embedding', dims)} AS vq FROM e),
+{kmeans_ctes('vq', n_centroids, n_iter, dims)},
+assigned AS (
+  SELECT vid, vec, cell FROM (
+    SELECT v.vid, v.vec, c.cent_id AS cell,
+           row_number() OVER (PARTITION BY v.vid ORDER BY {d} ASC, c.cent_id ASC) AS rn
+    FROM vq v CROSS JOIN c{n_iter} c
+  ) WHERE rn = 1
+),
+close AS (
+  SELECT a.vid AS id_a, b.vid AS id_b
+  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vid < b.vid
+  WHERE {cosine_bp_sql('a.vec', 'b.vec')} >= {threshold_bp}
+),
+drops AS (SELECT id_b AS vid, CAST(count(*) AS BIGINT) AS n_close FROM close GROUP BY id_b)
+SELECT a.vid AS vec_id, a.cell,
+       coalesce(d.n_close, CAST(0 AS BIGINT)) AS n_close,
+       CAST(CASE WHEN d.vid IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+FROM assigned a LEFT JOIN drops d ON a.vid = d.vid
 """

@@ -2728,3 +2728,68 @@ def test_video_near_dup_pairs_semantics(spark):
     assert ("vid-black-0", "vid-black-1") in capped
     assert ("vid-black-0", "vid-black-2") in capped
     assert not any("vid-c" in p for p in capped)
+
+
+def test_semantic_dedup_planted_families(spark):
+    """SemDeDup over the planted corpus: every family base (the lowest id
+    in its family) survives, and the exact/near family members that share
+    the base's k-means cell are dropped.  With 8 cells over 40 families,
+    79 of the 80 family members co-cell with an earlier member (one near
+    copy lands across a cell boundary — the documented SemDeDup recall
+    tradeoff of cluster-local comparison), so 161 of 240 docs survive."""
+    import os
+
+    from fetch_engines_spark.pipelines.similarity import semantic_dedup
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "data", "fixtures", "neardup_embeddings.parquet"
+    )
+    emb = spark.read.parquet(path)
+    out = semantic_dedup(emb, n_centroids=8, threshold_bp=9500, n_iter=2)
+    rows = {r.vec_id: r for r in out.collect()}
+    assert len(rows) == 240
+
+    roles = {r.vec_id: (r.role, r.family) for r in emb.collect()}
+    fam_min = {}
+    for vid, (_, fam) in roles.items():
+        fam_min[fam] = min(fam_min.get(fam, vid), vid)
+    # noise never has a >=0.95-cosine neighbor: all kept
+    for vid, (role, fam) in roles.items():
+        if role == "noise":
+            assert rows[vid].keep == 1, f"noise {vid} dropped"
+        if vid == fam_min[fam] and role != "noise":
+            assert rows[vid].keep == 1, f"family {fam} base {vid} dropped"
+    kept = sum(r.keep for r in rows.values())
+    assert kept == 161  # 240 - 79 co-celled family members
+
+
+def test_semantic_dedup_capped_star(spark):
+    """Degenerate-cell guard: 300 identical vectors land in ONE k-means
+    cell; max_cluster_size routes them to the linear signature star (299
+    drops with n_close=1 via the rep), not a 44,850-pair clique.  Zero
+    vectors are sig-identical too but cosine_bp(0,0)=0 < threshold, so
+    every zero row is kept."""
+    import os
+
+    from fetch_engines_spark.pipelines.similarity import semantic_dedup
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "data", "fixtures", "skewed_embeddings.parquet"
+    )
+    emb = spark.read.parquet(path)
+    out = semantic_dedup(
+        emb, n_centroids=8, threshold_bp=9500, n_iter=2, max_cluster_size=50
+    )
+    rows = {r.vec_id: r for r in out.collect()}
+    roles = {r.vec_id: r.role for r in emb.select("vec_id", "role").collect()}
+
+    hot = sorted(v for v, role in roles.items() if role == "hot")
+    assert rows[hot[0]].keep == 1
+    for v in hot[1:]:
+        assert rows[v].keep == 0 and rows[v].n_close == 1, f"hot {v}"
+    for v, role in roles.items():
+        if role == "zero":
+            assert rows[v].keep == 1, f"zero {v} dropped"
+    # star path is linear: total dropped docs bounded by corpus size,
+    # and no doc accumulates a quadratic n_close
+    assert max(r.n_close for r in rows.values()) <= 50

@@ -338,3 +338,19 @@ def test_canonicalize_media_refs_broadcast_rewrite(spark):
     # media_ref must never be a shuffle key (the span stream shuffles
     # only for doc_id re-assembly)
     assert "hashpartitioning(_ref" not in plan and "hashpartitioning(media_ref" not in plan
+
+
+def test_semantic_dedup_no_python_and_codebook_broadcast(spark):
+    """SemDeDup's plan: k-means codebook + assignment are pure JVM
+    expressions over a broadcast 1-row codebook (the only cross join is
+    that broadcast), the within-cell compare is the shared capped
+    equi-join — no Python stages, no cartesian/nested-loop pair join."""
+    df = entrymod.queries()["dedup_semantic"](spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    for marker in ("MapInArrow", "MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
+    # the codebook rides as a broadcast row; the corpus-side pair join is
+    # hash-partitioned on cell, never nested-loop over the corpus
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "ExistingRDD" in plan  # localCheckpoint-materialized centroids
