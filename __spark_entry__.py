@@ -1877,6 +1877,28 @@ def _q_embedding_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-gated incremental exact dedup: a 2048-bit/3-hash packed
+    bitmap built over the first 250 docs' content hashes, then EVERY doc
+    tests membership — history docs must all read maybe_present=1 (no
+    false negatives); new docs read 0 (definitely new, skip the exact
+    anti-join) except a deterministic handful of false positives at this
+    deliberately tight m/n ≈ 8.  Oracle replays the md5 positions and
+    63-bit word packing verbatim."""
+    from fetch_engines_spark.pipelines.dedup import bloom_build, bloom_gate
+
+    docs = _read(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") < 250).select(F.md5("text").alias("key"))
+    bloom = bloom_build(hist, "key", m_bits=2048, k_hashes=3)
+    q = docs.select("doc_id", F.md5("text").alias("key"))
+    gate = bloom_gate(q, bloom, "key", "doc_id", m_bits=2048, k_hashes=3)
+    return gate.select(
+        "doc_id",
+        (F.col("doc_id") < 250).cast("int").alias("in_history"),
+        "maybe_present",
+    )
+
+
 def _q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup over the planted near-dup embedding
     corpus (40 families): k-means cells (integer-exact Lloyd) partition
@@ -2149,6 +2171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_video_dhash": _q_media_video_dhash,
         "media_video_neardup_pairs": _q_media_video_neardup_pairs,
         "dedup_semantic": _q_dedup_semantic,
+        "dedup_bloom_gate": _q_dedup_bloom_gate,
     }
 
 
@@ -2913,6 +2936,11 @@ def oracle_sql() -> dict[str, str]:
             planes_per_table=8,
             dims=64,
             threshold_bp=9500,
+        ),
+        "dedup_bloom_gate": __import__(
+            "fetch_engines_spark.pipelines.dedup", fromlist=["x"]
+        ).bloom_gate_oracle_sql(
+            source="documents", n_history=250, m_bits=2048, k_hashes=3
         ),
         "dedup_semantic": __import__(
             "fetch_engines_spark.pipelines.similarity", fromlist=["x"]

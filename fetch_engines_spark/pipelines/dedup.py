@@ -374,6 +374,164 @@ def compact_minhash_indexes(
     return compacted
 
 
+# 63 usable bits per word: 1 << 62 is the largest left shift that stays in
+# signed-int64 range in BOTH engines (DuckDB raises on 1::BIGINT << 63,
+# Spark would silently wrap negative)
+BLOOM_BITS_PER_WORD = 63
+
+
+def _bloom_positions(key_col, m_bits: int, k_hashes: int):
+    """array<long> of the key's k DISTINCT bit positions in [0, m_bits):
+    position_i = int64(md5("bf{i}|" || key)[:15 hex]) mod m — the same
+    portable md5 idiom as the MinHash permutations, replayed verbatim by
+    the DuckDB twin.  distinct because two hash salts may collide on one
+    position; membership then needs that position counted once."""
+    return F.array_distinct(
+        F.array(
+            *[
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"bf{i}|"), key_col)), 1, 15),
+                    16,
+                    10,
+                ).cast("long")
+                % m_bits
+                for i in range(k_hashes)
+            ]
+        )
+    )
+
+
+def _bit_mask(pos_col):
+    """1 << (pos mod 63) as int64.  pyspark's shiftleft only takes a
+    literal shift amount, so the 63 possible masks ride as a literal
+    array indexed by the bit position — constant-folded, JVM-only."""
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(BLOOM_BITS_PER_WORD)])
+    return F.element_at(masks, (pos_col % BLOOM_BITS_PER_WORD).cast("int") + 1)
+
+
+def bloom_build(
+    keys: DataFrame, key_col: str, m_bits: int, k_hashes: int = 3
+) -> DataFrame:
+    """Distributed Bloom filter over a key column → packed bitmap table
+    (word_id: long, bits: long), 63 filter bits per row.
+
+    This is the membership sketch that completes the KMV (distinct) /
+    count-min (frequency) family, and the primitive behind bloom-gated
+    incremental exact dedup: build ONE filter over the historical
+    corpus's content hashes, and each new crawl increment tests against
+    it — the (overwhelming) definitely-new majority skips the exact
+    anti-join entirely and the history corpus is never rescanned.  No
+    false negatives ever; false-positive rate ≈ (1 - e^(-k·n/m))^k,
+    so size m_bits ≈ 10·n for ~1% at k=3.
+
+    Scale shape: one explode (k rows/key) + one combinable groupBy
+    word_id with a bit_or aggregate — the bitmap is at most
+    m_bits/63 rows (~m/4 bytes as parquet), partitionable/bucketable by
+    word_id, and mergeable across increments via :func:`bloom_merge`
+    (bit_or is associative/commutative/idempotent)."""
+    pos = keys.select(
+        F.explode(_bloom_positions(F.col(key_col), m_bits, k_hashes)).alias("pos")
+    )
+    return (
+        pos.select(
+            F.floor(F.col("pos") / BLOOM_BITS_PER_WORD).cast("long").alias("word_id"),
+            _bit_mask(F.col("pos")).alias("mask"),
+        )
+        .groupBy("word_id")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_merge(blooms: list[DataFrame]) -> DataFrame:
+    """OR N per-increment Bloom bitmaps (same m_bits/k_hashes — the
+    caller's contract, as with MinHash index compaction) into one:
+    union + combinable bit_or per word.  Equivalence with the monolithic
+    build is exact (bit_or is associative), test-gated."""
+    if not blooms:
+        raise ValueError("bloom_merge: no filters given")
+    merged = blooms[0]
+    for b in blooms[1:]:
+        merged = merged.unionByName(b)
+    return merged.groupBy("word_id").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_gate(
+    df: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 20,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Test each row's key against a :func:`bloom_build` bitmap →
+    (id_col, maybe_present: int).  maybe_present = 1 iff EVERY one of the
+    key's bit positions is set (keys that built the filter always get 1 —
+    no false negatives); 0 means definitely new.
+
+    Scale shape: one explode (≤ k rows per doc), one equi-join on
+    word_id (broadcast when the bitmap is small — m ≤ ~10^9 bits; bucket
+    join above), one combinable groupBy on the id.  The downstream exact
+    dedup then anti-joins ONLY the maybe_present rows against history."""
+    qpos = df.select(
+        F.col(id_col),
+        F.explode(_bloom_positions(F.col(key_col), m_bits, k_hashes)).alias("pos"),
+    ).select(
+        id_col,
+        F.floor(F.col("pos") / BLOOM_BITS_PER_WORD).cast("long").alias("word_id"),
+        _bit_mask(F.col("pos")).alias("mask"),
+    )
+    hit = (F.col("bits").isNotNull() & (F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask"))).cast("int")
+    return (
+        qpos.join(bloom, "word_id", "left")
+        .select(id_col, hit.alias("hit"))
+        .groupBy(id_col)
+        .agg((F.sum("hit") == F.count("*")).cast("int").alias("maybe_present"))
+    )
+
+
+def bloom_gate_oracle_sql(
+    source: str = "documents",
+    n_history: int = 250,
+    m_bits: int = 2048,
+    k_hashes: int = 3,
+) -> str:
+    """DuckDB twin of the bloom-gated incremental dedup query: same md5
+    positions, same 63-bit packed words, same all-positions-set test."""
+    w = BLOOM_BITS_PER_WORD
+    pos = (
+        "CAST('0x' || substr(md5('bf' || r.i || '|' || key), 1, 15) AS BIGINT)"
+        f" % {m_bits}"
+    )
+    return f"""
+WITH hist AS (
+  SELECT md5(text) AS key FROM {source} WHERE doc_id < {n_history}
+),
+hpos AS (
+  SELECT DISTINCT key, {pos} AS pos FROM hist, range(0, {k_hashes}) r(i)
+),
+bloom AS (
+  SELECT pos // {w} AS word_id, bit_or(1::BIGINT << CAST(pos % {w} AS INT)) AS bits
+  FROM (SELECT DISTINCT pos FROM hpos) GROUP BY 1
+),
+q AS (SELECT doc_id, md5(text) AS key FROM {source}),
+qpos AS (
+  SELECT DISTINCT doc_id, key, {pos} AS pos FROM q, range(0, {k_hashes}) r(i)
+),
+tested AS (
+  SELECT p.doc_id,
+         CASE WHEN b.bits IS NOT NULL
+               AND (b.bits & (1::BIGINT << CAST(p.pos % {w} AS INT)))
+                   = (1::BIGINT << CAST(p.pos % {w} AS INT))
+              THEN 1 ELSE 0 END AS hit
+  FROM qpos p LEFT JOIN bloom b ON p.pos // {w} = b.word_id
+)
+SELECT doc_id,
+       CAST(CASE WHEN doc_id < {n_history} THEN 1 ELSE 0 END AS INT) AS in_history,
+       CAST(CASE WHEN sum(hit) = count(*) THEN 1 ELSE 0 END AS INT) AS maybe_present
+FROM tested GROUP BY doc_id
+"""
+
+
 def candidate_pairs_from_index(
     buckets: DataFrame, max_bucket_size: int | None = None
 ) -> DataFrame:

@@ -2793,3 +2793,49 @@ def test_semantic_dedup_capped_star(spark):
     # star path is linear: total dropped docs bounded by corpus size,
     # and no doc accumulates a quadratic n_close
     assert max(r.n_close for r in rows.values()) <= 50
+
+
+def test_bloom_gate_no_false_negatives_and_gates_majority(spark):
+    """Bloom membership: every key that built the filter tests
+    maybe_present=1 (a false negative would silently drop history dups
+    from the exact verify), and at m/n ≈ 8 the definitely-new majority
+    is correctly gated OUT of the downstream anti-join."""
+    from pyspark.sql import functions as F
+
+    from fetch_engines_spark.pipelines.dedup import bloom_build, bloom_gate
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    hist = docs.filter(F.col("doc_id") < 250).select(F.md5("text").alias("key"))
+    bloom = bloom_build(hist, "key", m_bits=2048, k_hashes=3)
+    q = docs.select("doc_id", F.md5("text").alias("key"))
+    out = {
+        r.doc_id: r.maybe_present
+        for r in bloom_gate(q, bloom, "key", "doc_id", m_bits=2048, k_hashes=3).collect()
+    }
+    assert len(out) == 500
+    assert all(out[d] == 1 for d in out if d < 250)  # no false negatives
+    fps = sum(1 for d, m in out.items() if d >= 250 and m == 1)
+    # texts are unique across docs, so every >=250 hit is a false
+    # positive; expected rate (1 - e^(-3*250/2048))^3 ~ 2.9%
+    assert fps / 250 < 0.10, f"{fps} false positives of 250"
+    assert sum(1 for d, m in out.items() if d >= 250 and m == 0) > 200
+
+
+def test_bloom_merge_equals_monolithic(spark):
+    """Incremental filters OR together exactly: bloom(A) | bloom(B) is
+    word-for-word the monolithic bloom(A ∪ B)."""
+    from pyspark.sql import functions as F
+
+    from fetch_engines_spark.pipelines.dedup import bloom_build, bloom_merge
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    keys = docs.select("doc_id", F.md5("text").alias("key"))
+    a = bloom_build(keys.filter("doc_id < 125").select("key"), "key", 2048, 3)
+    b = bloom_build(
+        keys.filter("doc_id >= 125 and doc_id < 250").select("key"), "key", 2048, 3
+    )
+    mono = bloom_build(keys.filter("doc_id < 250").select("key"), "key", 2048, 3)
+    merged = bloom_merge([a, b])
+    assert {(r.word_id, r.bits) for r in merged.collect()} == {
+        (r.word_id, r.bits) for r in mono.collect()
+    }

@@ -354,3 +354,15 @@ def test_semantic_dedup_no_python_and_codebook_broadcast(spark):
     # hash-partitioned on cell, never nested-loop over the corpus
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "ExistingRDD" in plan  # localCheckpoint-materialized centroids
+
+
+def test_bloom_gate_is_native_equi_join(spark):
+    """The bloom membership test is one equi-join on word_id + one
+    combinable groupBy — no Python stages, no cartesian, and the literal
+    mask array is constant-folded into the projection."""
+    df = entrymod.queries()["dedup_bloom_gate"](spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for marker in ("MapInArrow", "MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
