@@ -1877,6 +1877,19 @@ def _q_embedding_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (k1=1.2, b=0.75, integer milli-scaled with
+    flog2-quantized idf) of the top 10 documents for a mixed-rarity
+    query bag — 'dup' (df~25) dominates ranking over the ubiquitous
+    'customer'/'scan' (df~395) exactly as BM25's idf intends.  Plan:
+    one shuffle-free projection for (dl, tf_i), one broadcast 1-row
+    stats aggregate, TakeOrderedAndProject for the top-k."""
+    from fetch_engines_spark.pipelines.text import bm25_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["customer", "scan", "dup"], k=10)
+
+
 def _q_dedup_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-gated incremental exact dedup: a 2048-bit/3-hash packed
     bitmap built over the first 250 docs' content hashes, then EVERY doc
@@ -2172,6 +2185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_video_neardup_pairs": _q_media_video_neardup_pairs,
         "dedup_semantic": _q_dedup_semantic,
         "dedup_bloom_gate": _q_dedup_bloom_gate,
+        "doc_bm25_topk": _q_doc_bm25_topk,
     }
 
 
@@ -2937,6 +2951,9 @@ def oracle_sql() -> dict[str, str]:
             dims=64,
             threshold_bp=9500,
         ),
+        "doc_bm25_topk": __import__(
+            "fetch_engines_spark.pipelines.text", fromlist=["x"]
+        ).bm25_topk_sql(["customer", "scan", "dup"], k=10),
         "dedup_bloom_gate": __import__(
             "fetch_engines_spark.pipelines.dedup", fromlist=["x"]
         ).bloom_gate_oracle_sql(

@@ -713,6 +713,131 @@ SELECT doc_id, tok, tf, df, score_bp, rnk FROM (
 """
 
 
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Spärck Jones, k1=1.2 b=0.75) of
+    the top-k documents for a bag of query terms, in EXACT integer
+    arithmetic so the DuckDB twin replays it bit-for-bit.
+
+    Integerization: with A = avgdl in millitokens = (1000·ΣT) div N and
+    the k1/b constants as millis, the classic per-term score
+    ``idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`` multiplied through
+    by 1000·A becomes ``idf_q8 · (2_200_000·tf·A div (1000·tf·A +
+    300·A + 900_000·dl))`` — every factor integer, no float division.
+    ``idf_q8`` is the flog2-quantized +1-smoothed Robertson idf shifted
+    by 8 bits (flog2(256·(2N+2) div (2df+1)) = floor(log2 idf_ratio)+8),
+    so common terms still contribute weight ~8 while rare terms reach
+    ~8+log2(N/df) — within 1 bit of the true log, zero libm involvement
+    (the same no-float-log trick as ``lm_surprisal``).
+
+    Scale shape (10^12 docs): per-doc (dl, tf_i) come from ONE
+    projection over the scan — `size(filter(toks, = term))` per query
+    term, no explode, no shuffle; the corpus stats are ONE combinable
+    1-row aggregate broadcast back; top-k compiles to
+    TakeOrderedAndProject (per-partition heaps + driver merge of k
+    rows), so the corpus never globally sorts.  Returns
+    (doc_id, score_milli, rnk)."""
+    from pyspark.sql import Window
+
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+
+    # closure factory, NOT a default-arg lambda: pyspark HOFs bind one
+    # column per lambda PARAMETER, so a 2-arg lambda would receive the
+    # element index in the second slot
+    def _eq(term: str):
+        return lambda t: t == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter(toks, _eq(term))).alias(f"tf{i}")
+        for i, term in enumerate(query_terms)
+    ]
+    pd_ = df.select(F.col("doc_id"), F.size(toks).alias("dl"), *tf_cols)
+    stats = pd_.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("t_total"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    a = F.expr("(1000 * t_total) div n_docs")  # avgdl in millitokens
+
+    def term_score(i: int):
+        tf = F.col(f"tf{i}").cast("long")
+        idf_q8 = _flog2(
+            F.expr(f"(256 * (2 * n_docs + 2)) div (2 * df{i} + 1)")
+        )
+        raw = F.expr(
+            f"(2200000 * tf{i} * __a) div (1000 * tf{i} * __a + 300 * __a + 900000 * dl)"
+        )
+        return F.when(tf > 0, idf_q8 * raw).otherwise(F.lit(0).cast("long"))
+
+    scored = (
+        pd_.crossJoin(F.broadcast(stats))
+        .withColumn("__a", a)
+        .select(
+            "doc_id",
+            sum(
+                (term_score(i) for i in range(len(query_terms))),
+                F.lit(0).cast("long"),
+            ).alias("score_milli"),
+        )
+    )
+    top = scored.orderBy(F.desc("score_milli"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score_milli"), F.asc("doc_id"))
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        "doc_id", "score_milli", "rnk"
+    )
+
+
+def bm25_topk_sql(
+    query_terms: list[str],
+    k: int = 10,
+    source: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of bm25_topk: same integer milli-scaled score, same
+    bin()-based idf quantization, same (score desc, doc_id) order."""
+    tf_defs = ",\n        ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(query_terms)
+    )
+    df_defs = ",\n        ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(query_terms))
+    )
+    score_terms = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN "
+        f"(length(bin((256 * (2 * n_docs + 2)) // (2 * df{i} + 1))) - 1)"
+        f" * ((2200000 * tf{i} * a) // (1000 * tf{i} * a + 300 * a + 900000 * dl))"
+        f" ELSE 0 END)"
+        for i in range(len(query_terms))
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, list_filter(string_split({text_col}, ' '), x -> x <> '') AS toks
+  FROM {source}
+),
+pd AS (SELECT doc_id, len(toks) AS dl,
+        {tf_defs}
+  FROM d),
+st AS (SELECT count(*) AS n_docs, sum(dl) AS t_total,
+        {df_defs}
+  FROM pd),
+sc AS (
+  SELECT doc_id, CAST({score_terms} AS BIGINT) AS score_milli
+  FROM (SELECT pd.*, st.*, (1000 * st.t_total) // st.n_docs AS a FROM pd CROSS JOIN st)
+)
+SELECT doc_id, score_milli, rnk FROM (
+  SELECT *, row_number() OVER (ORDER BY score_milli DESC, doc_id ASC) AS rnk FROM sc
+) WHERE rnk <= {k}
+"""
+
+
 def hashed_embedding_entries(
     df: DataFrame, dims: int = 64, text_col: str = "text"
 ) -> DataFrame:

