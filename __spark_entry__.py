@@ -1877,6 +1877,31 @@ def _q_embedding_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_spans_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style repeated-line boilerplate removal on the span data model:
+    text spans appearing in >= 3 distinct docs (the planted nav in
+    40/40, footer in 30/40) vanish from every document; the 2-doc quote,
+    all bodies, and all media spans survive with order preserved.
+    Output is the exploded kept-span sequence — the north rule's
+    (kind, text, media_ref, order) invariant shape."""
+    from fetch_engines_spark.pipelines.curation import strip_boilerplate_spans
+
+    docs = _fixture(spark, "spans_boilerplate")
+    out = strip_boilerplate_spans(docs, min_docs=3)
+    ex = out.select(
+        "doc_id", "n_text_removed", F.posexplode("spans").alias("new_pos", "s")
+    )
+    return ex.select(
+        "doc_id",
+        F.col("new_pos").cast("int").alias("new_pos"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+        "n_text_removed",
+    )
+
+
 def _q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked retrieval (k1=1.2, b=0.75, integer milli-scaled with
     flog2-quantized idf) of the top 10 documents for a mixed-rarity
@@ -2186,6 +2211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": _q_dedup_semantic,
         "dedup_bloom_gate": _q_dedup_bloom_gate,
         "doc_bm25_topk": _q_doc_bm25_topk,
+        "spans_boilerplate_strip": _q_spans_boilerplate_strip,
     }
 
 
@@ -2954,6 +2980,39 @@ def oracle_sql() -> dict[str, str]:
         "doc_bm25_topk": __import__(
             "fetch_engines_spark.pipelines.text", fromlist=["x"]
         ).bm25_topk_sql(["customer", "scan", "dup"], k=10),
+        "spans_boilerplate_strip": f"""
+            WITH ex AS (
+              SELECT doc_id, unnest(spans) AS sp,
+                     CAST(generate_subscripts(spans, 1) - 1 AS INTEGER) AS pos
+              FROM read_parquet('{os.path.join(FIXTURES_DIR, "spans_boilerplate.parquet")}')
+            ),
+            flat AS (
+              SELECT doc_id, pos, sp.kind AS kind, sp.text AS text,
+                     sp.media_ref AS media_ref, sp."offset" AS off,
+                     CASE WHEN sp.kind = 'text' THEN md5(sp.text) END AS th
+              FROM ex
+            ),
+            boiler AS (
+              SELECT th FROM (
+                SELECT th, count(DISTINCT doc_id) AS ndocs
+                FROM flat WHERE th IS NOT NULL GROUP BY th
+              ) WHERE ndocs >= 3
+            ),
+            marked AS (
+              SELECT f.*, (b.th IS NOT NULL) AS bp
+              FROM flat f LEFT JOIN boiler b ON f.th = b.th
+            ),
+            removed AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN bp THEN 1 ELSE 0 END) AS BIGINT) AS n_text_removed
+              FROM marked GROUP BY doc_id
+            )
+            SELECT m.doc_id,
+                   CAST(row_number() OVER (PARTITION BY m.doc_id ORDER BY m.pos) - 1 AS INTEGER) AS new_pos,
+                   m.kind, m.text, m.media_ref, m.off AS "offset", r.n_text_removed
+            FROM marked m JOIN removed r ON m.doc_id = r.doc_id
+            WHERE NOT m.bp
+        """,
         "dedup_bloom_gate": __import__(
             "fetch_engines_spark.pipelines.dedup", fromlist=["x"]
         ).bloom_gate_oracle_sql(

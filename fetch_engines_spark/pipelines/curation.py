@@ -78,3 +78,52 @@ def curation_stats(kept: DataFrame, group_col: str = "source") -> DataFrame:
         F.sum("n_tokens").alias("kept_tokens"),
         F.min("doc_id").alias("min_doc_id"),
     )
+
+
+def strip_boilerplate_spans(
+    docs: DataFrame, min_docs: int = 3, spans_col: str = "spans"
+) -> DataFrame:
+    """Corpus-level boilerplate removal over interleaved span documents —
+    the C4/RefinedWeb "repeated line" rule re-expressed on the span data
+    model: a TEXT span whose exact text appears in >= ``min_docs``
+    distinct documents is boilerplate (nav bars, footers, cookie
+    banners survive per-document extraction because every page carries
+    them; only the corpus view exposes them) and is removed from every
+    document.  Media spans and under-threshold text ride through
+    untouched, span order is preserved, offsets keep their original
+    per-document values.
+
+    Returns (doc_id, spans, n_text_removed).
+
+    Scale shape (10^12 docs): one posexplode, one combinable
+    two-level aggregation for distinct-doc counts (groupBy text-hash x
+    countDistinct doc), one equi-join of the exploded spans against the
+    boilerplate hash set (left; AQE broadcasts it when small — at high
+    ``min_docs`` the set is tiny relative to the corpus), and one
+    groupBy(doc_id) reassembly.  No per-group state beyond a document's
+    own spans."""
+    ex = docs.select(
+        "doc_id", F.posexplode(spans_col).alias("pos", "span")
+    ).withColumn(
+        "th",
+        F.when(F.col("span.kind") == "text", F.md5(F.col("span.text"))),
+    )
+    boiler = (
+        ex.filter(F.col("th").isNotNull())
+        .groupBy("th")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= min_docs)
+        .select("th", F.lit(1).alias("__bp"))
+    )
+    j = ex.join(boiler, "th", "left")
+    return j.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("__bp").isNull(), F.struct("pos", "span"))
+                )
+            ),
+            lambda x: x["span"],
+        ).alias(spans_col),
+        F.sum(F.coalesce("__bp", F.lit(0))).cast("long").alias("n_text_removed"),
+    )

@@ -2873,3 +2873,41 @@ def test_bm25_rare_term_dominates_ranking(spark):
     assert all("dup" in texts[r.doc_id].split() or
                {"customer", "scan"} & set(texts[r.doc_id].split())
                for r in top)
+
+
+def test_strip_boilerplate_spans_semantics(spark):
+    """Planted corpus: the 40-doc nav and 30-doc footer vanish from every
+    doc; the 2-doc quote (below min_docs=3), all unique bodies, and all
+    media spans survive in original order with original offsets."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fetch_engines_spark.pipelines.curation import strip_boilerplate_spans
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "data", "fixtures", "spans_boilerplate.parquet"
+    )
+    docs = spark.read.parquet(path)
+    out = {r.doc_id: r for r in strip_boilerplate_spans(docs, min_docs=3).collect()}
+    orig = {r.doc_id: r.spans for r in docs.collect()}
+    assert set(out) == set(orig)
+    for did, r in out.items():
+        texts = [s.text for s in r.spans if s.kind == "text"]
+        assert "Home | Products | About | Contact" not in texts
+        assert "(c) Example Corp - All rights reserved" not in texts
+        i = int(did.split("-")[1])
+        assert r.n_text_removed == (2 if i < 30 else 1)
+        # kept spans = original sequence minus boilerplate, same order/offsets
+        expected = [
+            s for s in orig[did]
+            if not (s.kind == "text" and s.text in (
+                "Home | Products | About | Contact",
+                "(c) Example Corp - All rights reserved",
+            ))
+        ]
+        assert [tuple(s) for s in r.spans] == [tuple(s) for s in expected]
+    assert [s.text for s in out["bp-05"].spans if s.kind == "text"][-1] == "as noted previously"
+    # media spans: one per even doc, untouched
+    n_media = sum(1 for r in out.values() for s in r.spans if s.kind == "image")
+    assert n_media == 20

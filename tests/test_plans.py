@@ -380,3 +380,15 @@ def test_bm25_topk_is_take_ordered_no_shuffle_scoring(spark):
     assert "Generate" not in plan  # no explode in the scoring path
     for marker in ("MapInArrow", "MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert marker not in plan
+
+
+def test_boilerplate_strip_is_native_equi_join(spark):
+    """Boilerplate-span removal: explode + combinable distinct-doc count +
+    one equi-join on the text hash + one reassembly groupBy — no Python
+    stages, no cartesian."""
+    df = entrymod.queries()["spans_boilerplate_strip"](spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for marker in ("MapInArrow", "MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
