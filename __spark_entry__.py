@@ -1877,6 +1877,20 @@ def _q_embedding_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix construction at exact target ratios 50/30/20 over
+    three sources (25 docs each): the 50%-share source is limiting, so
+    the mix is 25+15+10 = 50 docs, selected by deterministic md5(key)
+    rank — the data-mixing step of pre-training pipelines."""
+    from fetch_engines_spark.pipelines.text import mixture_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    out = mixture_sample(
+        docs, {"src0": 5000, "src1": 3000, "src2": 2000}
+    )
+    return out.select("doc_id", "source", "mix_rank")
+
+
 def _q_spans_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style repeated-line boilerplate removal on the span data model:
     text spans appearing in >= 3 distinct docs (the planted nav in
@@ -2212,6 +2226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_bloom_gate": _q_dedup_bloom_gate,
         "doc_bm25_topk": _q_doc_bm25_topk,
         "spans_boilerplate_strip": _q_spans_boilerplate_strip,
+        "mixture_sample": _q_mixture_sample,
     }
 
 
@@ -2980,6 +2995,11 @@ def oracle_sql() -> dict[str, str]:
         "doc_bm25_topk": __import__(
             "fetch_engines_spark.pipelines.text", fromlist=["x"]
         ).bm25_topk_sql(["customer", "scan", "dup"], k=10),
+        "mixture_sample": "SELECT doc_id, source, mix_rank FROM ("
+        + __import__("fetch_engines_spark.pipelines.text", fromlist=["x"]).mixture_sample_sql(
+            {"src0": 5000, "src1": 3000, "src2": 2000}
+        )
+        + ")",
         "spans_boilerplate_strip": f"""
             WITH ex AS (
               SELECT doc_id, unnest(spans) AS sp,

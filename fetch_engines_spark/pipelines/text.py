@@ -417,6 +417,106 @@ def cap_per_stratum(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    targets_bp: dict[str, int],
+    stratum_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic training-mix construction: given target per-stratum
+    proportions (basis points), keep the LARGEST subcorpus whose stratum
+    ratios exactly match the targets (up to floor rounding) — the data
+    mixing step of pre-training pipelines (fixed-weight mixes à la
+    The Pile / DoReMi-static), where each source must contribute a
+    prescribed share rather than its natural crawl share.
+
+    The limiting source sets the scale: scale = min over strata of
+    floor(n_s · 10^6 / target_s); every stratum then keeps its first
+    floor(target_s · scale / 10^6) rows ranked by md5(key) (the same
+    deterministic rank as :func:`cap_per_stratum` — reproducible across
+    runs, engines, partitionings, and stage retries).  Strata not in
+    ``targets_bp`` are dropped; a target stratum absent from the corpus
+    makes the whole mix empty (its share is unachievable) — all in
+    exact integer arithmetic.
+
+    Scale shape: one combinable stratum count + a broadcast 1-row scale
+    + one shuffle on the stratum key for the rank window (the cap is a
+    per-stratum COLUMN, so Spark cannot compile the filter to
+    WindowGroupLimit — the stratum sorts within its partition; for very
+    hot strata compose with cap_per_stratum's literal-K pre-cap first).
+    Returns the input columns plus mix_rank."""
+    from itertools import chain
+
+    from pyspark.sql import Window
+
+    tmap = F.create_map(
+        *chain.from_iterable((F.lit(k), F.lit(v)) for k, v in targets_bp.items())
+    )
+    counts = (
+        df.withColumn("__tbp", tmap[F.col(stratum_col)])
+        .filter(F.col("__tbp").isNotNull())
+        .groupBy(stratum_col, "__tbp")
+        .agg(F.count("*").alias("__n"))
+    )
+    # a target stratum with zero corpus rows never appears in counts, so
+    # its unachievable share must zero the scale explicitly
+    n_present = counts.agg(
+        F.count("*").alias("__present"),
+        F.min(F.expr("(__n * 1000000) div __tbp")).alias("__scale_raw"),
+    ).select(
+        F.when(F.col("__present") >= len(targets_bp), F.col("__scale_raw"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("__scale")
+    )
+    caps = counts.crossJoin(F.broadcast(n_present)).select(
+        stratum_col, F.expr("(__tbp * __scale) div 1000000").alias("__cap")
+    )
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return (
+        df.join(F.broadcast(caps), stratum_col)
+        .withColumn("mix_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("mix_rank") <= F.col("__cap"))
+        .drop("__cap")
+    )
+
+
+def mixture_sample_sql(
+    targets_bp: dict[str, int],
+    stratum_col: str = "source",
+    key_col: str = "doc_id",
+    source: str = "documents",
+) -> str:
+    """DuckDB twin of mixture_sample: same integer scale/caps, same
+    md5-rank selection."""
+    tvals = ", ".join(f"('{k}', {v})" for k, v in targets_bp.items())
+    return f"""
+WITH t(stratum, tbp) AS (VALUES {tvals}),
+counts AS (
+  SELECT s.{stratum_col} AS stratum, t.tbp, count(*) AS n
+  FROM {source} s JOIN t ON s.{stratum_col} = t.stratum
+  GROUP BY 1, 2
+),
+scale AS (
+  SELECT CAST(CASE WHEN count(*) >= {len(targets_bp)}
+              THEN min((n * 1000000) // tbp) ELSE 0 END AS BIGINT) AS sc
+  FROM counts
+),
+caps AS (SELECT stratum, (tbp * sc) // 1000000 AS cap FROM counts CROSS JOIN scale),
+ranked AS (
+  SELECT s.*, CAST(row_number() OVER (
+           PARTITION BY s.{stratum_col}
+           ORDER BY md5(CAST(s.{key_col} AS VARCHAR)), s.{key_col}
+         ) AS BIGINT) AS mix_rank,
+         c.cap
+  FROM {source} s JOIN caps c ON s.{stratum_col} = c.stratum
+)
+SELECT * EXCLUDE (cap) FROM ranked WHERE mix_rank <= cap
+"""
+
+
 def kmv_distinct(
     df: DataFrame, group_col: str, key_col: str, k: int = 64,
     include_exact: bool = False,

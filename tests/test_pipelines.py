@@ -2911,3 +2911,28 @@ def test_strip_boilerplate_spans_semantics(spark):
     # media spans: one per even doc, untouched
     n_media = sum(1 for r in out.values() for s in r.spans if s.kind == "image")
     assert n_media == 20
+
+
+def test_mixture_sample_exact_ratios_and_edge_cases(spark):
+    """Mix ratios hit the targets exactly (50/30/20 over 25-doc sources
+    -> 25+15+10), selection is the deterministic md5 rank, a stratum
+    missing from targets is dropped, and an unachievable target (source
+    absent from the corpus) yields the EMPTY mix rather than a silently
+    skewed one."""
+    from fetch_engines_spark.pipelines.text import mixture_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = mixture_sample(docs, {"src0": 5000, "src1": 3000, "src2": 2000}).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    assert {s: len(v) for s, v in by_src.items()} == {
+        "src0": 25, "src1": 15, "src2": 10
+    }
+    assert all(r.source in ("src0", "src1", "src2") for r in out)
+    # determinism: re-run selects the same doc_ids
+    again = mixture_sample(docs, {"src0": 5000, "src1": 3000, "src2": 2000}).collect()
+    assert {r.doc_id for r in again} == {r.doc_id for r in out}
+    # unachievable share -> empty mix
+    empty = mixture_sample(docs, {"src0": 5000, "no_such_source": 5000})
+    assert empty.count() == 0

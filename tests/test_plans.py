@@ -392,3 +392,19 @@ def test_boilerplate_strip_is_native_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     for marker in ("MapInArrow", "MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert marker not in plan
+
+
+def test_mixture_sample_single_corpus_shuffle_broadcast_caps(spark):
+    """The corpus shuffles ONCE (on the stratum key, for the rank
+    window); the per-stratum caps ride as a BroadcastHashJoin build side,
+    and the count/scale aggregates touch only the pruned stratum column.
+    (No WindowGroupLimit: the cap is a per-stratum column, not a
+    literal — documented in mixture_sample.)"""
+    df = entrymod.queries()["mixture_sample"](spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the corpus sorts/windows exactly once (the stratum rank)
+    assert plan.count("Window [row_number()") == 1
+    for marker in ("MapInArrow", "MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
