@@ -102,8 +102,12 @@ def strip_boilerplate_spans(
     ``min_docs`` the set is tiny relative to the corpus), and one
     groupBy(doc_id) reassembly.  No per-group state beyond a document's
     own spans."""
+    # posexplode_outer: a doc with an empty or NULL spans array must
+    # survive as a row with zero spans, not silently vanish from the
+    # corpus (the same defect class canonicalize_media_refs fixed for
+    # NULL doc_ids)
     ex = docs.select(
-        "doc_id", F.posexplode(spans_col).alias("pos", "span")
+        "doc_id", F.posexplode_outer(spans_col).alias("pos", "span")
     ).withColumn(
         "th",
         F.when(F.col("span.kind") == "text", F.md5(F.col("span.text"))),
@@ -120,7 +124,10 @@ def strip_boilerplate_spans(
         F.transform(
             F.array_sort(
                 F.collect_list(
-                    F.when(F.col("__bp").isNull(), F.struct("pos", "span"))
+                    F.when(
+                        F.col("__bp").isNull() & F.col("span").isNotNull(),
+                        F.struct("pos", "span"),
+                    )
                 )
             ),
             lambda x: x["span"],

@@ -472,15 +472,24 @@ def bloom_gate(
     word_id (broadcast when the bitmap is small — m ≤ ~10^9 bits; bucket
     join above), one combinable groupBy on the id.  The downstream exact
     dedup then anti-joins ONLY the maybe_present rows against history."""
+    # explode_outer + null-safe hit: a NULL key has no positions, and a
+    # plain explode would DROP the row — the doc would silently vanish
+    # from the gate output instead of reading "definitely new"
     qpos = df.select(
         F.col(id_col),
-        F.explode(_bloom_positions(F.col(key_col), m_bits, k_hashes)).alias("pos"),
+        F.explode_outer(_bloom_positions(F.col(key_col), m_bits, k_hashes)).alias(
+            "pos"
+        ),
     ).select(
         id_col,
         F.floor(F.col("pos") / BLOOM_BITS_PER_WORD).cast("long").alias("word_id"),
         _bit_mask(F.col("pos")).alias("mask"),
     )
-    hit = (F.col("bits").isNotNull() & (F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask"))).cast("int")
+    hit = F.when(
+        F.col("bits").isNotNull()
+        & (F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
     return (
         qpos.join(bloom, "word_id", "left")
         .select(id_col, hit.alias("hit"))

@@ -449,6 +449,12 @@ def mixture_sample(
 
     from pyspark.sql import Window
 
+    if not targets_bp or any(v <= 0 for v in targets_bp.values()):
+        # a zero/negative share would null-propagate through the integer
+        # scale division and silently distort the mix
+        raise ValueError(
+            "mixture_sample: targets_bp must be non-empty with positive shares"
+        )
     tmap = F.create_map(
         *chain.from_iterable((F.lit(k), F.lit(v)) for k, v in targets_bp.items())
     )
@@ -491,7 +497,9 @@ def mixture_sample_sql(
 ) -> str:
     """DuckDB twin of mixture_sample: same integer scale/caps, same
     md5-rank selection."""
-    tvals = ", ".join(f"('{k}', {v})" for k, v in targets_bp.items())
+    tvals = ", ".join(
+        "('{}', {})".format(k.replace("'", "''"), v) for k, v in targets_bp.items()
+    )
     return f"""
 WITH t(stratum, tbp) AS (VALUES {tvals}),
 counts AS (
@@ -902,9 +910,10 @@ def bm25_topk_sql(
 ) -> str:
     """DuckDB twin of bm25_topk: same integer milli-scaled score, same
     bin()-based idf quantization, same (score desc, doc_id) order."""
+    terms = [t.replace("'", "''") for t in query_terms]  # SQL-escape
     tf_defs = ",\n        ".join(
         f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
-        for i, t in enumerate(query_terms)
+        for i, t in enumerate(terms)
     )
     df_defs = ",\n        ".join(
         f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"

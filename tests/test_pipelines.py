@@ -2936,3 +2936,51 @@ def test_mixture_sample_exact_ratios_and_edge_cases(spark):
     # unachievable share -> empty mix
     empty = mixture_sample(docs, {"src0": 5000, "no_such_source": 5000})
     assert empty.count() == 0
+
+
+def test_bloom_gate_null_key_reads_definitely_new(spark):
+    """A NULL key has no bloom positions; the row must still appear in
+    the gate output as maybe_present=0 (definitely new), not silently
+    vanish (explode would drop it)."""
+    from pyspark.sql import functions as F
+
+    from fetch_engines_spark.pipelines.dedup import bloom_build, bloom_gate
+
+    keys = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, key string"
+    )
+    bloom = bloom_build(keys.select("key"), "key", 1024, 3)
+    q = spark.createDataFrame(
+        [(1, "a"), (3, None), (4, "zz")], "doc_id long, key string"
+    )
+    out = {r.doc_id: r.maybe_present for r in
+           bloom_gate(q, bloom, "key", "doc_id", 1024, 3).collect()}
+    assert out == {1: 1, 3: 0, 4: out[4]}  # 4 may be a false positive
+    assert 3 in out  # the NULL-key row survived
+
+
+def test_strip_boilerplate_empty_and_null_spans_survive(spark):
+    """Docs with empty or NULL spans arrays come out as zero-span rows —
+    the corpus must not shrink."""
+    from fetch_engines_spark.pipelines.curation import strip_boilerplate_spans
+
+    schema = (
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    )
+    docs = spark.createDataFrame(
+        [
+            ("d1", [("text", "nav", None, 0), ("text", "unique one", None, 1)]),
+            ("d2", [("text", "nav", None, 0)]),
+            ("d3", [("text", "nav", None, 0)]),
+            ("d-empty", []),
+            ("d-null", None),
+        ],
+        schema,
+    )
+    out = {r.doc_id: r for r in strip_boilerplate_spans(docs, min_docs=3).collect()}
+    assert set(out) == {"d1", "d2", "d3", "d-empty", "d-null"}
+    assert out["d-empty"].spans == [] and out["d-empty"].n_text_removed == 0
+    assert out["d-null"].spans == [] and out["d-null"].n_text_removed == 0
+    assert [s.text for s in out["d1"].spans] == ["unique one"]
+    assert out["d2"].spans == [] and out["d2"].n_text_removed == 1
