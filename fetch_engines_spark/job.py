@@ -48,7 +48,7 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument(
         "--stage",
         default="extract",
-        choices=("extract", "curate", "dedup", "compact-index", "media-dedup", "semdedup"),
+        choices=("extract", "curate", "dedup", "compact-index", "media-dedup", "semdedup", "mix"),
         help="extract: spans→markdown with checkpoint/resume; curate: the "
         "quality/repetition/substring-gate + exact-dup-keeper chain over a "
         "documents(doc_id, text, source) table, writing kept corpus + stats; "
@@ -65,7 +65,20 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         "id across the interleaved documents; "
         "semdedup: SemDeDup semantic dedup over an embeddings(vec_id, "
         "embedding) table — k-means cells, within-cell cosine prune, "
-        "writing semantic/ (vec_id, cell, n_close, keep)",
+        "writing semantic/ (vec_id, cell, n_close, keep); "
+        "mix: deterministic training-mix construction at exact "
+        "--mix-targets source ratios, writing mix/",
+    )
+    p.add_argument(
+        "--mix-targets",
+        default=None,
+        help="--stage mix: comma-separated source:share_bp pairs, e.g. "
+        "'web:6000,books:2500,code:1500' (shares in basis points; the "
+        "limiting source sets the mix size)",
+    )
+    p.add_argument(
+        "--mix-stratum-col", default="source",
+        help="--stage mix: stratum column (default: source)",
     )
     p.add_argument(
         "--semdedup-centroids",
@@ -391,6 +404,41 @@ def _run_semdedup(spark, args) -> dict:
     }
 
 
+def _run_mix(spark, args) -> dict:
+    """Training-mix construction (pipelines.text.mixture_sample): the
+    largest subcorpus at exactly the --mix-targets ratios, selected by
+    deterministic md5 rank."""
+    from pyspark.sql import functions as F
+
+    from .pipelines.text import mixture_sample
+
+    if not args.mix_targets:
+        raise ValueError("--stage mix requires --mix-targets src:share_bp,...")
+    targets: dict[str, int] = {}
+    for part in args.mix_targets.split(","):
+        name, _, share = part.strip().rpartition(":")
+        if not name or not share.lstrip("-").isdigit():
+            raise ValueError(f"--mix-targets entry {part!r} is not source:share_bp")
+        targets[name] = int(share)
+    docs = spark.read.parquet(args.input)
+    out = mixture_sample(docs, targets, stratum_col=args.mix_stratum_col)
+    out.write.mode("overwrite").parquet(f"{args.output}/mix")
+    mix = spark.read.parquet(f"{args.output}/mix")
+    per_stratum = {
+        r[args.mix_stratum_col]: r["n"]
+        for r in mix.groupBy(args.mix_stratum_col).agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    return {
+        "stage": "mix",
+        "n_input": docs.count(),
+        "n_mix": mix.count(),
+        "per_stratum": per_stratum,
+        "targets_bp": targets,
+    }
+
+
 def _run_dedup(spark, args) -> dict:
     from pyspark.sql import functions as F
 
@@ -562,6 +610,8 @@ def main(argv: list[str] | None = None) -> int:
             summary = _run_media_dedup(spark, args)
         elif args.stage == "semdedup":
             summary = _run_semdedup(spark, args)
+        elif args.stage == "mix":
+            summary = _run_mix(spark, args)
         else:
             if args.input_format == "warc":
                 from .warc import read_warc, warc_html_documents
