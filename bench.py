@@ -43,6 +43,11 @@ BENCH_QUERIES = [
     "dedup_simhash_capped",
     "embedding_topk",
     "embedding_topk_lsh",
+    # round-5-late corpus-scale ops: BM25 retrieval (shuffle-free tf
+    # projection + TakeOrdered) and the bloom membership gate (packed
+    # bitmap join) — both run over the sf documents table
+    "doc_bm25_topk",
+    "dedup_bloom_gate",
 ]
 
 
