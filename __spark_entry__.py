@@ -2130,12 +2130,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "lm_surprisal": _q_lm_surprisal,
         "pii_redact": _q_pii_redact,
-        "text_repetition": _q_text_repetition,
+        # final round-5 swaps: spans_boilerplate_strip (the north-rule
+        # span payload, corpus-level boilerplate) replaces
+        # text_repetition (repetition family still repped by
+        # text_quality+lm_surprisal); mixture_sample replaces source_cap
+        # as the sampling/cap family representative (same md5-rank core,
+        # strictly more semantics) — both swapped-out queries carry
+        # multi-round driver verdicts
+        "spans_boilerplate_strip": _q_spans_boilerplate_strip,
         "media_video_frames": _q_media_video_frames,
         "doc_tfidf_topk": _q_doc_tfidf_topk,
         "doc_hashed_embedding": _q_doc_hashed_embedding,
         "doc_chunks": _q_doc_chunks,
-        "source_cap": _q_source_cap,
+        "mixture_sample": _q_mixture_sample,
         # deduplication
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_prod": _q_dedup_minhash_prod,
@@ -2225,8 +2232,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": _q_dedup_semantic,
         "dedup_bloom_gate": _q_dedup_bloom_gate,
         "doc_bm25_topk": _q_doc_bm25_topk,
-        "spans_boilerplate_strip": _q_spans_boilerplate_strip,
-        "mixture_sample": _q_mixture_sample,
+        # moved past the window in the final round-5 swap (multi-round
+        # driver verdicts; families still represented in-window)
+        "text_repetition": _q_text_repetition,
+        "source_cap": _q_source_cap,
     }
 
 

@@ -109,7 +109,12 @@ def test_driver_window_covers_every_operator_family():
     # media_video_frames moved IN; events_range_join (temporal-join
     # family → events_asof_attribution) and doc_winnowing (fingerprint
     # family → doc_tfidf_topk) moved past the window — each green in
-    # multiple prior driver windows.
+    # multiple prior driver windows.  Late round-5 swap: the new
+    # operators spans_boilerplate_strip (corpus-level boilerplate on
+    # the span payload) and mixture_sample (sampling-family rep,
+    # superseding source_cap's semantics) moved IN; text_repetition
+    # (family → text_quality/lm_surprisal) and source_cap (same family
+    # as mixture_sample) moved past the window.
     required = {
         # extraction / classification / routing
         "extract_spans_fixture", "extract_markdown_fixture",
@@ -133,9 +138,10 @@ def test_driver_window_covers_every_operator_family():
         "resource_blocking",
         # text analysis (sampling family: source_cap; sketch: vocab_cms;
         # LM-quality family: lm_surprisal, added round 5)
-        "lang_id", "text_quality", "text_repetition",
+        "lang_id", "text_quality",
         "doc_tfidf_topk", "doc_hashed_embedding", "doc_chunks",
-        "source_cap", "vocab_cms", "lm_surprisal",
+        "mixture_sample", "vocab_cms", "lm_surprisal",
+        "spans_boilerplate_strip",
         # PII scrub family, added round 5
         "pii_redact",
         # dedup (capped-join family represented by embedding_capped;
