@@ -419,6 +419,10 @@ def _run_mix(spark, args) -> dict:
         name, _, share = part.strip().rpartition(":")
         if not name or not share.lstrip("-").isdigit():
             raise ValueError(f"--mix-targets entry {part!r} is not source:share_bp")
+        if name in targets:
+            # a dict would silently keep only the LAST share — a typo'd
+            # duplicate must not produce a mis-proportioned mix
+            raise ValueError(f"--mix-targets lists source {name!r} twice")
         targets[name] = int(share)
     docs = spark.read.parquet(args.input)
     out = mixture_sample(docs, targets, stratum_col=args.mix_stratum_col)

@@ -119,13 +119,23 @@ def strip_boilerplate_spans(
         .filter(F.col("ndocs") >= min_docs)
         .select("th", F.lit(1).alias("__bp"))
     )
-    j = ex.join(boiler, "th", "left")
+    # join ONLY the hash-keyed rows: media spans and NULL-text spans all
+    # carry th=NULL, and shuffling them into the join would pile every
+    # NULL key onto one partition for rows that can never match; they
+    # union back with __bp=NULL (kept) instead
+    keyed = ex.filter(F.col("th").isNotNull()).join(boiler, "th", "left")
+    unkeyed = ex.filter(F.col("th").isNull()).withColumn("__bp", F.lit(None).cast("int"))
+    j = keyed.unionByName(unkeyed)
+    # collect condition is pos-based, NOT span-based: a NULL span ELEMENT
+    # inside a real array has a position and must survive (parity with
+    # the unnest-based oracle), while the posexplode_outer row of an
+    # empty/NULL array has pos NULL and must collapse to zero spans
     return j.groupBy("doc_id").agg(
         F.transform(
             F.array_sort(
                 F.collect_list(
                     F.when(
-                        F.col("__bp").isNull() & F.col("span").isNotNull(),
+                        F.col("__bp").isNull() & F.col("pos").isNotNull(),
                         F.struct("pos", "span"),
                     )
                 )

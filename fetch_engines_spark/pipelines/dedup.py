@@ -431,6 +431,10 @@ def bloom_build(
     (bit_or is associative/commutative/idempotent)."""
     pos = keys.select(
         F.explode(_bloom_positions(F.col(key_col), m_bits, k_hashes)).alias("pos")
+    ).filter(
+        # a NULL key has NULL positions — without this filter it would
+        # write a junk (NULL, NULL) row into the persisted bitmap
+        F.col("pos").isNotNull()
     )
     return (
         pos.select(
@@ -439,6 +443,12 @@ def bloom_build(
         )
         .groupBy("word_id")
         .agg(F.bit_or("mask").alias("bits"))
+        # the bitmap self-describes its parameters (the minhash-index
+        # contract): a gate or merge with mismatched m/k would otherwise
+        # produce SILENT false negatives — the one failure mode a Bloom
+        # filter must never have
+        .withColumn("m_bits", F.lit(m_bits).cast("long"))
+        .withColumn("k_hashes", F.lit(k_hashes).cast("int"))
     )
 
 
@@ -452,7 +462,17 @@ def bloom_merge(blooms: list[DataFrame]) -> DataFrame:
     merged = blooms[0]
     for b in blooms[1:]:
         merged = merged.unionByName(b)
-    return merged.groupBy("word_id").agg(F.bit_or("bits").alias("bits"))
+    metas = merged.select("m_bits", "k_hashes").distinct().collect()
+    if len(metas) > 1:
+        raise ValueError(
+            "bloom_merge: filters built with different parameters "
+            f"({[(r.m_bits, r.k_hashes) for r in metas]}) share no bit space"
+        )
+    return (
+        merged.groupBy("word_id", "m_bits", "k_hashes")
+        .agg(F.bit_or("bits").alias("bits"))
+        .select("word_id", "bits", "m_bits", "k_hashes")
+    )
 
 
 def bloom_gate(
@@ -460,18 +480,42 @@ def bloom_gate(
     bloom: DataFrame,
     key_col: str,
     id_col: str = "doc_id",
-    m_bits: int = 1 << 20,
-    k_hashes: int = 3,
+    m_bits: int | None = None,
+    k_hashes: int | None = None,
 ) -> DataFrame:
     """Test each row's key against a :func:`bloom_build` bitmap →
     (id_col, maybe_present: int).  maybe_present = 1 iff EVERY one of the
     key's bit positions is set (keys that built the filter always get 1 —
     no false negatives); 0 means definitely new.
 
+    ``m_bits``/``k_hashes`` default to the bitmap's OWN recorded
+    parameters (bloom_build stamps them on every row); passing values
+    that contradict the bitmap raises — a mismatched gate would compute
+    positions in a different bit space and read every key, including
+    every history key, as "definitely new" (silent false negatives, the
+    one failure a Bloom filter must never have).
+
     Scale shape: one explode (≤ k rows per doc), one equi-join on
     word_id (broadcast when the bitmap is small — m ≤ ~10^9 bits; bucket
     join above), one combinable groupBy on the id.  The downstream exact
     dedup then anti-joins ONLY the maybe_present rows against history."""
+    meta = bloom.select("m_bits", "k_hashes").first()
+    if meta is None:
+        raise ValueError("bloom_gate: empty bitmap (no words) — nothing was built")
+    if m_bits is None:
+        m_bits = meta["m_bits"]
+    elif m_bits != meta["m_bits"]:
+        raise ValueError(
+            f"bloom_gate: bitmap was built with m_bits={meta['m_bits']}, "
+            f"gate called with {m_bits} — different bit spaces"
+        )
+    if k_hashes is None:
+        k_hashes = meta["k_hashes"]
+    elif k_hashes != meta["k_hashes"]:
+        raise ValueError(
+            f"bloom_gate: bitmap was built with k_hashes={meta['k_hashes']}, "
+            f"gate called with {k_hashes}"
+        )
     # explode_outer + null-safe hit: a NULL key has no positions, and a
     # plain explode would DROP the row — the doc would silently vanish
     # from the gate output instead of reading "definitely new"

@@ -859,11 +859,15 @@ def bm25_topk(
     def _eq(term: str):
         return lambda t: t == F.lit(term)
 
+    # dl/tf as LONG: F.size yields int32, and the score expression's
+    # 900000*dl / 1000*tf*avgdl products overflow int32 for any document
+    # past ~2.4k tokens — a crash under Spark 4's default ANSI mode, a
+    # silent wrap (diverging from the BIGINT DuckDB twin) without it
     tf_cols = [
-        F.size(F.filter(toks, _eq(term))).alias(f"tf{i}")
+        F.size(F.filter(toks, _eq(term))).cast("long").alias(f"tf{i}")
         for i, term in enumerate(query_terms)
     ]
-    pd_ = df.select(F.col("doc_id"), F.size(toks).alias("dl"), *tf_cols)
+    pd_ = df.select(F.col("doc_id"), F.size(toks).cast("long").alias("dl"), *tf_cols)
     stats = pd_.agg(
         F.count("*").alias("n_docs"),
         F.sum("dl").alias("t_total"),

@@ -2984,3 +2984,79 @@ def test_strip_boilerplate_empty_and_null_spans_survive(spark):
     assert out["d-null"].spans == [] and out["d-null"].n_text_removed == 0
     assert [s.text for s in out["d1"].spans] == ["unique one"]
     assert out["d2"].spans == [] and out["d2"].n_text_removed == 1
+
+
+def test_bloom_gate_rejects_mismatched_parameters(spark):
+    """The bitmap self-describes m_bits/k_hashes; a gate with a
+    different bit space must raise, not silently read every key as
+    definitely-new (false negatives)."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from fetch_engines_spark.pipelines.dedup import (
+        bloom_build,
+        bloom_gate,
+        bloom_merge,
+    )
+
+    keys = spark.createDataFrame([(1, "a")], "doc_id long, key string")
+    bloom = bloom_build(keys.select("key"), "key", 2048, 3)
+    with _pytest.raises(ValueError, match="different bit spaces"):
+        bloom_gate(keys, bloom, "key", "doc_id", m_bits=1 << 20)
+    with _pytest.raises(ValueError, match="k_hashes"):
+        bloom_gate(keys, bloom, "key", "doc_id", k_hashes=5)
+    # defaulting reads the bitmap's own parameters
+    out = bloom_gate(keys, bloom, "key", "doc_id").collect()
+    assert out[0].maybe_present == 1
+    other = bloom_build(keys.select("key"), "key", 4096, 3)
+    with _pytest.raises(ValueError, match="different parameters"):
+        bloom_merge([bloom, other]).collect()
+    # NULL keys contribute no junk rows to the bitmap
+    nb = bloom_build(
+        spark.createDataFrame([("a",), (None,)], "key string"), "key", 2048, 3
+    )
+    assert nb.filter("word_id IS NULL").count() == 0
+
+
+def test_strip_boilerplate_null_span_element_survives(spark):
+    """A NULL struct ELEMENT inside a real spans array has a position
+    and must ride through (parity with the unnest-based oracle), while
+    empty/NULL arrays still collapse to zero spans."""
+    from fetch_engines_spark.pipelines.curation import strip_boilerplate_spans
+
+    schema = (
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    )
+    docs = spark.createDataFrame(
+        [
+            ("d1", [("text", "a", None, 0), None, ("text", "b", None, 2)]),
+            ("d2", []),
+        ],
+        schema,
+    )
+    out = {r.doc_id: r for r in strip_boilerplate_spans(docs, min_docs=3).collect()}
+    assert len(out["d1"].spans) == 3 and out["d1"].spans[1] is None
+    assert out["d2"].spans == []
+
+
+def test_bm25_long_document_no_overflow(spark):
+    """The review-confirmed crash: a 3000-token document overflowed the
+    int32 score arithmetic under ANSI mode.  Long docs must score, not
+    raise — and the rare-term doc still wins."""
+    docs = spark.createDataFrame(
+        [
+            (1, "dup " + "filler " * 3000),
+            (2, "plain " * 3000),
+            (3, "dup only here"),
+        ],
+        "doc_id long, text string",
+    )
+    from fetch_engines_spark.pipelines.text import bm25_topk
+
+    top = bm25_topk(docs, ["dup"], k=3).collect()
+    assert len(top) == 3
+    assert all(r.score_milli >= 0 for r in top)
+    # the short doc with the term beats the 3001-token doc (length norm)
+    assert top[0].doc_id == 3
