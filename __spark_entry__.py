@@ -1877,6 +1877,16 @@ def _q_embedding_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus clustering: signed-hashing-trick embedding →
+    integer-exact Lloyd → per-doc cell — text in, cluster label out,
+    no external model.  Oracle unrolls the identical construction."""
+    from fetch_engines_spark.pipelines.similarity import doc_kmeans_clusters
+
+    docs = _read(spark, sf_dir, "documents")
+    return doc_kmeans_clusters(docs, n_centroids=8, n_iter=2, dims=64)
+
+
 def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix construction at exact target ratios 50/30/20 over
     three sources (25 docs each): the 50%-share source is limiting, so
@@ -2236,6 +2246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver verdicts; families still represented in-window)
         "text_repetition": _q_text_repetition,
         "source_cap": _q_source_cap,
+        "doc_clusters": _q_doc_clusters,
     }
 
 
@@ -3004,6 +3015,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_bm25_topk": __import__(
             "fetch_engines_spark.pipelines.text", fromlist=["x"]
         ).bm25_topk_sql(["customer", "scan", "dup"], k=10),
+        "doc_clusters": __import__(
+            "fetch_engines_spark.pipelines.similarity", fromlist=["x"]
+        ).doc_kmeans_clusters_sql(n_centroids=8, n_iter=2, dims=64),
         "mixture_sample": "SELECT doc_id, source, mix_rank FROM ("
         + __import__("fetch_engines_spark.pipelines.text", fromlist=["x"]).mixture_sample_sql(
             {"src0": 5000, "src1": 3000, "src2": 2000}

@@ -906,6 +906,41 @@ def semantic_dedup(
     )
 
 
+def doc_kmeans_clusters(
+    docs: DataFrame,
+    n_centroids: int = 8,
+    n_iter: int = 2,
+    dims: int = 64,
+    text_col: str = "text",
+) -> DataFrame:
+    """End-to-end corpus clustering with no external model: text →
+    signed-hashing-trick embedding (``text.hashed_embedding_entries``,
+    integer bucket weights) → integer-exact Lloyd codebook → per-doc
+    cell assignment.  The content-grouping primitive of curation
+    pipelines (topic-balanced mixes, per-cluster sampling, SemDeDup's
+    own first stage) as ONE named operator.
+
+    Returns (doc_id, cell).  Scale shape: two combinable groupBys for
+    the embedding (token explode → (doc, bucket) weights → dense
+    array), then the shared kmeans shapes — broadcast codebook,
+    shuffle-free assignment; the corpus never joins anything bigger
+    than the 1-row codebook."""
+    from .text import assemble_embedding_array, hashed_embedding_entries
+
+    emb = assemble_embedding_array(
+        hashed_embedding_entries(docs, dims, text_col), dims
+    )
+    vecs = emb.select(
+        F.col("doc_id").alias("vid"), _quantize_vec(F.col("embedding")).alias("vq")
+    )
+    cents = kmeans_codebook(vecs, n_centroids, n_iter)
+    cb = _centroid_arr(cents)
+    return vecs.crossJoin(F.broadcast(cb)).select(
+        F.col("vid").alias("doc_id"),
+        _nearest(F.col("cb"), F.col("vq"))["cent_id"].alias("cell"),
+    )
+
+
 # --- DuckDB oracle twin -------------------------------------------------------
 
 def cosine_bp_sql(a: str, b: str) -> str:
@@ -1398,4 +1433,46 @@ SELECT a.vid AS vec_id, a.cell,
        coalesce(d.n_close, CAST(0 AS BIGINT)) AS n_close,
        CAST(CASE WHEN d.vid IS NULL THEN 1 ELSE 0 END AS INT) AS keep
 FROM assigned a LEFT JOIN drops d ON a.vid = d.vid
+"""
+
+
+def doc_kmeans_clusters_sql(
+    n_centroids: int = 8,
+    n_iter: int = 2,
+    dims: int = 64,
+    source: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of doc_kmeans_clusters: same signed-hashing embedding
+    (integer weights, zero-filled buckets), same unrolled Lloyd, same
+    integer-L2 assignment with lowest-id tiebreak."""
+    d = _int_l2_sql("v.vq", "c.cv", dims)
+    dense_cols = ", ".join(
+        f"CAST(coalesce(sum(CASE WHEN bucket = {i} THEN weight END), 0) AS DOUBLE)"
+        for i in range(dims)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({text_col}, ' ')) AS tok FROM {source}
+),
+he AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % {dims} AS bucket,
+         CASE WHEN substr(md5(tok), 9, 1) >= '8' THEN 1 ELSE -1 END AS s
+  FROM toks WHERE tok <> ''
+),
+weights AS (
+  SELECT doc_id, bucket, CAST(sum(s) AS BIGINT) AS weight
+  FROM he GROUP BY doc_id, bucket
+),
+dense AS (
+  SELECT doc_id, [{dense_cols}] AS vecd FROM weights GROUP BY doc_id
+),
+vq AS (SELECT doc_id AS vid, {_quant_sql('vecd', dims)} AS vq FROM dense),
+{kmeans_ctes('vq', n_centroids, n_iter, dims)}
+SELECT vid AS doc_id, cell FROM (
+  SELECT v.vid, c.cent_id AS cell,
+         row_number() OVER (PARTITION BY v.vid ORDER BY {d} ASC, c.cent_id ASC) AS rn
+  FROM vq v CROSS JOIN c{n_iter} c
+) WHERE rn = 1
 """

@@ -3060,3 +3060,21 @@ def test_bm25_long_document_no_overflow(spark):
     assert all(r.score_milli >= 0 for r in top)
     # the short doc with the term beats the 3001-token doc (length norm)
     assert top[0].doc_id == 3
+
+
+def test_doc_kmeans_clusters_partitions_corpus(spark):
+    """Every doc gets exactly one cell, cells come from the trained
+    codebook's id domain (init = first n_centroids doc_ids), and the
+    clustering is non-degenerate on the sf corpus (more than one
+    non-empty cell) and deterministic across runs."""
+    from fetch_engines_spark.pipelines.similarity import doc_kmeans_clusters
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = doc_kmeans_clusters(docs, n_centroids=8, n_iter=2).collect()
+    assert len(out) == 500
+    cells = {r.doc_id: r.cell for r in out}
+    assert set(cells.values()) <= set(range(8))
+    assert len(set(cells.values())) > 1
+    again = {r.doc_id: r.cell for r in
+             doc_kmeans_clusters(docs, n_centroids=8, n_iter=2).collect()}
+    assert again == cells
