@@ -18,7 +18,7 @@ engines and versions) rather than Spark's hash() (engine-specific).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -58,8 +58,12 @@ def _minhash_wide(df: DataFrame, text_col: str, num_hashes: int) -> DataFrame:
     """All k minhash permutations in ONE map-side-combinable aggregation
     over the exploded shingles (single scan + single shuffle — at 10^12
     docs this is k× cheaper than one groupBy per permutation)."""
+    from .spread import spread_scan
+
     sh = shingles(F.col(text_col)).alias("shingles")
-    exploded = df.select("doc_id", sh).select("doc_id", F.explode("shingles").alias("shingle"))
+    exploded = spread_scan(df).select("doc_id", sh).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
     return exploded.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"s{k}|"), F.col("shingle")))).alias(f"mh{k}")
@@ -100,8 +104,12 @@ def _minhash_fast_wide(df: DataFrame, text_col: str, num_hashes: int) -> DataFra
     permutations over 10^12 documents.  All arithmetic stays in signed
     64-bit (a, h < 2^31 → a*h + b < 2^62) and is engine-portable
     (DuckDB twin: minhash_fast_oracle_sql)."""
+    from .spread import spread_scan
+
     sh = shingles(F.col(text_col)).alias("shingles")
-    exploded = df.select("doc_id", sh).select("doc_id", F.explode("shingles").alias("shingle"))
+    exploded = spread_scan(df).select(
+        "doc_id", sh
+    ).select("doc_id", F.explode("shingles").alias("shingle"))
     hashed = exploded.select(
         "doc_id",
         (
@@ -1211,7 +1219,9 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
     """
     if bits > 32:
         raise ValueError("md5-hex simhash supports at most 32 bits")
-    toks = df.select(
+    from .spread import spread_scan
+
+    toks = spread_scan(df).select(
         "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).withColumn("h", F.md5("tok"))
     votes = [
@@ -1226,6 +1236,112 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
         bit = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(0)
         sig = bit if sig is None else sig + bit
     return agg.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def _pigeonhole_pairs_uncapped(
+    stacked: DataFrame,
+    n_blocks: int,
+    earlier_block_differs,
+    carry: list[str],
+    out_a: str = "doc_a",
+    out_b: str = "doc_b",
+    big_bucket: int = 1024,
+) -> DataFrame:
+    """Exactly-once pigeonhole block pairs WITHOUT a distinct, with the
+    oversized-bucket fan-out spread across the cluster.
+
+    Replaces ``bucket_pairs(...).distinct()`` for the uncapped SimHash
+    queries, where two structural costs dominated at scale (measured at
+    sf1.0: 758M candidate pairs, one 32,663-doc bucket = 533M of them on
+    ONE task, then an 84.7M-row distinct shuffle):
+
+    1. **Min-block emission instead of distinct (guide §2.4).**  A pair
+       within the hamming bound shares ≥1 block; the plain join emits it
+       once per shared block and dedups with a full shuffle.  Here the
+       join emits a pair ONLY at its minimal shared block — for every
+       earlier block, ``earlier_block_differs(b)`` (a bitwise predicate
+       over the carried signature columns) must hold.  Each pair is
+       emitted exactly once, so no distinct — and no exchange at all —
+       follows the join.
+
+    2. **Triangle-partitioned self-join for oversized buckets (guide
+       §2.5).**  A degenerate (block_id, block_val) bucket of n docs is a
+       single join key with C(n,2) output — AQE cannot split one key, so
+       the fan-out lands on one task.  Buckets over ``big_bucket`` rows
+       are split into G ≈ √(4·parallelism) deterministic groups
+       (pmod(xxhash64(doc_id), G)); each row is replicated to the G
+       tasks (least(g,j), greatest(g,j)), and a pair with groups
+       (ga, gb) matches in EXACTLY the task (min(ga,gb), max(ga,gb))
+       (enforced by the task==group-pair filter, which only bites when
+       ga==gb), so the bucket's C(n,2) pairs spread over G·(G+1)/2 tasks
+       with no duplicates.  Replication cost is G× the oversized-bucket
+       rows only — small rows (id + signature), never the documents.
+
+    Both join inputs are explicitly repartitioned by their join keys to
+    the default parallelism: AQE would otherwise coalesce the ~MB-sized
+    shuffle into 1-4 partitions and serialize the multi-hundred-million
+    row join fan-out (output size is invisible to AQE's input-byte
+    coalescing); an explicit numbered repartition is exempt from
+    coalescing and scales with the cluster, not a constant.
+    """
+    import math
+
+    spark = stacked.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    g_groups = max(8, math.isqrt(max(4 * par - 1, 0)) + 1)
+
+    sized = stacked.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("block_id", "block_val"))
+    )
+    small = (
+        sized.filter(F.col("bucket_n") <= big_bucket)
+        .drop("bucket_n")
+        .repartition(par, "block_id", "block_val")
+    )
+    big = sized.filter(F.col("bucket_n") > big_bucket).drop("bucket_n")
+    big = (
+        big.withColumn(
+            "g", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(g_groups)).cast("int")
+        )
+        .select("*", F.explode(F.sequence(F.lit(0), F.lit(g_groups - 1))).alias("j"))
+        .withColumn("ti", F.least("g", "j"))
+        .withColumn("tj", F.greatest("g", "j"))
+        .drop("j")
+        .repartition(par, "block_id", "block_val", "ti", "tj")
+    )
+
+    def _sides(joined):
+        return joined.select(
+            F.col("l.doc_id").alias(out_a),
+            F.col("r.doc_id").alias(out_b),
+            F.col("l.block_id").alias("block_id"),
+            *[F.col(f"l.{c}").alias(f"{c}_a") for c in carry],
+            *[F.col(f"r.{c}").alias(f"{c}_b") for c in carry],
+        )
+
+    eq = (
+        (F.col("l.block_id") == F.col("r.block_id"))
+        & (F.col("l.block_val") == F.col("r.block_val"))
+        & (F.col("l.doc_id") < F.col("r.doc_id"))
+    )
+    small_pairs = _sides(small.alias("l").join(small.alias("r"), eq))
+    big_eq = (
+        eq
+        & (F.col("l.ti") == F.col("r.ti"))
+        & (F.col("l.tj") == F.col("r.tj"))
+        # exactly-once across replicas: the (ti, tj) task must BE the
+        # group pair — automatic for ga != gb (one shared task), and
+        # keeps only the (g, g) task when ga == gb
+        & (F.col("l.ti") == F.least(F.col("l.g"), F.col("r.g")))
+        & (F.col("l.tj") == F.greatest(F.col("l.g"), F.col("r.g")))
+    )
+    big_pairs = _sides(big.alias("l").join(big.alias("r"), big_eq))
+
+    pairs = small_pairs.unionByName(big_pairs)
+    keep = F.lit(True)
+    for bp in range(n_blocks - 1):
+        keep = keep & ((F.col("block_id") <= F.lit(bp)) | earlier_block_differs(bp))
+    return pairs.filter(keep).drop("block_id")
 
 
 def simhash_candidate_pairs(
@@ -1279,16 +1395,27 @@ def simhash_candidate_pairs(
             )
         ),
     )
-    pairs = bucket_pairs(
-        stacked,
-        ["block_id", "block_val"],
-        "doc_id",
-        sig_col="sig_key",
-        max_bucket_size=max_bucket_size,
-        out_a="doc_a",
-        out_b="doc_b",
-        carry_cols=["simhash"],  # hamming verify without a join back
-    )
+    if max_bucket_size is None:
+        mask = (1 << block) - 1
+
+        def _differs(bp: int):
+            x = F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))
+            return (F.shiftright(x, bp * block).bitwiseAND(F.lit(mask))) != 0
+
+        pairs = _pigeonhole_pairs_uncapped(
+            stacked, n_blocks, _differs, carry=["simhash"]
+        )
+    else:
+        pairs = bucket_pairs(
+            stacked,
+            ["block_id", "block_val"],
+            "doc_id",
+            sig_col="sig_key",
+            max_bucket_size=max_bucket_size,
+            out_a="doc_a",
+            out_b="doc_b",
+            carry_cols=["simhash"],  # hamming verify without a join back
+        )
     return pairs.select(
         "doc_a",
         "doc_b",
@@ -1309,7 +1436,9 @@ def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
     parse costs more than N fixed-offset byte compares).  Still one
     explode + one map-side-combinable groupBy — the scale-safe shape at
     10^12 docs."""
-    toks = df.select(
+    from .spread import spread_scan
+
+    toks = spread_scan(df).select(
         "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).select(
         "doc_id",
@@ -1383,16 +1512,28 @@ def simhash_candidate_pairs64(
             ") as (block_id, block_val)"
         ),
     )
-    pairs = bucket_pairs(
-        stacked,
-        ["block_id", "block_val"],
-        "doc_id",
-        sig_col="sig_key",
-        max_bucket_size=max_bucket_size,
-        out_a="doc_a",
-        out_b="doc_b",
-        carry_cols=["sim_lo", "sim_hi"],  # hamming verify without a join back
-    )
+    if max_bucket_size is None:
+
+        def _differs(bp: int):
+            xlo = F.col("sim_lo_a").bitwiseXOR(F.col("sim_lo_b"))
+            xhi = F.col("sim_hi_a").bitwiseXOR(F.col("sim_hi_b"))
+            half = xlo if bp < 2 else xhi
+            return (F.shiftright(half, 16 * (bp % 2)).bitwiseAND(F.lit(65535))) != 0
+
+        pairs = _pigeonhole_pairs_uncapped(
+            stacked, 4, _differs, carry=["sim_lo", "sim_hi"]
+        )
+    else:
+        pairs = bucket_pairs(
+            stacked,
+            ["block_id", "block_val"],
+            "doc_id",
+            sig_col="sig_key",
+            max_bucket_size=max_bucket_size,
+            out_a="doc_a",
+            out_b="doc_b",
+            carry_cols=["sim_lo", "sim_hi"],  # hamming verify without a join back
+        )
     return pairs.select(
         "doc_a",
         "doc_b",

@@ -51,6 +51,8 @@ def brute_force_topk(
     """Exact cosine top-k: broadcast the (small) query set against the full
     corpus; rank window per query.  At cluster scale the query side is the
     broadcast side; the corpus never shuffles."""
+    from .spread import spread_scan
+
     q = embeddings.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
@@ -58,7 +60,9 @@ def brute_force_topk(
         # bounded query set: broadcast it; all-pairs mode must not ship
         # the whole corpus to every executor
         q = F.broadcast(q.filter(F.col("query_id").isin(query_ids)))
-    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = spread_scan(embeddings).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
     scored = (
         q.join(c, F.col("query_id") != F.col("neighbor_id"))
         .select(

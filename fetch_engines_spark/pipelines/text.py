@@ -867,7 +867,11 @@ def bm25_topk(
         F.size(F.filter(toks, _eq(term))).cast("long").alias(f"tf{i}")
         for i, term in enumerate(query_terms)
     ]
-    pd_ = df.select(F.col("doc_id"), F.size(toks).cast("long").alias("dl"), *tf_cols)
+    from .spread import spread_scan
+
+    pd_ = spread_scan(df).select(
+        F.col("doc_id"), F.size(toks).cast("long").alias("dl"), *tf_cols
+    )
     stats = pd_.agg(
         F.count("*").alias("n_docs"),
         F.sum("dl").alias("t_total"),

@@ -25,6 +25,22 @@ def get_spark(
     ship_package: bool = True,
 ) -> SparkSession:
     master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    # Scan-parallelism floor (guide §6): FileSourceScan computes its split
+    # size as max(openCost, min(maxPartitionBytes, totalBytes/minPartitionNum)),
+    # so without a floor a 100-200 MB table is read by 1-2 tasks and every
+    # map-side aggregation above it serializes on a 32-core node.  The floor
+    # is derived from the session's OWN core count (local[N] / env), never a
+    # constant, so it scales with the cluster instead of being tuned to one
+    # machine; production clusters inherit their full core count the same way.
+    min_split = os.environ.get("SPARK_GRAFT_MIN_PARTITION_NUM")
+    if min_split is None:
+        import re
+
+        m = re.fullmatch(r"local\[(\d+)\]", master)
+        if m:
+            min_split = m.group(1)
+        elif master.startswith("local"):
+            min_split = str(os.cpu_count() or 1)
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -32,6 +48,20 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # InferFiltersFromGenerate synthesizes `size(gen_child)>0 AND
+        # isnotnull(gen_child)` above every explode; predicate pushdown then
+        # copies that filter below repartitions/exchanges to the scan, where
+        # it RE-EVALUATES the generator child per row (guide §4.4's
+        # duplicated-evaluation trap, but for native expressions).  For the
+        # shingle/token pipelines the generator child is an interpreted
+        # higher-order zip_with over the whole document — measured ~2 s of
+        # serial scan-side work per 50k docs at sf1.0, re-run on the far
+        # side of the exchange anyway.  The rule only short-circuits empty
+        # arrays, which the Generate node itself already handles.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
@@ -47,6 +77,8 @@ def get_spark(
             ),
         )
     )
+    if min_split is not None:
+        builder = builder.config("spark.sql.files.minPartitionNum", min_split)
     if shuffle_partitions is not None:
         builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     else:
