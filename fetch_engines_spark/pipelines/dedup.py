@@ -1284,6 +1284,39 @@ def _pigeonhole_pairs_uncapped(
     coalescing); an explicit numbered repartition is exempt from
     coalescing and scales with the cluster, not a constant.
     """
+    pairs = _salted_self_pairs(
+        stacked,
+        key_cols=["block_id", "block_val"],
+        id_col="doc_id",
+        carry=carry,
+        keep_cols=["block_id"],
+        out_a=out_a,
+        out_b=out_b,
+        big_bucket=big_bucket,
+    )
+    keep = F.lit(True)
+    for bp in range(n_blocks - 1):
+        keep = keep & ((F.col("block_id") <= F.lit(bp)) | earlier_block_differs(bp))
+    return pairs.filter(keep).drop("block_id")
+
+
+def _salted_self_pairs(
+    stacked: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    carry: list[str],
+    keep_cols: list[str],
+    out_a: str,
+    out_b: str,
+    big_bucket: int = 1024,
+) -> DataFrame:
+    """Ordered in-bucket self-join emitting each co-bucketed (id_a < id_b)
+    pair exactly ONCE PER BUCKET, with oversized buckets
+    triangle-partitioned across the cluster (see
+    ``_pigeonhole_pairs_uncapped`` for the why).  ``keep_cols`` are
+    l-side bucket columns preserved on the output (for the caller's
+    minimal-bucket exactly-once filter); ``carry`` columns come out as
+    ``{c}_a`` / ``{c}_b``."""
     import math
 
     spark = stacked.sparkSession
@@ -1291,39 +1324,37 @@ def _pigeonhole_pairs_uncapped(
     g_groups = max(8, math.isqrt(max(4 * par - 1, 0)) + 1)
 
     sized = stacked.withColumn(
-        "bucket_n", F.count("*").over(Window.partitionBy("block_id", "block_val"))
+        "bucket_n", F.count("*").over(Window.partitionBy(*key_cols))
     )
     small = (
         sized.filter(F.col("bucket_n") <= big_bucket)
         .drop("bucket_n")
-        .repartition(par, "block_id", "block_val")
+        .repartition(par, *key_cols)
     )
     big = sized.filter(F.col("bucket_n") > big_bucket).drop("bucket_n")
     big = (
         big.withColumn(
-            "g", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(g_groups)).cast("int")
+            "g", F.pmod(F.xxhash64(F.col(id_col)), F.lit(g_groups)).cast("int")
         )
         .select("*", F.explode(F.sequence(F.lit(0), F.lit(g_groups - 1))).alias("j"))
         .withColumn("ti", F.least("g", "j"))
         .withColumn("tj", F.greatest("g", "j"))
         .drop("j")
-        .repartition(par, "block_id", "block_val", "ti", "tj")
+        .repartition(par, *key_cols, "ti", "tj")
     )
 
     def _sides(joined):
         return joined.select(
-            F.col("l.doc_id").alias(out_a),
-            F.col("r.doc_id").alias(out_b),
-            F.col("l.block_id").alias("block_id"),
+            F.col(f"l.{id_col}").alias(out_a),
+            F.col(f"r.{id_col}").alias(out_b),
+            *[F.col(f"l.{k}").alias(k) for k in keep_cols],
             *[F.col(f"l.{c}").alias(f"{c}_a") for c in carry],
             *[F.col(f"r.{c}").alias(f"{c}_b") for c in carry],
         )
 
-    eq = (
-        (F.col("l.block_id") == F.col("r.block_id"))
-        & (F.col("l.block_val") == F.col("r.block_val"))
-        & (F.col("l.doc_id") < F.col("r.doc_id"))
-    )
+    eq = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+    for k in key_cols:
+        eq = (F.col(f"l.{k}") == F.col(f"r.{k}")) & eq
     small_pairs = _sides(small.alias("l").join(small.alias("r"), eq))
     big_eq = (
         eq
@@ -1336,12 +1367,128 @@ def _pigeonhole_pairs_uncapped(
         & (F.col("l.tj") == F.greatest(F.col("l.g"), F.col("r.g")))
     )
     big_pairs = _sides(big.alias("l").join(big.alias("r"), big_eq))
+    return small_pairs.unionByName(big_pairs)
 
-    pairs = small_pairs.unionByName(big_pairs)
+
+def _simhash_pairs_grouped_twolevel(
+    sig: DataFrame, bits: int, n_blocks: int, max_hamming: int
+) -> DataFrame:
+    """Uncapped SimHash pairs via DISTINCT-signature candidates and a
+    two-level pigeonhole, expanded back to doc pairs exactly once.
+
+    The doc-level block join evaluates C(bucket,2) per bucket; with a
+    clustered corpus most of that work compares byte-identical
+    signatures over and over (measured at sf1.0: 50k docs → 28,385
+    distinct signatures, 758M doc-level candidates but only 52.9M
+    sig-level two-level candidates — 14×).  Guide §8's rule applied to
+    the pair join itself: decide on the small proxy (the distinct
+    signature), then move the heavy part (the 43M emitted doc pairs)
+    exactly once:
+
+    - **Group:** one row per distinct signature with its doc-id list
+      (combinable collect_list; ids ride the candidate join as carry
+      columns, so no join-back).
+    - **Two-level pigeonhole:** any pair within hamming ≤ n_blocks−1
+      shares an untouched block b, and — since its ≤ max_hamming
+      differing bits all live in the residual bits−block bits — also an
+      untouched sub-block s of that residual (n_sub = n_blocks
+      sub-blocks).  Joining on (b, s, block_val, sub_val) is therefore
+      still EXACT for recall while cutting expected bucket size by
+      another 2^sub.
+    - **Exactly-once:** a qualifying signature pair is kept only at its
+      minimal (b, s) — all earlier blocks differ, and all earlier
+      sub-blocks of b's residual differ (pure bitwise predicates on the
+      xor).  Same-signature doc pairs (hamming 0) are emitted separately
+      per group via posexplode × suffix-slice, one row per unordered
+      pair.  No distinct anywhere.
+
+    Identical result set to the plain block join + distinct: every doc
+    pair within the hamming bound appears exactly once as
+    (least, greatest, hamming)."""
+    block = bits // n_blocks
+    n_sub = n_blocks
+    sub = (bits - block) // n_sub
+    groups = sig.groupBy("simhash").agg(F.collect_list("doc_id").alias("ids"))
+
+    def _residual_sql(col: str, b: int) -> str:
+        if b == 0:
+            return f"shiftright({col}, {block})"
+        return (
+            f"(shiftleft(shiftright({col}, {(b + 1) * block}), {b * block})"
+            f" + pmod({col}, {1 << (b * block)}))"
+        )
+
+    entries = []
+    for b in range(n_blocks):
+        blk = f"CAST(shiftright(simhash, {b * block}) % {1 << block} AS BIGINT)"
+        res = _residual_sql("simhash", b)
+        for s in range(n_sub):
+            entries.append(
+                f"{b}, {s}, {blk}, "
+                f"CAST(shiftright({res}, {s * sub}) % {1 << sub} AS BIGINT)"
+            )
+    stacked = groups.select(
+        "simhash",
+        "ids",
+        F.expr(
+            f"stack({n_blocks * n_sub}, "
+            + ", ".join(entries)
+            + ") as (b, s, block_val, sub_val)"
+        ),
+    )
+    sig_pairs = _salted_self_pairs(
+        stacked,
+        key_cols=["b", "s", "block_val", "sub_val"],
+        id_col="simhash",
+        carry=["ids"],
+        keep_cols=["b", "s"],
+        out_a="sig_a",
+        out_b="sig_b",
+    )
+    x = F.col("sig_a").bitwiseXOR(F.col("sig_b"))
     keep = F.lit(True)
     for bp in range(n_blocks - 1):
-        keep = keep & ((F.col("block_id") <= F.lit(bp)) | earlier_block_differs(bp))
-    return pairs.filter(keep).drop("block_id")
+        keep = keep & (
+            (F.col("b") <= bp)
+            | (F.shiftright(x, bp * block).bitwiseAND(F.lit((1 << block) - 1)) != 0)
+        )
+    rx = None
+    for b in range(n_blocks - 1, -1, -1):
+        e = F.expr(_residual_sql(f"(sig_a ^ sig_b)", b))
+        rx = e if rx is None else F.when(F.col("b") == b, e).otherwise(rx)
+    for sp in range(n_sub - 1):
+        keep = keep & (
+            (F.col("s") <= sp)
+            | (F.shiftright(rx, sp * sub).bitwiseAND(F.lit((1 << sub) - 1)) != 0)
+        )
+    qual = (
+        sig_pairs.filter(keep)
+        .withColumn("hamming", F.bit_count(x))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    cross = (
+        qual.select(F.explode("ids_a").alias("ida"), "ids_b", "hamming")
+        .select("ida", F.explode("ids_b").alias("idb"), "hamming")
+        .select(
+            F.least("ida", "idb").alias("doc_a"),
+            F.greatest("ida", "idb").alias("doc_b"),
+            "hamming",
+        )
+    )
+    same = (
+        groups.filter(F.size("ids") > 1)
+        .select("ids", F.posexplode("ids").alias("i", "ida"))
+        .select(
+            "ida",
+            F.explode(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("idb"),
+        )
+        .select(
+            F.least("ida", "idb").alias("doc_a"),
+            F.greatest("ida", "idb").alias("doc_b"),
+            F.lit(0).cast("integer").alias("hamming"),
+        )
+    )
+    return cross.unionByName(same)
 
 
 def simhash_candidate_pairs(
@@ -1376,36 +1523,46 @@ def simhash_candidate_pairs(
 
     block = bits // n_blocks
     sig = simhash(df, text_col, bits=bits).localCheckpoint(eager=True)
-    sig_cols = (
-        [F.md5(F.col("simhash").cast("string")).alias("sig_key")]
-        if max_bucket_size is not None
-        else []
-    )
-    stacked = sig.select(
-        "doc_id",
-        "simhash",
-        *sig_cols,
-        F.expr(
-            "stack({n}, {args}) as (block_id, block_val)".format(
-                n=n_blocks,
-                args=", ".join(
-                    f"{b}, CAST(shiftright(simhash, {b * block}) % {1 << block} AS BIGINT)"
-                    for b in range(n_blocks)
-                ),
-            )
-        ),
-    )
     if max_bucket_size is None:
+        if (bits - block) % n_blocks == 0 and (bits - block) // n_blocks > 0:
+            return _simhash_pairs_grouped_twolevel(sig, bits, n_blocks, max_hamming)
         mask = (1 << block) - 1
 
         def _differs(bp: int):
             x = F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))
             return (F.shiftright(x, bp * block).bitwiseAND(F.lit(mask))) != 0
 
+        stacked_plain = sig.select(
+            "doc_id",
+            "simhash",
+            F.expr(
+                "stack({n}, {args}) as (block_id, block_val)".format(
+                    n=n_blocks,
+                    args=", ".join(
+                        f"{b}, CAST(shiftright(simhash, {b * block}) % {1 << block} AS BIGINT)"
+                        for b in range(n_blocks)
+                    ),
+                )
+            ),
+        )
         pairs = _pigeonhole_pairs_uncapped(
-            stacked, n_blocks, _differs, carry=["simhash"]
+            stacked_plain, n_blocks, _differs, carry=["simhash"]
         )
     else:
+        stacked = sig.select(
+            "doc_id",
+            "simhash",
+            F.md5(F.col("simhash").cast("string")).alias("sig_key"),
+            F.expr(
+                "stack({n}, {args}) as (block_id, block_val)".format(
+                    n=n_blocks,
+                    args=", ".join(
+                        f"{b}, CAST(shiftright(simhash, {b * block}) % {1 << block} AS BIGINT)"
+                        for b in range(n_blocks)
+                    ),
+                )
+            ),
+        )
         pairs = bucket_pairs(
             stacked,
             ["block_id", "block_val"],

@@ -695,6 +695,68 @@ def test_simhash64_pigeonhole_recall_is_exact(spark):
     assert got == truth and truth
 
 
+def test_simhash_pairs_exactly_once_no_distinct(spark):
+    """Round-6 rewrite: the uncapped pair paths emit each qualifying pair
+    EXACTLY ONCE by construction (minimal shared block / sub-block
+    filters + triangle-partitioned big buckets + grouped same-signature
+    expansion) instead of relying on a distinct() shuffle.  Multiplicity
+    — not just the set — must match brute force, on a corpus that
+    exercises every branch: byte-identical clusters (same-sig groups +
+    oversized buckets) plus near-identical singletons (cross-sig pairs
+    found in multiple blocks)."""
+    from collections import Counter
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from fetch_engines_spark.pipelines.dedup import (
+        simhash,
+        simhash64,
+        simhash_candidate_pairs,
+        simhash_candidate_pairs64,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # 3 byte-identical replicas per doc (forces same-sig groups and, with
+    # a tiny big_bucket via the shared path defaults, shared hot buckets)
+    rep = spark.range(3).select(F.col("id").alias("rep"))
+    docs = base.crossJoin(rep).select(
+        (F.col("doc_id") * 10 + F.col("rep")).alias("doc_id"), "text"
+    )
+
+    sigs = {r.doc_id: r.simhash for r in simhash(docs, bits=32).collect()}
+    truth = Counter(
+        (a, b)
+        for a, b in combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    )
+    got = Counter(
+        (r.doc_a, r.doc_b)
+        for r in simhash_candidate_pairs(
+            docs, bits=32, n_blocks=4, max_hamming=3
+        ).collect()
+    )
+    assert got == truth and truth
+    assert max(got.values()) == 1  # exactly-once, not distinct-ed
+
+    s64 = {r.doc_id: (r.sim_lo, r.sim_hi) for r in simhash64(docs).collect()}
+
+    def ham(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    truth64 = Counter(
+        (a, b)
+        for a, b in combinations(sorted(s64), 2)
+        if ham(s64[a], s64[b]) <= 3
+    )
+    got64 = Counter(
+        (r.doc_a, r.doc_b)
+        for r in simhash_candidate_pairs64(docs, max_hamming=3).collect()
+    )
+    assert got64 == truth64 and truth64
+    assert max(got64.values()) == 1
+
+
 def test_simhash_capped_no_quadratic_bucket(spark):
     """Degenerate-bucket guard on the SimHash path (round-3 verdict's one
     scale defect): 5000 byte-identical docs share every block value, so
