@@ -439,12 +439,18 @@ def mixture_sample(
     makes the whole mix empty (its share is unachievable) — all in
     exact integer arithmetic.
 
-    Scale shape: one combinable stratum count + a broadcast 1-row scale
-    + one shuffle on the stratum key for the rank window (the cap is a
-    per-stratum COLUMN, so Spark cannot compile the filter to
-    WindowGroupLimit — the stratum sorts within its partition; for very
-    hot strata compose with cap_per_stratum's literal-K pre-cap first).
-    Returns the input columns plus mix_rank."""
+    Scale shape (round 6 — retires the round-5 ``weak`` flag): ranking
+    is BUCKETED.  One combinable (stratum, md5-prefix-bucket) count pass
+    sizes every bucket (and yields the stratum totals for the scale);
+    tiny per-bucket rank offsets (cumulative counts of earlier buckets)
+    broadcast back; buckets whose offset already exceeds the stratum cap
+    drop BEFORE the shuffle (only ~cap rows plus one boundary bucket per
+    stratum ever move); the exact window then partitions by
+    (stratum, bucket) — thousands of uniformly-sized keys, never the
+    old one-reducer-per-stratum corpus sort — and mix_rank composes as
+    offset + within-bucket rank, identical to the single global rank
+    because bucket order IS md5-prefix order.  Returns the input columns
+    plus mix_rank."""
     from itertools import chain
 
     from pyspark.sql import Window
@@ -455,15 +461,19 @@ def mixture_sample(
         raise ValueError(
             "mixture_sample: targets_bp must be non-empty with positive shares"
         )
+    n_buckets = 4096  # 3 hex chars of the rank md5; ~n_s/4096 rows per window key
     tmap = F.create_map(
         *chain.from_iterable((F.lit(k), F.lit(v)) for k, v in targets_bp.items())
     )
-    counts = (
+    rkey = F.md5(F.col(key_col).cast("string"))
+    bucket = F.conv(F.substring(rkey, 1, 3), 16, 10).cast("int")
+    bcounts = (
         df.withColumn("__tbp", tmap[F.col(stratum_col)])
         .filter(F.col("__tbp").isNotNull())
-        .groupBy(stratum_col, "__tbp")
-        .agg(F.count("*").alias("__n"))
-    )
+        .groupBy(stratum_col, "__tbp", bucket.alias("__mix_bucket"))
+        .agg(F.count("*").alias("__bn"))
+    ).localCheckpoint(eager=False)
+    counts = bcounts.groupBy(stratum_col, "__tbp").agg(F.sum("__bn").alias("__n"))
     # a target stratum with zero corpus rows never appears in counts, so
     # its unachievable share must zero the scale explicitly
     n_present = counts.agg(
@@ -478,14 +488,35 @@ def mixture_sample(
     caps = counts.crossJoin(F.broadcast(n_present)).select(
         stratum_col, F.expr("(__tbp * __scale) div 1000000").alias("__cap")
     )
-    w = Window.partitionBy(stratum_col).orderBy(
-        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    # per-bucket rank offset = rows of the stratum in strictly earlier
+    # buckets (bucket order == md5-prefix order, so offset + within-bucket
+    # rank IS the global (md5, key) rank); the offsets table is at most
+    # strata x 4096 rows — broadcast, never a corpus shuffle
+    woff = (
+        Window.partitionBy(stratum_col)
+        .orderBy("__mix_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bcounts.select(
+        stratum_col,
+        "__mix_bucket",
+        F.coalesce(F.sum("__bn").over(woff), F.lit(0)).cast("long").alias("__off"),
+    ).join(caps, stratum_col)
+    w = Window.partitionBy(stratum_col, "__mix_bucket").orderBy(
+        rkey, F.col(key_col)
     )
     return (
-        df.join(F.broadcast(caps), stratum_col)
-        .withColumn("mix_rank", F.row_number().over(w).cast("long"))
+        df.withColumn("__mix_bucket", bucket)
+        .join(F.broadcast(offsets), [stratum_col, "__mix_bucket"])
+        # a bucket whose offset already reaches the cap cannot contribute
+        # a selected row — the whole bucket drops before the rank shuffle
+        .filter(F.col("__off") < F.col("__cap"))
+        .withColumn(
+            "mix_rank",
+            (F.col("__off") + F.row_number().over(w)).cast("long"),
+        )
         .filter(F.col("mix_rank") <= F.col("__cap"))
-        .drop("__cap")
+        .drop("__cap", "__off", "__mix_bucket")
     )
 
 

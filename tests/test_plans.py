@@ -399,17 +399,22 @@ def test_boilerplate_strip_is_native_equi_join(spark):
         assert marker not in plan
 
 
-def test_mixture_sample_single_corpus_shuffle_broadcast_caps(spark):
-    """The corpus shuffles ONCE (on the stratum key, for the rank
-    window); the per-stratum caps ride as a BroadcastHashJoin build side,
-    and the count/scale aggregates touch only the pruned stratum column.
-    (No WindowGroupLimit: the cap is a per-stratum column, not a
-    literal — documented in mixture_sample.)"""
+def test_mixture_sample_bucketed_rank_no_stratum_wide_window(spark):
+    """Round-6 fix of the round-5 weak flag: the exact rank window must
+    partition by (stratum, md5-prefix bucket) — thousands of uniform
+    keys — never by the stratum alone (one reducer sorting a whole
+    stratum at 100 TB).  Bucket offsets + caps ride as a
+    BroadcastHashJoin build side; the corpus shuffles once for the
+    bucketed window."""
     df = entrymod.queries()["mixture_sample"](spark, SF)
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
-    # the corpus sorts/windows exactly once (the stratum rank)
+    # exactly one corpus rank window, and it is bucket-partitioned
     assert plan.count("Window [row_number()") == 1
+    import re
+
+    m = re.search(r"Window \[row_number\(\).*?windowspecdefinition\(([^)]*)\)", plan)
+    assert m and "__mix_bucket" in m.group(1), plan[:2000]
     for marker in ("MapInArrow", "MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert marker not in plan
