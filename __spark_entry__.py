@@ -238,7 +238,11 @@ def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders ⋈ customer ⋈ nation with broadcast dims (the canonical
     star-schema join: fact never shuffles for the dim joins)."""
-    orders = _read(spark, sf_dir, "orders")
+    from fetch_engines_spark.pipelines.spread import spread_scan
+
+    # spread the 2-row-group fact scan so the broadcast-join probe and
+    # partial aggregation run on every core (guide §2.5)
+    orders = spread_scan(_read(spark, sf_dir, "orders"))
     customer = _read(spark, sf_dir, "customer")
     nation = _read(spark, sf_dir, "nation")
     return (
@@ -254,7 +258,12 @@ def _q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _read(spark, sf_dir, "orders")
+    from fetch_engines_spark.pipelines.spread import spread_scan
+
+    # the sf orders table lands as a 1-2-row-group file: without the
+    # scale-adaptive spread the map-side WindowGroupLimit pass runs on
+    # 1-2 of the session's cores (guide §2.5, unsplittable input)
+    orders = spread_scan(_read(spark, sf_dir, "orders"))
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
         orders.withColumn("rnk", F.row_number().over(w))
@@ -269,7 +278,11 @@ def _q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _read(spark, sf_dir, "events")
+    from fetch_engines_spark.pipelines.spread import spread_scan
+
+    # events lands as ONE row group: spread so the per-row date parsing
+    # and partial aggregation use every core (guide §2.5)
+    ev = spread_scan(_read(spark, sf_dir, "events"))
     return (
         ev.groupBy(
             F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("event_date"),
@@ -538,11 +551,23 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing rolling-hash fingerprints, exploded to (doc_id, fp) pairs
     (the dedup-index shape: group by fp → collision candidates)."""
-    from fetch_engines_spark.pipelines.text import winnowing_fingerprints
+    from fetch_engines_spark.pipelines.spread import spread_scan
+    from fetch_engines_spark.pipelines.text import (
+        winnowing_shingle_hashes,
+        winnowing_window_mins,
+    )
 
-    docs = _read(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", F.explode(winnowing_fingerprints(F.col("text"))).alias("fp")
+    docs = spread_scan(_read(spark, sf_dir, "documents"))
+    # two projections on purpose: the hash array materializes once per
+    # doc, so the interpreted min stage does not re-hash per reference
+    hashed = docs.select(
+        "doc_id",
+        F.col("text"),
+        winnowing_shingle_hashes(F.col("text")).alias("__wh"),
+    )
+    return hashed.select(
+        "doc_id",
+        F.explode(winnowing_window_mins(F.col("__wh"), F.col("text"))).alias("fp"),
     )
 
 
