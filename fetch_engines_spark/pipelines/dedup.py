@@ -507,9 +507,20 @@ def bloom_gate(
     word_id (broadcast when the bitmap is small — m ≤ ~10^9 bits; bucket
     join above), one combinable groupBy on the id.  The downstream exact
     dedup then anti-joins ONLY the maybe_present rows against history."""
-    meta = bloom.select("m_bits", "k_hashes").first()
-    if meta is None:
+    metas = bloom.select("m_bits", "k_hashes").distinct().limit(2).collect()
+    if not metas:
         raise ValueError("bloom_gate: empty bitmap (no words) — nothing was built")
+    if len(metas) > 1:
+        # a bare union of shards with mismatched parameters would compute
+        # positions in a different bit space and read every key — history
+        # keys included — as "definitely new" (silent false negatives,
+        # the one failure a Bloom filter must never have); mirror
+        # cms_merge's mixed-grid guard and direct callers to bloom_merge
+        raise ValueError(
+            "bloom_gate: bitmap mixes parameter sets "
+            f"{[tuple(r) for r in metas]} — merge shards with bloom_merge first"
+        )
+    meta = metas[0]
     if m_bits is None:
         m_bits = meta["m_bits"]
     elif m_bits != meta["m_bits"]:

@@ -722,6 +722,8 @@ def cms_merge(sketches: list[DataFrame]) -> DataFrame:
     min() pick one shard's PARTIAL count, an underestimate the structure
     must never produce.  Mismatched depth/width raise (different grids
     share no cells)."""
+    if not sketches:
+        raise ValueError("cms_merge: no sketches given")
     merged = sketches[0]
     for sk in sketches[1:]:
         merged = merged.unionByName(sk)

@@ -3074,6 +3074,14 @@ def test_bloom_gate_rejects_mismatched_parameters(spark):
     other = bloom_build(keys.select("key"), "key", 4096, 3)
     with _pytest.raises(ValueError, match="different parameters"):
         bloom_merge([bloom, other]).collect()
+    # a bare union of mismatched shards must not pick an arbitrary first
+    # row's parameters (silent false negatives) — round-6 ADVICE guard
+    with _pytest.raises(ValueError, match="bloom_merge"):
+        bloom_gate(keys, bloom.unionByName(other), "key", "doc_id")
+    from fetch_engines_spark.pipelines.text import cms_merge
+
+    with _pytest.raises(ValueError, match="no sketches"):
+        cms_merge([])
     # NULL keys contribute no junk rows to the bitmap
     nb = bloom_build(
         spark.createDataFrame([("a",), (None,)], "key string"), "key", 2048, 3
