@@ -1383,6 +1383,144 @@ def _salted_self_pairs(
     return small_pairs.unionByName(big_pairs)
 
 
+def simhash_vectorized(
+    df: DataFrame, text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """Arrow-vectorized twin of :func:`simhash` for unique-``doc_id``
+    corpora: ONE batched map stage computes the whole signature per
+    document — no explode, no aggregation exchange.
+
+    Same pattern (and the same reference/hot-path contract) as
+    ``similarity.lsh_buckets_vectorized``: the JVM expression pipeline in
+    :func:`simhash` is the REFERENCE evaluation; this path is
+    differential-tested equal (tests/test_pipelines.py::
+    test_simhash_vectorized_matches_expr).  The per-token md5 vote of the
+    spec is integer-exact here by construction: bit i of the signature is
+    the top bit of hex digit i of md5(token) — i.e. bit 4·i of the
+    digest's MSB-first bit string — and the majority vote v_i>0 is
+    2·ones_i>n, identical to the aggregate form.  Unique tokens are
+    hashed once per task (dictionary cache; guide §4.5), then per-doc
+    vote sums are two small integer matrix ops.
+
+    Contract: one row per doc_id (the shape every caller feeds) — rows
+    sharing a doc_id would be vote-merged by the groupBy reference but
+    emitted separately here, and NULL doc_ids likewise stay per-row.
+    The uncapped pair generators, whose pair semantics already require
+    unique non-null ids, are the intended callers."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    if bits > 32:
+        raise ValueError("md5-hex simhash supports at most 32 bits")
+    from .spread import spread_scan
+
+    df = spread_scan(df)
+    schema = StructType([df.schema["doc_id"], StructField("simhash", LongType())])
+
+    def batches(it):
+        import hashlib
+        from collections import Counter
+
+        import numpy as np
+        import pandas as pd
+
+        cache: dict[str, np.ndarray] = {}
+        shifts = np.arange(bits, dtype=np.uint64)
+
+        def tok_bits(tok: str) -> np.ndarray:
+            e = cache.get(tok)
+            if e is None:
+                d = np.frombuffer(
+                    hashlib.md5(tok.encode("utf-8")).digest(), np.uint8
+                )
+                e = cache[tok] = (
+                    np.unpackbits(d)[0 : 4 * bits : 4].astype(np.int64)
+                )
+            return e
+
+        for pdf in it:
+            ids, sigs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                toks = text.split(" ")
+                n = len(toks)
+                ones = np.zeros(bits, np.int64)
+                for tok, c in Counter(toks).items():
+                    ones += c * tok_bits(tok)
+                sig = int((((2 * ones > n).astype(np.uint64)) << shifts).sum())
+                ids.append(doc_id)
+                sigs.append(sig)
+            yield pd.DataFrame({"doc_id": ids, "simhash": sigs})
+
+    return df.select("doc_id", F.col(text_col).alias("text")).mapInPandas(
+        batches, schema=schema
+    )
+
+
+def simhash64_vectorized(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Arrow-vectorized twin of :func:`simhash64` (same contract and
+    rationale as :func:`simhash_vectorized`): per document, the two
+    salted md5 vote families — md5(tok) for the low half, md5('hi|'+tok)
+    for the high half — computed once per unique token per task and
+    majority-folded with two integer matrix ops."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from .spread import spread_scan
+
+    df = spread_scan(df)
+    schema = StructType(
+        [
+            df.schema["doc_id"],
+            StructField("sim_lo", LongType()),
+            StructField("sim_hi", LongType()),
+        ]
+    )
+
+    def batches(it):
+        import hashlib
+        from collections import Counter
+
+        import numpy as np
+        import pandas as pd
+
+        cache: dict[str, tuple] = {}
+        shifts = np.arange(32, dtype=np.uint64)
+
+        def tok_bits(tok: str):
+            e = cache.get(tok)
+            if e is None:
+                b = tok.encode("utf-8")
+                d1 = np.frombuffer(hashlib.md5(b).digest(), np.uint8)
+                d2 = np.frombuffer(hashlib.md5(b"hi|" + b).digest(), np.uint8)
+                e = cache[tok] = (
+                    np.unpackbits(d1)[0:128:4].astype(np.int64),
+                    np.unpackbits(d2)[0:128:4].astype(np.int64),
+                )
+            return e
+
+        for pdf in it:
+            ids, los, his = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                toks = text.split(" ")
+                n = len(toks)
+                o1 = np.zeros(32, np.int64)
+                o2 = np.zeros(32, np.int64)
+                for tok, c in Counter(toks).items():
+                    b1, b2 = tok_bits(tok)
+                    o1 += c * b1
+                    o2 += c * b2
+                ids.append(doc_id)
+                los.append(int((((2 * o1 > n).astype(np.uint64)) << shifts).sum()))
+                his.append(int((((2 * o2 > n).astype(np.uint64)) << shifts).sum()))
+            yield pd.DataFrame({"doc_id": ids, "sim_lo": los, "sim_hi": his})
+
+    return df.select("doc_id", F.col(text_col).alias("text")).mapInPandas(
+        batches, schema=schema
+    )
+
+
 def _simhash_pairs_grouped_twolevel(
     sig: DataFrame, bits: int, n_blocks: int, max_hamming: int
 ) -> DataFrame:
@@ -1535,10 +1673,17 @@ def simhash_candidate_pairs(
     from .candidates import bucket_pairs
 
     block = bits // n_blocks
-    sig = simhash(df, text_col, bits=bits).localCheckpoint(eager=True)
     if max_bucket_size is None:
+        # uncapped path: the Arrow-vectorized signature stage (unique
+        # doc_id contract holds for pair generation by definition) — one
+        # batched map, no explode/aggregation exchange; differential-
+        # tested equal to the JVM expression reference
+        sig = simhash_vectorized(df, text_col, bits=bits).localCheckpoint(eager=True)
         if (bits - block) % n_blocks == 0 and (bits - block) // n_blocks > 0:
             return _simhash_pairs_grouped_twolevel(sig, bits, n_blocks, max_hamming)
+    else:
+        sig = simhash(df, text_col, bits=bits).localCheckpoint(eager=True)
+    if max_bucket_size is None:
         mask = (1 << block) - 1
 
         def _differs(bp: int):
@@ -1659,7 +1804,14 @@ def simhash_candidate_pairs64(
         raise ValueError("pigeonhole guarantee needs max_hamming < 4 blocks")
     from .candidates import bucket_pairs
 
-    sig = simhash64(df, text_col).localCheckpoint(eager=True)
+    # uncapped: Arrow-vectorized signature stage (see simhash_vectorized —
+    # unique doc_id contract is inherent to pair generation); capped: the
+    # JVM expression reference, whose plan gates pin a Python-free path
+    sig = (
+        simhash64_vectorized(df, text_col)
+        if max_bucket_size is None
+        else simhash64(df, text_col)
+    ).localCheckpoint(eager=True)
     sig_cols = (
         [F.md5(F.concat_ws("|", F.col("sim_lo"), F.col("sim_hi"))).alias("sig_key")]
         if max_bucket_size is not None

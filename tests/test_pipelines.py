@@ -695,6 +695,49 @@ def test_simhash64_pigeonhole_recall_is_exact(spark):
     assert got == truth and truth
 
 
+def test_simhash_vectorized_matches_expr(spark):
+    """The Arrow-vectorized signature fast path (round 6) must equal the
+    JVM expression reference bit-for-bit on adversarial text: empty
+    strings, runs of spaces (empty tokens), unicode, single tokens,
+    heavy repetition, and exact vote ties (2·ones == n must NOT set the
+    bit).  NULL text yields no row on either path."""
+    from fetch_engines_spark.pipelines.dedup import (
+        simhash,
+        simhash64,
+        simhash64_vectorized,
+        simhash_vectorized,
+    )
+
+    rows = [
+        (1, "order agg batch key spark part hash"),
+        (2, ""),
+        (3, "   "),
+        (4, "solo"),
+        (5, "a a a a b"),
+        (6, "naïve café 汉字 emoji🙂 mix"),
+        (7, None),
+        (8, "x y " * 500),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = {r.doc_id: r.simhash for r in simhash(docs, bits=32).collect()}
+    fast = {r.doc_id: r.simhash for r in simhash_vectorized(docs, bits=32).collect()}
+    assert fast == ref and 7 not in fast
+    ref64 = {r.doc_id: (r.sim_lo, r.sim_hi) for r in simhash64(docs).collect()}
+    fast64 = {
+        r.doc_id: (r.sim_lo, r.sim_hi) for r in simhash64_vectorized(docs).collect()
+    }
+    assert fast64 == ref64 and 7 not in fast64
+    # and on real corpus text
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert (
+        simhash_vectorized(corpus, bits=32)
+        .exceptAll(simhash(corpus, bits=32))
+        .count()
+        == 0
+    )
+    assert simhash64_vectorized(corpus).exceptAll(simhash64(corpus)).count() == 0
+
+
 def test_simhash_pairs_exactly_once_no_distinct(spark):
     """Round-6 rewrite: the uncapped pair paths emit each qualifying pair
     EXACTLY ONCE by construction (minimal shared block / sub-block
