@@ -278,11 +278,10 @@ def _q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fetch_engines_spark.pipelines.spread import spread_scan
-
-    # events lands as ONE row group: spread so the per-row date parsing
-    # and partial aggregation use every core (guide §2.5)
-    ev = spread_scan(_read(spark, sf_dir, "events"))
+    # measured at sf1.0: spreading the 1-row-group events scan costs more
+    # (the extra exchange) than the 1M-row map-side partial agg saves —
+    # deliberately NOT spread (OPTIMIZATION_r06.md)
+    ev = _read(spark, sf_dir, "events")
     return (
         ev.groupBy(
             F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("event_date"),

@@ -16,8 +16,8 @@ ANNOTATIONS = {
     "top_orders_per_customer": "WindowGroupLimit prunes each partition to the top 3 before the full sort — rank-limit pushdown keeps the window state bounded.",
     "extract_spans_fixture": "Exactly one Python boundary (MapInArrow): the entire P1–M14 chain runs in a single Arrow pass; explode of the output spans stays JVM-side.",
     "classifier_shell_score": "Whole-stage-codegen only — the full X-family (regex counts, entity decode, score arithmetic) compiles to one generated stage, zero Python.",
-    "dedup_minhash": "One explode + one map-side-combinable aggregation computing all k permutation mins (single Exchange), then a stack unpivot.",
-    "embedding_topk": "Query side is broadcast; cosine runs as JVM higher-order functions; per-query rank window follows one small shuffle of the scored pairs.",
+    "dedup_minhash": "One explode + one map-side-combinable aggregation computing all k permutation mins (one hash Exchange), then a stack unpivot; round 6 adds spread_scan's round-robin exchange ONLY when the input parquet is unsplittable (single row group), so the token stage uses every core.",
+    "embedding_topk": "Query side is broadcast; cosine runs as JVM higher-order functions; per-query rank window follows one small shuffle of the scored pairs. Round 6: the corpus side is spread_scan'd so the 200k interpreted cosine folds run on every core instead of the 1-split scan.",
     "resume_anti_join": "LeftAnti broadcast join against the completed-work ledger — the resume primitive.",
     "dedup_minhash_capped": "Window count over (band_id, band_key) sizes every bucket in one shuffle; small buckets take the pairwise self-join, giant buckets the linear signature-group star path — no task can exceed cap^2 pairwise work.",
     "dedup_minhash_prod": "128 affine permutations fold into ONE map-side-combined aggregation over the exploded shingles (single Exchange); band keys derive from the wide row with no second shuffle.",
@@ -53,6 +53,10 @@ ANNOTATIONS = {
     "decontaminate_fuzzy": "Every join broadcast (bench band index, candidate-id semi-join, candidate pairs, bench shingles) — zero SortMergeJoin, so the corpus never shuffles on doc_id for the benchmark-bounded candidate set; best-match via row_number over the tiny scored set.",
     "dedup_incremental": "The persisted history index joins the new increment's band keys — broadcast/bucket equi-joins only; the historical corpus is never rescanned, only its ~n_bands-rows-per-doc index participates.",
     "dedup_index_compaction": "Union + combinable distinct over N per-increment index row sets, materialized via localCheckpoint (the returned plan reads the compacted table); the corpora behind the indexes are never rescanned.",
+    "dedup_simhash_pairs": "Round-6 shape: distinct-signature grouping (collect_list ids ride as carry columns) + two-level pigeonhole (block, sub-block of the residual) + exactly-once minimal-(b,s) emission via xor predicates + triangle-partitioned oversized buckets — 52.9M signature-level candidates replace 758M doc-level ones at sf1.0, and NO distinct/exchange follows the join.",
+    "dedup_simhash64_pairs": "Round-6 shape: Arrow-vectorized signature stage (one batched map, no explode/agg exchange), then the exactly-once minimal-block pigeonhole join with triangle-partitioned oversized buckets; no distinct anywhere.",
+    "mixture_sample": "Round-6 shape (retires the r5 weak flag): combinable (stratum, md5-prefix-bucket) counts; per-bucket offsets + caps broadcast; past-cap buckets drop before the shuffle; the exact rank window partitions by (stratum, bucket) and mix_rank composes as offset + within-bucket rank.",
+    "doc_winnowing": "Round-6 shape: shared zip-shifted shingle builder + sparse-table rolling minima (log2(window) zip_with passes), hash array materialized in its own projection so the interpreted min stage reads it instead of re-hashing per reference.",
 }
 
 

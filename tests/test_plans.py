@@ -152,17 +152,18 @@ def test_salted_join_joins_on_salt(spark):
 
 def test_minhash_fast_signatures_single_shuffle(spark):
     """Production-parameter signatures+banding: all 128 permutations fold
-    into ONE map-side-combinable aggregation — exactly one HASH shuffle
-    (the aggregation) over the exploded shingles.  A single additional
-    round-robin exchange is permitted: spread_scan's scale-adaptive
-    repartition of an unsplittable input (round 6) — it carries the raw
-    docs, not the exploded shingles, and disappears for any input already
-    split to the default parallelism."""
+    into ONE map-side-combinable aggregation — exactly one shuffle keyed
+    by doc_id (the aggregation) over the exploded shingles.  A single
+    additional exchange is permitted: spread_scan's scale-adaptive
+    repartition of an unsplittable input (round 6, keyed by a
+    deterministic row hash) — it carries the raw docs, not the exploded
+    shingles, and disappears for any input already split to the default
+    parallelism."""
     from fetch_engines_spark.pipelines.dedup import minhash_lsh_buckets_fast
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = plan_of(minhash_lsh_buckets_fast(docs, num_hashes=128, band_size=8))
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1, plan
     assert plan.count("Exchange") <= 2, plan
     assert "partial_min" in plan  # map-side combine before the shuffle
 
