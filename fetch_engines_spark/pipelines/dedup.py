@@ -507,10 +507,16 @@ def bloom_gate(
     word_id (broadcast when the bitmap is small — m ≤ ~10^9 bits; bucket
     join above), one combinable groupBy on the id.  The downstream exact
     dedup then anti-joins ONLY the maybe_present rows against history."""
-    metas = bloom.select("m_bits", "k_hashes").distinct().limit(2).collect()
-    if not metas:
+    # one combinable scan (no distinct shuffle — this runs at query-build
+    # time): min==max over the (m_bits, k_hashes) struct iff the bitmap
+    # carries exactly one parameter set
+    span = bloom.agg(
+        F.min(F.struct("m_bits", "k_hashes")).alias("lo"),
+        F.max(F.struct("m_bits", "k_hashes")).alias("hi"),
+    ).first()
+    if span is None or span["lo"] is None:
         raise ValueError("bloom_gate: empty bitmap (no words) — nothing was built")
-    if len(metas) > 1:
+    if tuple(span["lo"]) != tuple(span["hi"]):
         # a bare union of shards with mismatched parameters would compute
         # positions in a different bit space and read every key — history
         # keys included — as "definitely new" (silent false negatives,
@@ -518,9 +524,10 @@ def bloom_gate(
         # cms_merge's mixed-grid guard and direct callers to bloom_merge
         raise ValueError(
             "bloom_gate: bitmap mixes parameter sets "
-            f"{[tuple(r) for r in metas]} — merge shards with bloom_merge first"
+            f"{tuple(span['lo'])} vs {tuple(span['hi'])} — "
+            "merge shards with bloom_merge first"
         )
-    meta = metas[0]
+    meta = span["lo"]
     if m_bits is None:
         m_bits = meta["m_bits"]
     elif m_bits != meta["m_bits"]:
