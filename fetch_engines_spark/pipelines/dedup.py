@@ -1430,7 +1430,12 @@ def simhash_vectorized(
         import numpy as np
         import pandas as pd
 
+        # per-task memo of unique-token vote bits; CAPPED so a huge
+        # partition vocabulary at web scale cannot grow the Python worker
+        # unboundedly (cap × ~400B ≈ 100 MB worst case; misses just
+        # recompute the md5)
         cache: dict[str, np.ndarray] = {}
+        cache_cap = 1 << 18
         shifts = np.arange(bits, dtype=np.uint64)
 
         def tok_bits(tok: str) -> np.ndarray:
@@ -1439,9 +1444,9 @@ def simhash_vectorized(
                 d = np.frombuffer(
                     hashlib.md5(tok.encode("utf-8")).digest(), np.uint8
                 )
-                e = cache[tok] = (
-                    np.unpackbits(d)[0 : 4 * bits : 4].astype(np.int64)
-                )
+                e = np.unpackbits(d)[0 : 4 * bits : 4].astype(np.int64)
+                if len(cache) < cache_cap:
+                    cache[tok] = e
             return e
 
         for pdf in it:
@@ -1490,7 +1495,9 @@ def simhash64_vectorized(df: DataFrame, text_col: str = "text") -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        # capped per-task memo — see simhash_vectorized
         cache: dict[str, tuple] = {}
+        cache_cap = 1 << 18
         shifts = np.arange(32, dtype=np.uint64)
 
         def tok_bits(tok: str):
@@ -1499,10 +1506,12 @@ def simhash64_vectorized(df: DataFrame, text_col: str = "text") -> DataFrame:
                 b = tok.encode("utf-8")
                 d1 = np.frombuffer(hashlib.md5(b).digest(), np.uint8)
                 d2 = np.frombuffer(hashlib.md5(b"hi|" + b).digest(), np.uint8)
-                e = cache[tok] = (
+                e = (
                     np.unpackbits(d1)[0:128:4].astype(np.int64),
                     np.unpackbits(d2)[0:128:4].astype(np.int64),
                 )
+                if len(cache) < cache_cap:
+                    cache[tok] = e
             return e
 
         for pdf in it:
