@@ -1689,17 +1689,13 @@ def simhash_candidate_pairs(
     from .candidates import bucket_pairs
 
     block = bits // n_blocks
+    # Arrow-vectorized signature stage for both paths (see
+    # simhash_candidate_pairs64 for the rationale; unique doc_id is the
+    # pair-generation contract)
+    sig = simhash_vectorized(df, text_col, bits=bits).localCheckpoint(eager=True)
     if max_bucket_size is None:
-        # uncapped path: the Arrow-vectorized signature stage (unique
-        # doc_id contract holds for pair generation by definition) — one
-        # batched map, no explode/aggregation exchange; differential-
-        # tested equal to the JVM expression reference
-        sig = simhash_vectorized(df, text_col, bits=bits).localCheckpoint(eager=True)
         if (bits - block) % n_blocks == 0 and (bits - block) // n_blocks > 0:
             return _simhash_pairs_grouped_twolevel(sig, bits, n_blocks, max_hamming)
-    else:
-        sig = simhash(df, text_col, bits=bits).localCheckpoint(eager=True)
-    if max_bucket_size is None:
         mask = (1 << block) - 1
 
         def _differs(bp: int):
@@ -1820,14 +1816,13 @@ def simhash_candidate_pairs64(
         raise ValueError("pigeonhole guarantee needs max_hamming < 4 blocks")
     from .candidates import bucket_pairs
 
-    # uncapped: Arrow-vectorized signature stage (see simhash_vectorized —
-    # unique doc_id contract is inherent to pair generation); capped: the
-    # JVM expression reference, whose plan gates pin a Python-free path
-    sig = (
-        simhash64_vectorized(df, text_col)
-        if max_bucket_size is None
-        else simhash64(df, text_col)
-    ).localCheckpoint(eager=True)
+    # Arrow-vectorized signature stage for BOTH paths (the unique doc_id
+    # contract is inherent to pair generation; differential-tested equal
+    # to the simhash64 expression reference).  Beyond planning ~130
+    # aggregate expressions per build (~0.75 s of driver time the bench
+    # pays on every run), the vote aggregate was also the slowest stage —
+    # the one-node Arrow plan removes both.
+    sig = simhash64_vectorized(df, text_col).localCheckpoint(eager=True)
     sig_cols = (
         [F.md5(F.concat_ws("|", F.col("sim_lo"), F.col("sim_hi"))).alias("sig_key")]
         if max_bucket_size is not None

@@ -178,13 +178,19 @@ def test_capped_pairs_no_python_and_no_cartesian(spark):
 
 def test_simhash_capped_pairs_no_python_and_no_cartesian(spark):
     """The 64-bit SimHash capped join (shared candidates.bucket_pairs
-    guard) keeps the equi-join shape: no cross/nested-loop joins, no
-    Python stages, signatures materialized once (checkpointed RDD feeds
-    both join sides and the hamming verify)."""
+    guard) keeps the equi-join shape: no cross/nested-loop joins, and —
+    like the media near-dup gate — the ONLY Python is the single
+    Arrow-batched signature stage (round 6: simhash64_vectorized,
+    differential-tested vs the expression reference), which is
+    checkpoint-materialized so the join/verify plan itself is pure JVM
+    (the checkpointed RDD feeds both join sides and the hamming
+    verify)."""
     df = entrymod.queries()["dedup_simhash_capped"](spark, SF)
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # signatures materialize through the checkpoint, so the returned
+    # plan contains NO live Python stage at all
     for marker in ("MapInArrow", "MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert marker not in plan
     assert "ExistingRDD" in plan  # localCheckpoint-materialized signatures
